@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for large-scale document corpora: exact,
+  * token-set, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every candidate-generation path is an equi-join on a
+  * bucket key (band hash / simhash band / shared shingle) — never an
+  * O(n²) cross join — so the shuffle volume is bounded by bucket sizes,
+  * not corpus size. The quadratic work happens only within candidate
+  * groups, which LSH keeps small.
+  */
+object Dedup {
+
+  /** Exact-duplicate annotation: md5 over normalized text; every doc gets
+    * its group's canonical (min) id and group size.
+    */
+  def exactDupAnnotate(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = TextOps.fingerprintMd5(col(textCol))
+    val byHash = Window.partitionBy(col("content_hash"))
+    docs.withColumn("content_hash", h)
+      .withColumn("canonical_id", min(col(idCol)).over(byHash))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+  }
+
+  /** Distinct sorted token array — the "bag of unique words" signature. */
+  def tokenSet(textCol: Column): Column =
+    array_sort(array_distinct(TextOps.tokens(textCol)))
+
+  /** Token-set duplicate groups (docs that are permutations/repetitions
+    * of the same vocabulary): groups of size >= 2 with canonical id and
+    * sorted member list.
+    */
+  def tokenSetGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        md5(concat_ws(" ", tokenSet(col(textCol)))).as("set_sig"))
+      .groupBy(col("set_sig"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"),
+        concat_ws(",", transform(array_sort(collect_list(col(idCol))),
+          x => x.cast("string"))).as("member_ids"))
+      .filter(col("n_docs") >= 2)
+
+  /** MinHash signature: k independent 60-bit hash functions
+    * h_i(t) = hash60(i || ":" || t), minimum over the doc's distinct
+    * tokens. Pure array expressions — no explode, no shuffle.
+    */
+  def minhashSignature(tokens: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(tokens, t =>
+        TextOps.hash60(concat(i.cast("string"), lit(":"), t)))))
+
+  /** LSH band keys: the signature split into `bands` slices of `rows`
+    * values, each md5-summarized. Docs sharing any band key are
+    * near-duplicate candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(",",
+        transform(slice(sig, b * lit(rows) + 1, lit(rows)),
+          v => v.cast("string")))))
+
+  /** MinHash/LSH candidate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
+    * Jaccard is an exact integer ratio — engine-portable bit-for-bit.
+    */
+  def minhashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val rows = k / bands
+    val withSets = docs.select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
+    val withBands = withSets
+      .withColumn("band", explode(lshBandKeys(minhashSignature(col("toks"), k), bands, rows)))
+    val cands = withBands.as("a")
+      .join(withBands.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over distinct-token hash60 values: bit j of the
+    * fingerprint is the sign of sum over tokens of ±1 on that hash bit.
+    * Built with SQL-expression higher-order functions because
+    * shiftleft/shiftright need a column shift amount.
+    */
+  def simhash60(tokensCol: String): Column =
+    expr(s"""aggregate(sequence(0, 59), 0L, (acc, j) ->
+      acc + if(aggregate(transform($tokensCol, t ->
+          conv(substring(md5(t), 1, 15), 16, 10)),
+        0, (a, h) -> a + if((shiftright(cast(h as bigint), j) & 1) = 1, 1, -1)) > 0,
+        shiftleft(1L, j), 0L))""")
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Candidates come from 4 bands of 15 bits (pigeonhole: any pair with
+    * Hamming <= 3 shares at least one exact band), then the exact
+    * bit_count(xor) filter — LSH-complete for maxHamming <= 3, never a
+    * cross join.
+    */
+  def simhashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding is only complete for Hamming <= 3")
+    val sh = docs
+      .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
+      .withColumn("simhash", simhash60("toks"))
+      .select(col("doc"), col("simhash"))
+    val banded = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_key",
+        expr("(shiftright(simhash, band * 15) & 32767)"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Word n-grams (default bigrams) of the normalized text, distinct. */
+  def wordNgrams(text: Column, n: Int = 2): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted-index join: docs sharing
+    * any n-gram become candidates, then exact Jaccard >= threshold.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc"),
+      wordNgrams(col(textCol), n).as("grams"))
+    val inv = grams.select(col("doc"), explode(col("grams")).as("g"))
+    val pairCounts = inv.as("a")
+      .join(inv.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = grams.select(col("doc"), size(col("grams")).as("n_grams"))
+    pairCounts
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -316,14 +316,17 @@ object CoreQueries {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         t(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("value"),
-            (col("value") / lag(col("value"), 1).over(w) - 1.0).as("ret"))
+            // nullif guards prior==0 (ANSI div-by-zero); those rows drop,
+            // mirroring the reference's prior>0 mask (factor_builder.py:331-333)
+            (col("value") / nullif(lag(col("value"), 1).over(w), lit(0.0)) - 1.0)
+              .as("ret"))
           .filter(col("ret").isNotNull)
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id, value, ret FROM (
           SELECT event_id, user_id, value,
-            value / LAG(value, 1) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) - 1.0 AS ret
+            value / NULLIF(LAG(value, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id), 0) - 1.0 AS ret
           FROM events) WHERE ret IS NOT NULL ORDER BY event_id""")),
 
     // ---- J1 point-in-time interval join (reference: prices × security

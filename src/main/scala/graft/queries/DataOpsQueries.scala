@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.model.Tables
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis, dedup (exact / token-set / MinHash-LSH / SimHash /
+  * n-gram Jaccard) and embedding similarity search, each with a DuckDB
+  * oracle that recomputes the same deterministic spec.
+  *
+  * Shared SQL prelude: `norm` = lower(trim(ws-collapsed text));
+  * hash60(x) = ('0x' || substr(md5(x),1,15))::BIGINT — the portable
+  * 60-bit hash mirrored by [[graft.text.TextOps.hash60]].
+  */
+object DataOpsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting + quality scoring ----
+    QueryDef("qt1_text_stats",
+      (s, dir) => {
+        val txt = col("text")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.tokenCountWs(txt).as("n_tok_ws"),
+          TextOps.tokenCountRegex(txt).as("n_tok_re"),
+          length(txt).as("n_chars_raw"),
+          TextOps.punctRatio(txt).as("punct_ratio"),
+          TextOps.avgTokenLen(txt).as("avg_tok_len"),
+          TextOps.stopwordRatio(txt).as("stop_ratio"),
+          TextOps.qualityScore(txt).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, $normSql AS norm FROM documents),
+        x AS (SELECT doc_id, text, norm,
+          len(string_split(norm, ' ')) AS n_tok_ws,
+          len(list_filter(string_split(norm, ' '),
+            t -> list_contains(['the','a','of','and','to','is','in'], t))) AS n_stop
+          FROM d)
+        SELECT doc_id,
+          CAST(n_tok_ws AS INT) AS n_tok_ws,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tok_re,
+          CAST(length(text) AS INT) AS n_chars_raw,
+          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+          length(replace(norm, ' ', '')) / n_tok_ws AS avg_tok_len,
+          n_stop / n_tok_ws AS stop_ratio,
+          ((n_stop / n_tok_ws) * 2.0 +
+           (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text)) +
+           least(n_tok_ws, 100) / 100.0) / 4.0 AS quality
+        FROM x ORDER BY doc_id""")),
+
+    // ---- language ID heuristic (stopword markers + CJK codepoints) ----
+    QueryDef("qt2_lang_id",
+      (s, dir) => {
+        val txt = col("text")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.langScore(txt, TextOps.LangMarkers(0)._2).as("s_en"),
+          TextOps.langScore(txt, TextOps.LangMarkers(1)._2).as("s_es"),
+          TextOps.langScore(txt, TextOps.LangMarkers(2)._2).as("s_de"),
+          TextOps.langScore(txt, TextOps.LangMarkers(3)._2).as("s_fr"),
+          TextOps.cjkCount(txt).as("s_zh"),
+          TextOps.langId(txt).as("lang_guess"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split($normSql, ' ') AS tok FROM documents),
+        sc AS (SELECT doc_id,
+          CAST(len(list_filter(tok, t -> list_contains(['the','a','of','and','to','is','in'], t))) AS INT) AS s_en,
+          CAST(len(list_filter(tok, t -> list_contains(['el','la','de','y','que','en','los'], t))) AS INT) AS s_es,
+          CAST(len(list_filter(tok, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS INT) AS s_de,
+          CAST(len(list_filter(tok, t -> list_contains(['le','la','de','et','les','des','un'], t))) AS INT) AS s_fr,
+          CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS s_zh
+          FROM d)
+        SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS lang_guess
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- document fingerprinting ----
+    QueryDef("qt3_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.fingerprint60(col("text")).as("fp60"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, md5($normSql) AS fp_md5,
+        ('0x' || substr(md5($normSql), 1, 15))::BIGINT AS fp60
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- exact dedup: hash-group annotation ----
+    QueryDef("qd1_exact_dedup",
+      (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("canonical_id"),
+          col("group_size"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, md5($normSql) AS content_hash FROM documents)
+        SELECT doc_id, content_hash,
+          MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+          COUNT(*) OVER (PARTITION BY content_hash) AS group_size
+        FROM d ORDER BY doc_id""")),
+
+    // ---- token-set dedup: vocabulary-permutation duplicate groups ----
+    QueryDef("qd2_tokenset_dedup",
+      (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("set_sig")),
+      Some(s"""WITH d AS (SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS set_sig
+          FROM documents)
+        SELECT set_sig, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+        FROM d GROUP BY set_sig HAVING COUNT(*) >= 2 ORDER BY set_sig""")),
+
+    // ---- MinHash + LSH near-dup pairs, exact-Jaccard verified ----
+    QueryDef("qd3_minhash_lsh",
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH d AS (SELECT doc_id, list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+        mh AS (
+          SELECT doc_id, i,
+            MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT) AS v
+          FROM tok CROSS JOIN generate_series(0, 15) g(i) GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 4 AS b,
+            md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM mh GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, len(toks) AS n FROM d),
+        inter AS (
+          SELECT c.id_a, c.id_b, len(list_intersect(da.toks, db.toks)) AS inter
+          FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+        SELECT i.id_a, i.id_b,
+          i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.6
+        ORDER BY id_a, id_b""")),
+
+    // ---- SimHash near-dup pairs (banded candidates, Hamming <= 3) ----
+    QueryDef("qd4_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH d AS (SELECT doc_id,
+          list_transform(list_sort(list_distinct(string_split($normSql, ' '))),
+            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+              CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- word-bigram Jaccard near-dup pairs (inverted-index join) ----
+    QueryDef("qd5_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 2, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+        g AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS grams
+          FROM d),
+        inv AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        pc AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        sz AS (SELECT doc_id, len(grams) AS n FROM g)
+        SELECT pc.id_a, pc.id_b,
+          pc.inter / (sa.n + sb.n - pc.inter) AS jaccard
+        FROM pc JOIN sz sa ON sa.doc_id = pc.id_a JOIN sz sb ON sb.doc_id = pc.id_b
+        WHERE pc.inter / (sa.n + sb.n - pc.inter) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // ---- brute-force cosine top-k (ANN correctness baseline) ----
+    QueryDef("qs1_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", "query_id", "qe", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(q.qe) + 1),
+                i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sc)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- embedding near-dup pairs above a cosine threshold ----
+    QueryDef("qs2_cosine_pairs",
+      (s, dir) => Similarity.brutePairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_reduce(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
+        ORDER BY id_a, id_b"""))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: exact cosine, brute-force top-k (the
+  * correctness baseline), and hyperplane-LSH bucketing (the scale path).
+  *
+  * Numeric portability: elements are cast to double BEFORE any
+  * arithmetic, the dot product is a sequential left-fold in index order,
+  * and sqrt/mul/div are IEEE-correctly-rounded — so any engine that
+  * folds in the same order produces bit-identical cosines.
+  */
+object Similarity {
+
+  /** Exact cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: every query row against the full corpus,
+    * rank by (cosine desc, id) per query. The query side should be small
+    * (it is broadcast); corpus side streams — O(|Q|·|C|) compute but no
+    * shuffle of the corpus.
+    */
+  def bruteTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(qVecCol)).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All corpus pairs (i<j) with cosine >= threshold. Brute-force
+    * O(n²/2) — correctness baseline; use [[lshBuckets]] + within-bucket
+    * pairs for large corpora.
+    */
+  def brutePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** ANN top-k via one LSH table: candidates share the bucket key, then
+    * exact cosine rank within candidates. Trades recall for avoiding the
+    * full cross join — the 100 TB path.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucketPacked(vecCol, planes))
+    val qb = queries.withColumn("qbucket", lshBucketPacked(qVecCol, planes))
+    val scored = cb.join(broadcast(qb),
+        col("bucket") === col("qbucket") && col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(qVecCol)).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Packed sign-bit bucket: bit p set iff the projection onto plane p is
+    * positive. The hyperplanes are deterministic ±1 weights derived from
+    * md5 parity of "p:i" — no RNG state, any engine derives the same
+    * planes. SQL-expression form (takes the column NAME) so the shift
+    * amount can be a column.
+    */
+  def lshBucketPacked(vecExpr: String, planes: Int): Column = {
+    expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
+      acc + if(
+        aggregate(zip_with($vecExpr, sequence(0, size($vecExpr) - 1), (x, i) ->
+          cast(x as double) * if(bit_count(conv(substring(md5(
+            concat(cast(p as string), ':', cast(i as string))), 1, 15), 16, 10)) % 2 = 0,
+            1.0D, -1.0D)),
+        0.0D, (s, x) -> s + x) > 0.0D,
+        shiftleft(1L, p), 0L))""")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: whitespace
+  * normalization, tokenization, portable hashing, token statistics,
+  * quality scoring, n-gram language ID, and document fingerprinting.
+  *
+  * Everything here is a pure column expression (codegen-friendly, no UDFs)
+  * and engine-portable: the only hash primitive is md5, so a DuckDB oracle
+  * can reproduce every value bit-for-bit. Scores use only +,-,*,/ and
+  * comparisons (IEEE-deterministic) — no transcendental functions, whose
+  * last-ulp behavior differs across math libraries.
+  */
+object TextOps {
+
+  /** Collapse whitespace, trim, lowercase — canonical text form. */
+  def norm(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(norm(text), " ")
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a positive
+    * long. Identical in any engine with md5 (DuckDB:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** BPE-ish regex token count: letter runs, digit runs, single other
+    * non-space symbols (a cheap proxy for subword token counting).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Fraction of characters that are not alphanumeric or space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))) /
+      length(text)
+
+  /** Mean token length of the normalized text. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(norm(text), " ", "")) / tokenCountWs(text)
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Fraction of whitespace tokens that are common English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = array(EnStopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t))) /
+      tokenCountWs(text)
+  }
+
+  /** Composite quality score in [0,1]: stopword presence, low
+    * punctuation, and enough (capped) length. Pure arithmetic so the
+    * oracle reproduces it exactly.
+    */
+  def qualityScore(text: Column): Column =
+    (stopwordRatio(text) * 2.0 + (lit(1.0) - punctRatio(text)) +
+      least(tokenCountWs(text), lit(100)) / 100.0) / 4.0
+
+  /** Per-language stopword marker sets for the n-gram/stopword language
+    * ID heuristic. zh is detected by CJK codepoint presence instead.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+
+  /** Language guess: argmax of marker-hit counts with a fixed priority
+    * order (en, es, de, fr, zh) for ties.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val zh = cjkCount(text)
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(en >= es && en >= de && en >= fr && en >= zh, "en")
+      .when(es >= de && es >= fr && es >= zh, "es")
+      .when(de >= fr && de >= zh, "de")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+  }
+
+  /** Content fingerprints: md5 of the normalized text, and its 60-bit
+    * numeric form for compact storage / joins.
+    */
+  def fingerprintMd5(text: Column): Column = md5(norm(text))
+  def fingerprint60(text: Column): Column = hash60(norm(text))
+}
