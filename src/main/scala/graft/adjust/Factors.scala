@@ -1,0 +1,137 @@
+package graft.adjust
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Cumulative}
+
+/** Split / total-return factor construction — the analytic core of the
+  * reference (legacy_scripts/factor_builder.py). The reference fans out
+  * one OS process per security with dimension tables broadcast through
+  * pool-initializer globals (factor_builder.py:21-27,355-412); here the
+  * same math is a single lazy plan: broadcast dim joins + window
+  * functions partitioned by security id — Spark's native form of that
+  * parallelism, with no per-id driver loop to bottleneck at 100 TB.
+  *
+  * Semantics preserved (SURVEY.md §7.4 watch list):
+  *  - forward as-of event alignment, exact matches allowed, events after
+  *    the last trading day dropped (factor_builder.py:261-267,320-326);
+  *  - same-day multi-events multiply BEFORE the cumulative product
+  *    (factor_builder.py:269,328);
+  *  - anchor-to-last: factors are divided by their final value so the
+  *    adjusted series equals the raw series on the latest bar
+  *    (factor_builder.py:273-276,335-336);
+  *  - TR day factor g = (prior_base - amount)/prior_base, masked to
+  *    amount AND prior present AND prior > 0, g may be <= 0
+  *    (factor_builder.py:331-333) — handled by the sign-safe cumprod.
+  */
+object Factors {
+
+  val NoFigiPrefix = "NOFIGI__"
+
+  /** Point-in-time identity attach (factor_builder.py:148-180): for each
+    * bar pick the security-master row whose validity window
+    * [effective_start, effective_end] contains the bar's day — NULL end
+    * = open window — preferring in-window rows, then latest
+    * effective_start; id falls back to NOFIGI__ticker when no in-window
+    * FIGI exists.
+    */
+  def attachId(bars: DataFrame, securityMaster: DataFrame): DataFrame = {
+    val sm = broadcast(securityMaster.select(
+      col("ticker").as("sm_ticker"), col("composite_figi"),
+      col("effective_start"), col("effective_end")))
+    val withDay = bars.withColumn("event_day", to_date(col("datetime")))
+    val joined = withDay.join(sm, withDay("ticker") === sm("sm_ticker"), "left")
+      .withColumn("in_window",
+        (col("effective_start").isNull || col("event_day") >= col("effective_start")) &&
+          (col("effective_end").isNull || col("event_day") <= col("effective_end")))
+    val w = Window.partitionBy(col("ticker"), col("datetime"))
+      .orderBy(col("in_window").desc, col("effective_start").desc_nulls_last)
+    joined
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .withColumn("id",
+        when(col("in_window") && col("composite_figi").isNotNull, col("composite_figi"))
+          .otherwise(concat(lit(NoFigiPrefix), col("ticker"))))
+      .drop("sm_ticker", "effective_start", "effective_end", "in_window", "__rk",
+        "composite_figi")
+  }
+
+  /** Distinct (id, ticker, event_day) trading-day grid. */
+  def idDays(barsWithId: DataFrame): DataFrame =
+    barsWithId.select(col("id"), col("ticker"), col("event_day")).distinct()
+
+  /** Forward-snap events to each security's trading days: first
+    * event_day >= the event date (exact match allowed); events landing
+    * after the last trading day are dropped (factor_builder.py:261-267).
+    * Returns the event rows + (event_day, id) of the snap target.
+    */
+  def alignEvents(events: DataFrame, days: DataFrame, dateCol: String): DataFrame = {
+    val right = days
+      .select(col("ticker"), col("event_day"), col("id").as("snap_id"))
+      .withColumn("snap_day", col("event_day"))
+      .select(col("ticker"), col("event_day"), col("snap_day"), col("snap_id"))
+    AsOf.joinForward(
+        events.withColumn(dateCol, to_date(col(dateCol))),
+        right,
+        keys = Seq("ticker"), lTime = dateCol, rTime = "event_day",
+        valueCols = Seq("snap_day", "snap_id"))
+      .filter(col("snap_day").isNotNull)
+  }
+
+  /** Split factor grid over every trading day of every id:
+    * F = running product of day split ratios (non-event days ratio 1),
+    * split_price_factor = F / F_final, split_volume_factor = F_final / F.
+    * Ratios are > 0 so the log-sum running product is exact enough and
+    * single-pass (the exact fold is the test oracle).
+    */
+  def splitFactorGrid(days: DataFrame, splits: DataFrame): DataFrame = {
+    val aligned = alignEvents(
+      splits.select(col("ticker"), col("execution_date"), col("ratio")),
+      days, "execution_date")
+    val dayRatio = aligned
+      .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))
+      .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
+    val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    days.select(col("id"), col("event_day"))
+      .join(dayRatio, Seq("id", "event_day"), "left")
+      .withColumn("r", coalesce(col("day_ratio"), lit(1.0)))
+      .withColumn("F", Cumulative.cumprodLog(col("r"), w))
+      .withColumn("F_last", last(col("F")).over(whole))
+      .select(col("id"), col("event_day"),
+        (col("F") / col("F_last")).as("split_price_factor"),
+        (col("F_last") / col("F")).as("split_volume_factor"))
+  }
+
+  /** Dividend / total-return factor grid. `dayBase` must carry one row
+    * per (id, ticker, event_day) with the split-adjusted close of that
+    * day (`close_split`): prior_base = previous day's base within the id
+    * (factor_builder.py:297-299), per-day cash is summed
+    * (factor_builder.py:328), g masked like the reference, G = running
+    * product of g (sign-safe), anchored to last.
+    */
+  def dividendFactorGrid(dayBase: DataFrame, dividends: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val aligned = alignEvents(
+      dividends.select(col("ticker"), col("ex_date"), col("cash_amount")),
+      dayBase.select(col("id"), col("ticker"), col("event_day")), "ex_date")
+    val dayCash = aligned
+      .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))
+      .agg(sum(col("cash_amount")).as("amount"))
+    dayBase.select(col("id"), col("event_day"), col("close_split"))
+      .join(dayCash, Seq("id", "event_day"), "left")
+      .withColumn("prior_base", lag(col("close_split"), 1).over(w))
+      .withColumn("g",
+        when(col("amount").isNotNull && col("prior_base").isNotNull &&
+          col("prior_base") > 0.0,
+          (col("prior_base") - col("amount")) / col("prior_base"))
+          .otherwise(lit(1.0)))
+      .withColumn("G", Cumulative.cumprodSigned(col("g"), w))
+      .withColumn("G_last", last(col("G")).over(whole))
+      .select(col("id"), col("event_day"),
+        (col("G") / col("G_last")).as("tr_price_factor"))
+  }
+}

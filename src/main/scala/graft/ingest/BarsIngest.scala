@@ -1,0 +1,85 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.source.Normalize
+
+/** Flat-file ingest: CSV(.gz) drops → partitioned zstd parquet lake +
+  * manifest. Collapses the reference's six-stage hand-parallelized
+  * pipeline (SURVEY.md §3.1: file discovery, static month→worker hash
+  * partitioning, process pool, per-worker chunked read, grouped bucket
+  * writes, threaded manifest scan — ingest.py:425-545) into one lazy
+  * Spark plan: the month→worker ownership trick IS a shuffle on the
+  * partition key, and the `.inprogress`→rename commit is Spark's output
+  * committer.
+  *
+  * Scale design: hive-style `ticker=…/year=…/month=…` partitioning gives
+  * directory pruning for free; `repartition` by the partition key before
+  * `partitionBy` produces one writer task per bucket (no small-file
+  * explosion across 1000 executors); parquet zstd + footer min/max stats
+  * replace the JSON manifest for pruning, with [[manifest]] kept as a
+  * queryable audit artifact.
+  */
+object BarsIngest {
+
+  /** Ingest a glob of CSV(.gz) bar drops into `lakeRoot`.
+    *
+    * @param timeframe "day" (partition ticker/year/month) or "minute"
+    *                  (adds day) — mirrors the reference layouts
+    *                  `<TICKER>/<YYYY>/<MM>[/<DD>].parquet` (ingest.py:9-11)
+    * @param watchlist keep only these tickers when non-empty (P4)
+    * @param only      single-ticker filter (P3, `--only`)
+    */
+  def ingest(
+      spark: SparkSession,
+      csvGlob: String,
+      lakeRoot: String,
+      timeframe: String = "day",
+      watchlist: Seq[String] = Nil,
+      only: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(timeframe == "day" || timeframe == "minute", s"bad timeframe $timeframe")
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(csvGlob)
+    val bars = Normalize.normalizeBars(raw)
+      .transform(d => only.fold(d)(t => d.filter(col("ticker") === t.toUpperCase)))
+      .transform(d => if (watchlist.isEmpty) d
+        else d.filter(col("ticker").isin(watchlist.map(_.toUpperCase): _*)))
+      .withColumn("year", year(col("datetime")))
+      .withColumn("month", month(col("datetime")))
+      .transform(d => if (timeframe == "minute")
+        d.withColumn("day", dayofmonth(col("datetime"))) else d)
+      .na.drop(Seq("year", "month"))
+    val partCols = if (timeframe == "minute") Seq("ticker", "year", "month", "day")
+      else Seq("ticker", "year", "month")
+    bars
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions(col("datetime"))
+      .write
+      .mode(mode)
+      .option("compression", "zstd")
+      .partitionBy(partCols: _*)
+      .parquet(lakeRoot)
+  }
+
+  /** File-level manifest: per (ticker, file) min/max datetime + rows —
+    * the reference's JSON zone-map (ingest.py:345-422) as a one-job
+    * aggregate. Kept for audit; query pruning itself rides on hive
+    * partitions + parquet footer stats.
+    */
+  def manifest(spark: SparkSession, lakeRoot: String): DataFrame =
+    spark.read.parquet(lakeRoot)
+      .groupBy(col("ticker"), input_file_name().as("path"))
+      .agg(
+        min(col("datetime")).as("start"),
+        max(col("datetime")).as("end"),
+        count(lit(1)).as("rows"))
+
+  def writeManifest(spark: SparkSession, lakeRoot: String, out: String): Unit =
+    manifest(spark, lakeRoot)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+}

@@ -95,8 +95,12 @@ object AsOf {
       if (forward) w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // forward: FIRST right value at-or-after; backward: LAST at-or-before
     val filled = valueCols.foldLeft(lPadded.unionByName(rPadded)) { (df, c) =>
-      df.withColumn(c, first(col(c), ignoreNulls = true).over(frame))
+      val picked =
+        if (forward) first(col(c), ignoreNulls = true).over(frame)
+        else last(col(c), ignoreNulls = true).over(frame)
+      df.withColumn(c, picked)
     }
     filled
       .filter(col(SideCol) === 0)

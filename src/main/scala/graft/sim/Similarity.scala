@@ -85,8 +85,8 @@ object Similarity {
     expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
       acc + if(
         aggregate(zip_with($vecExpr, sequence(0, size($vecExpr) - 1), (x, i) ->
-          cast(x as double) * if(bit_count(conv(substring(md5(
-            concat(cast(p as string), ':', cast(i as string))), 1, 15), 16, 10)) % 2 = 0,
+          cast(x as double) * if(bit_count(cast(conv(substring(md5(
+            concat(cast(p as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint)) % 2 = 0,
             1.0D, -1.0D)),
         0.0D, (s, x) -> s + x) > 0.0D,
         shiftleft(1L, p), 0L))""")

@@ -1,0 +1,117 @@
+package graft.adjust
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Golden end-to-end scenario (FIXTURES.md A5): three tickers, one 10:1
+  * split dated on a weekend (exercises forward as-of snap), a dividend,
+  * a dividend after the last bar (must be dropped), a ticker with no
+  * events (factors == 1), and an expired security-master window
+  * (NOFIGI__ fallback). Expected close_split / close_tr hand-computed.
+  */
+class AdjusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 21:00:00")
+  private def d(s: String) = Date.valueOf(s)
+
+  // Trading days: Mon-Fri 2024-01-01..01-05 and 01-08..01-12.
+  private val daysAAA = Seq("2024-01-01", "2024-01-02", "2024-01-03",
+    "2024-01-04", "2024-01-05", "2024-01-08", "2024-01-09", "2024-01-10",
+    "2024-01-11", "2024-01-12")
+  private val preClose = Seq(100.0f, 102.0f, 104.0f, 106.0f, 108.0f)
+  private val postClose = Seq(11.0f, 11.2f, 11.4f, 11.6f, 11.8f)
+
+  private lazy val bars = {
+    val aaa = daysAAA.zip(preClose ++ postClose).map { case (day, c) =>
+      (ts(day), "AAA", c, 1000L) }
+    val bbb = daysAAA.take(3).zipWithIndex.map { case (day, i) =>
+      (ts(day), "BBB", 50.0f + i, 500L) }
+    val ccc = daysAAA.take(2).map(day => (ts(day), "CCC", 20.0f, 100L))
+    (aaa ++ bbb ++ ccc).toDF("datetime", "ticker", "close", "volume")
+  }
+
+  private lazy val sm = Seq(
+    ("AAA", "FIGI_AAA", Some(d("2023-01-01")), None: Option[Date]),
+    ("CCC", "FIGI_CCC", Some(d("2023-01-01")), Some(d("2023-12-31")))) // expired
+    .toDF("ticker", "composite_figi", "effective_start", "effective_end")
+
+  private lazy val splits = Seq(
+    // Saturday 2024-01-06 -> snaps forward to Monday 01-08
+    ("AAA", d("2024-01-06"), 1.0, 10.0, 10.0))
+    .toDF("ticker", "execution_date", "split_from", "split_to", "ratio")
+
+  private lazy val dividends = Seq(
+    ("AAA", d("2024-01-10"), 0.5),
+    ("AAA", d("2024-01-15"), 9.9)) // after last bar -> dropped
+    .toDF("ticker", "ex_date", "cash_amount")
+
+  private lazy val adjusted = Adjuster.buildAdjusted(
+    bars, sm, splits, dividends, Adjuster.MaterializeClose).cache()
+
+  test("identity attach: FIGI, NOFIGI fallback, expired-window fallback") {
+    val ids = adjusted.select($"ticker", $"id").distinct()
+      .as[(String, String)].collect().toMap
+    assert(ids("AAA") == "FIGI_AAA")
+    assert(ids("BBB") == "NOFIGI__BBB")
+    assert(ids("CCC") == "NOFIGI__CCC") // SM row exists but window expired
+  }
+
+  test("split adjustment: weekend split snaps to Monday, anchor-to-last") {
+    val m = adjusted.filter($"ticker" === "AAA")
+      .select(date_format($"datetime", "yyyy-MM-dd"), $"close_split", $"volume_split")
+      .as[(String, Double, Double)].collect()
+      .map { case (day, cs, vs) => day -> ((cs, vs)) }.toMap
+    // pre-split days scaled by 1/10; volumes by 10
+    daysAAA.take(5).zip(preClose).foreach { case (day, c) =>
+      assert(approx(m(day)._1, c / 10.0), s"$day close_split ${m(day)._1}")
+      assert(approx(m(day)._2, 10000.0), s"$day volume_split ${m(day)._2}")
+    }
+    // post-split days unchanged (anchored to last)
+    daysAAA.drop(5).zip(postClose).foreach { case (day, c) =>
+      assert(approx(m(day)._1, c.toDouble), s"$day close_split ${m(day)._1}")
+      assert(approx(m(day)._2, 1000.0), s"$day volume_split ${m(day)._2}")
+    }
+  }
+
+  test("total-return adjustment: dividend discounts prior days, late dividend dropped") {
+    val m = adjusted.filter($"ticker" === "AAA")
+      .select(date_format($"datetime", "yyyy-MM-dd"), $"close_split", $"close_tr")
+      .as[(String, Double, Double)].collect()
+      .map { case (day, cs, tr) => day -> ((cs, tr)) }.toMap
+    // g on ex-day 01-10: (prior_base - amount)/prior_base with prior 11.2
+    val g = (11.2 - 0.5) / 11.2
+    daysAAA.foreach { day =>
+      val (cs, tr) = m(day)
+      val expected = if (day < "2024-01-10") cs / g else cs
+      assert(approx(tr, expected, 1e-6), s"$day close_tr $tr != $expected")
+    }
+    // anchor: last-day TR equals split base exactly
+    assert(approx(m("2024-01-12")._2, m("2024-01-12")._1))
+  }
+
+  test("no-event ticker: all factors exactly neutral") {
+    val b = adjusted.filter($"ticker" === "BBB")
+      .select($"close", $"close_split", $"close_tr",
+        $"split_price_factor", $"tr_price_factor")
+      .as[(Double, Double, Double, Double, Double)].collect()
+    assert(b.nonEmpty)
+    b.foreach { case (c, cs, tr, spf, tpf) =>
+      assert(approx(cs, c) && approx(tr, c))
+      assert(approx(spf, 1.0) && approx(tpf, 1.0))
+    }
+  }
+
+  test("audit summary: cumulative split ratio recovered") {
+    val audit = Adjuster.auditSummary(adjusted, dividends)
+      .filter($"ticker" === "AAA")
+      .select($"n_days", $"cum_split_ratio", $"total_cash")
+      .as[(Long, Double, Double)].head()
+    assert(audit._1 == 10L)
+    assert(approx(audit._2, 10.0, 1e-6))
+    assert(approx(audit._3, 10.4)) // both dividends counted in cash audit
+  }
+}

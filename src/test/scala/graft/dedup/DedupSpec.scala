@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sim.Similarity
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"),   // permutation of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy cat"))   // near dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exactDupAnnotate(docs, "text", "doc_id")
+      .select($"doc_id", $"canonical_id", $"group_size")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 2L)) && out(2L) == ((1L, 2L)))
+    assert(out(3L)._2 == 1L && out(4L)._2 == 1L)
+  }
+
+  test("token-set dedup catches permutations") {
+    val groups = Dedup.tokenSetGroups(docs, "text", "doc_id")
+      .select($"canonical_id", $"n_docs", $"member_ids")
+      .as[(Long, Long, String)].collect()
+    assert(groups.length == 1)
+    assert(groups(0) == ((1L, 3L, "1,2,3")))
+  }
+
+  test("minhash LSH finds high-Jaccard pairs and never fabricates them") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", k = 16, bands = 4,
+        threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // identical token sets (jaccard 1.0) must always collide in LSH
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    pairs.foreach { case (_, _, j) => assert(j >= 0.6) }
+    // jaccard(1,5) = 8/10 -> if banded as candidate, value must be exact
+    pairs.find(p => (p._1, p._2) == ((1L, 5L)))
+      .foreach { case (_, _, j) => assert(j == 0.8) }
+  }
+
+  test("simhash: identical token sets have distance 0 and pair up") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0 && m((1L, 3L)) == 0 && m((2L, 3L)) == 0)
+  }
+
+  test("ngram jaccard: permutation is NOT a bigram dup, exact copy is") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))   // identical bigrams
+    assert(!keys.contains((1L, 3L)))  // shuffled word order breaks bigrams
+  }
+
+  test("embedding cosine: brute top-k exact, LSH candidates agree where bucketed") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val top = Similarity.bruteTopK(vecs, q, "vec_id", "embedding", "qid", "qe", k = 3)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L))
+    val buckets = vecs.select($"vec_id",
+        Similarity.lshBucketPacked("embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // opposite vectors must land in different buckets (all signs flip)
+    assert(buckets(0L) != buckets(3L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ingest
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.lake.LakeReader
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeGz(path: String, lines: Seq[String]): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(path)), "UTF-8"))
+    try lines.foreach { l => w.write(l); w.newLine() } finally w.close()
+  }
+
+  private lazy val tmp = Files.createTempDirectory("graft_ingest").toString
+
+  // Two months of daily bars, flat-file long-name header (the T/t short
+  // names are REST-payload spellings; CSV headers use long names —
+  // Spark's CSV reader would dedup case-colliding T/t to T0/t1 anyway),
+  // epoch-millis timestamps.
+  private lazy val lakeRoot: String = {
+    val header = "ticker,window_start,open,high,low,close,volume,transactions,vwap"
+    def epochMs(day: String) = java.sql.Timestamp.valueOf(s"$day 21:00:00").getTime
+    val rows = Seq(
+      s"aapl,${epochMs("2024-01-02")},1,2,0.5,1.5,100,5,1.2",
+      s"aapl,${epochMs("2024-02-01")},2,3,1.5,2.5,200,6,2.2",
+      s"msft,${epochMs("2024-01-02")},5,6,4.5,5.5,300,7,5.2")
+    writeGz(s"$tmp/drop1.csv.gz", header +: rows)
+    val root = s"$tmp/lake"
+    BarsIngest.ingest(spark, s"$tmp/*.csv.gz", root, timeframe = "day")
+    root
+  }
+
+  test("csv.gz -> partitioned lake roundtrip with normalization") {
+    val lake = spark.read.parquet(lakeRoot)
+    assert(lake.count() == 3)
+    assert(lake.columns.contains("year") && lake.columns.contains("month"))
+    val row = lake.filter($"ticker" === "AAPL" && $"month" === 1)
+      .select($"close", $"volume").as[(Float, Long)].head()
+    assert(row == ((1.5f, 100L)))
+    // hive layout on disk
+    assert(new java.io.File(s"$lakeRoot/ticker=AAPL/year=2024/month=1").exists())
+  }
+
+  test("manifest aggregates per-file min/max/rows") {
+    val m = BarsIngest.manifest(spark, lakeRoot)
+    assert(m.count() == 3) // one file per (ticker,year,month)
+    val aapl = m.filter($"ticker" === "AAPL").agg(sum($"rows")).as[Long].head()
+    assert(aapl == 2L)
+  }
+
+  test("LakeReader prunes by ticker + range and pads missing columns") {
+    val got = LakeReader.read(spark, lakeRoot,
+      tickers = Seq("aapl"),
+      start = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      end = Some(java.sql.Timestamp.valueOf("2024-01-31 00:00:00")),
+      endIsDateOnly = true,
+      columns = Seq("close", "nonexistent_col"))
+    val rows = got.collect()
+    assert(rows.length == 1)
+    assert(got.columns.toSeq == Seq("datetime", "ticker", "close", "nonexistent_col"))
+    assert(rows(0).isNullAt(3))
+    // partition pruning visible in the plan: only month=1 read
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("month=2") || plan.contains("PartitionFilters"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.sql.Date
+
+import graft.SparkTestBase
+
+class AsOfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  // trading days for one key, mirroring a weekday grid around a weekend
+  private lazy val days = Seq(
+    ("A", d("2024-01-04")), ("A", d("2024-01-05")),
+    ("A", d("2024-01-08")), ("A", d("2024-01-09")),
+    ("B", d("2024-01-04")))
+    .toDF("k", "day")
+    .withColumn("snap", org.apache.spark.sql.functions.col("day"))
+
+  test("forward as-of: exact match allowed, weekend snaps forward, after-last dropped") {
+    val events = Seq(
+      ("A", d("2024-01-05"), "exact"),   // lands on a trading day
+      ("A", d("2024-01-06"), "weekend"), // Saturday -> snaps to 01-08
+      ("A", d("2024-01-10"), "late"),    // after last day -> null
+      ("B", d("2024-01-01"), "early"))   // before first -> snaps to it
+      .toDF("k", "edate", "tag")
+    val out = AsOf.joinForward(events, days, Seq("k"), "edate", "day", Seq("snap"))
+      .select($"tag", $"snap").as[(String, Option[Date])].collect().toMap
+    assert(out("exact").contains(d("2024-01-05")))
+    assert(out("weekend").contains(d("2024-01-08")))
+    assert(out("late").isEmpty)
+    assert(out("early").contains(d("2024-01-04")))
+  }
+
+  test("backward as-of: last value at-or-before") {
+    val events = Seq(
+      ("A", d("2024-01-06"), "sat"),    // -> 01-05
+      ("A", d("2024-01-08"), "exact"),  // -> 01-08
+      ("A", d("2024-01-01"), "early"))  // -> null
+      .toDF("k", "edate", "tag")
+    val out = AsOf.joinBackward(events, days, Seq("k"), "edate", "day", Seq("snap"))
+      .select($"tag", $"snap").as[(String, Option[Date])].collect().toMap
+    assert(out("sat").contains(d("2024-01-05")))
+    assert(out("exact").contains(d("2024-01-08")))
+    assert(out("early").isEmpty)
+  }
+
+  test("keys do not leak matches across groups") {
+    val events = Seq(("B", d("2024-01-05"), "bLate")).toDF("k", "edate", "tag")
+    val out = AsOf.joinForward(events, days, Seq("k"), "edate", "day", Seq("snap"))
+      .select($"tag", $"snap").as[(String, Option[Date])].collect().toMap
+    // B's only day is 01-04; an event on 01-05 must NOT match A's days
+    assert(out("bLate").isEmpty)
+  }
+}
