@@ -73,16 +73,28 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
     val rows = k / bands
-    val withSets = docs.select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
-    val withBands = withSets
-      .withColumn("band", explode(lshBandKeys(minhashSignature(col("toks"), k), bands, rows)))
-    val cands = withBands.as("a")
-      .join(withBands.as("b"), col("a.band") === col("b.band") &&
+    val withSets = docs
+      .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
+      // intersections run on sorted 60-bit hashes: fixed 8-byte compares
+      // instead of variable-length strings on the quadratic kernel
+      .withColumn("toks_h", array_sort(tokenHashes(col("toks"))))
+    // Slim candidate generation: the band self-join carries ONLY
+    // (doc, band) — shipping token arrays through a join whose output is
+    // quadratic in bucket size multiplies shuffle volume by array width.
+    // Token sets are re-attached afterwards via two broadcast joins
+    // against the (small) per-doc set table.
+    val banded = withSets.select(col("doc"),
+      explode(lshBandKeys(minhashSignature(col("toks"), k), bands, rows)).as("band"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val setsA = withSets.select(col("doc").as("id_a"), col("toks_h").as("toks_a"))
+    val setsB = withSets.select(col("doc").as("id_b"), col("toks_h").as("toks_b"))
     cands
+      .join(broadcast(setsA), "id_a")
+      .join(broadcast(setsB), "id_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard", col("inter") /
         (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
@@ -90,17 +102,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 60-bit SimHash over distinct-token hash60 values: bit j of the
-    * fingerprint is the sign of sum over tokens of ±1 on that hash bit.
-    * Built with SQL-expression higher-order functions because
-    * shiftleft/shiftright need a column shift amount.
+  /** 60-bit SimHash over a column of PRE-HASHED token values (bigint
+    * array): bit j of the fingerprint is the sign of sum over tokens of
+    * ±1 on that hash bit. Delegates to the native codegen Expression
+    * [[graft.functions.Simhash60]] — the HOF formulation evaluates
+    * ~60·n interpreted lambdas per row.
     */
-  def simhash60(tokensCol: String): Column =
-    expr(s"""aggregate(sequence(0, 59), 0L, (acc, j) ->
-      acc + if(aggregate(transform($tokensCol, t ->
-          conv(substring(md5(t), 1, 15), 16, 10)),
-        0, (a, h) -> a + if((shiftright(cast(h as bigint), j) & 1) = 1, 1, -1)) > 0,
-        shiftleft(1L, j), 0L))""")
+  def simhash60(tokenHashesCol: String): Column =
+    graft.functions.Simhash60.simhash60(col(tokenHashesCol))
+
+  /** hash60 of every token in an array column. */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => TextOps.hash60(t))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidates come from 4 bands of 15 bits (pigeonhole: any pair with
@@ -114,7 +127,8 @@ object Dedup {
     require(maxHamming <= 3, "4x15-bit banding is only complete for Hamming <= 3")
     val sh = docs
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
-      .withColumn("simhash", simhash60("toks"))
+      .withColumn("toks_h", tokenHashes(col("toks")))
+      .withColumn("simhash", simhash60("toks_h"))
       .select(col("doc"), col("simhash"))
     val banded = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
@@ -149,7 +163,10 @@ object Dedup {
       n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val grams = docs.select(col(idCol).as("doc"),
       wordNgrams(col(textCol), n).as("grams"))
-    val inv = grams.select(col("doc"), explode(col("grams")).as("g"))
+    // join on the 60-bit gram hash: 8-byte fixed keys shuffle/compare
+    // far cheaper than variable-length gram strings
+    val inv = grams.select(col("doc"),
+      explode(tokenHashes(col("grams"))).as("g"))
     val pairCounts = inv.as("a")
       .join(inv.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))

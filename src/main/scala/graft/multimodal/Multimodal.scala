@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media
+  * (image/audio/video) as opaque `binary` columns plus typed metadata,
+  * with format sniffing, deterministic byte-level features, and the
+  * plumbing (schema, batching, partitioning) for model-based decode
+  * stages.
+  *
+  * The container has no image/audio codecs, so the actual pixel/sample
+  * decode is STUBBED (see [[decodeStub]]) — deterministic fake outputs
+  * behind the same schema/batch shape a real decoder (JNI codec or
+  * model server) would use. Everything around the stub — magic-number
+  * sniffing, hashing, batch iteration, salting — is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("declared_format", StringType))))))
+
+  /** Container-format sniffing from magic numbers — real logic, no
+    * codecs needed. Unknown payloads yield "unknown".
+    */
+  def sniffFormat(bytes: Column): Column = {
+    def hexPrefix(n: Int): Column = hex(substring(bytes, 1, n))
+    when(hexPrefix(2) === "FFD8", "jpeg")
+      .when(hexPrefix(4) === "89504E47", "png")
+      .when(hexPrefix(3) === "474946", "gif")
+      .when(hexPrefix(4) === "52494646" &&
+        hex(substring(bytes, 9, 4)) === "57415645", "wav")
+      .when(hex(substring(bytes, 5, 4)) === "66747970", "mp4")
+      .when(hexPrefix(3) === "494433", "mp3")
+      .otherwise("unknown")
+  }
+
+  /** Payload size + a stable content digest — the dedup key for binary
+    * media (pair with [[graft.dedup.Dedup]] for exact media dedup).
+    */
+  def contentStats(bytes: Column): Seq[Column] = Seq(
+    length(bytes).as("n_bytes"),
+    md5(bytes).as("content_md5"))
+
+  /** Deterministic pseudo-embedding of a payload: `dims` floats derived
+    * from md5 of (chunk_index, bytes). A stand-in with the exact shape
+    * a model-encoder stage would produce (`array<float>`), so downstream
+    * similarity/dedup operators can be built and tested against it.
+    * STUB: replace with a real encoder at deployment.
+    */
+  def pseudoEmbedding(bytes: Column, dims: Int = 8): Column =
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (((conv(substring(md5(concat(i.cast("string"), lit(":"), base64(bytes))), 1, 15),
+        16, 10).cast("long") % 2000000L) / lit(1000000.0)) - 1.0).cast("float"))
+
+  /** Decode-stage STUB, shaped like the real thing: batched
+    * per-partition iteration over (id, bytes) producing fixed-schema
+    * decoded features. A real implementation would call a codec/model
+    * on each batch; this one emits deterministic fakes derived from the
+    * payload header so tests can assert the plumbing.
+    */
+  def decodeStub(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // <-- real decoder would process `batch` here (one codec/model
+          //     call per batch, not per row)
+          batch.iterator.map { case (id, payload) =>
+            val len = if (payload == null) 0 else payload.length
+            val fakeW = 16 + (math.abs(len) % 64)
+            (id, fakeW, fakeW / 2, len.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "decoded_width", "decoded_height", "decoded_bytes")
+    media.join(out, "media_id")
+  }
+
+  /** Skew-safe partitioning for a decode stage: salt by content hash so
+    * one giant file class (e.g. all 4K videos on one key) cannot pin a
+    * single task at 100 TB.
+    */
+  def repartitionForDecode(media: DataFrame, partitions: Int): DataFrame =
+    media.repartition(partitions, abs(hash(col("media_id"), md5(col("bytes")))))
+}

@@ -101,6 +101,26 @@ object DataOpsQueries {
         ('0x' || substr(md5($normSql), 1, 15))::BIGINT AS fp60
         FROM documents ORDER BY doc_id""")),
 
+    // ---- winnowing fingerprint via the custom codegen Expression ----
+    QueryDef("qt4_rolling_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.RollingMinHash.rolling_min_hash(
+          TextOps.norm(col("text")), 8).as("rmh"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, $normSql AS s FROM documents)
+        SELECT doc_id,
+          list_min(list_transform(range(1, len(s) - 8 + 2), i ->
+            (CAST(unicode(s[i]) AS BIGINT) * 27512614111 +
+             CAST(unicode(s[i+1]) AS BIGINT) * 887503681 +
+             CAST(unicode(s[i+2]) AS BIGINT) * 28629151 +
+             CAST(unicode(s[i+3]) AS BIGINT) * 923521 +
+             CAST(unicode(s[i+4]) AS BIGINT) * 29791 +
+             CAST(unicode(s[i+5]) AS BIGINT) * 961 +
+             CAST(unicode(s[i+6]) AS BIGINT) * 31 +
+             CAST(unicode(s[i+7]) AS BIGINT)) % 2147483647)) AS rmh
+        FROM d ORDER BY doc_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")
@@ -130,6 +150,9 @@ object DataOpsQueries {
           k = 16, bands = 4, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH d AS (SELECT doc_id, list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
+        dh AS (SELECT doc_id, toks,
+          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
+          FROM d),
         tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
         mh AS (
           SELECT doc_id, i,
@@ -144,8 +167,8 @@ object DataOpsQueries {
           FROM band a JOIN band b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
         sz AS (SELECT doc_id, len(toks) AS n FROM d),
         inter AS (
-          SELECT c.id_a, c.id_b, len(list_intersect(da.toks, db.toks)) AS inter
-          FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+          SELECT c.id_a, c.id_b, len(list_intersect(da.toks_h, db.toks_h)) AS inter
+          FROM cand c JOIN dh da ON da.doc_id = c.id_a JOIN dh db ON db.doc_id = c.id_b)
         SELECT i.id_a, i.id_b,
           i.inter / (sa.n + sb.n - i.inter) AS jaccard
         FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
@@ -182,7 +205,8 @@ object DataOpsQueries {
         g AS (SELECT doc_id,
           list_distinct(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS grams
           FROM d),
-        inv AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        inv AS (SELECT doc_id,
+          ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gr FROM g),
         pc AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
           FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id

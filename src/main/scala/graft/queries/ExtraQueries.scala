@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.AsOf
+
+/** Remaining SURVEY.md §2 operator families as oracle-checked queries:
+  * base-100 normalization (W6), split-gap ratio guessing (F15), manifest
+  * interval-overlap pruning (S7), schema-drift union (S5/U1), timezone
+  * derivation (F2), and the backward as-of direction (J2 complement).
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- W6 base-100 normalization (notebooks/03 cell 10:
+    // 100*s/s.iloc[0]) ----
+    QueryDef("q24_base100",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            (lit(100.0) * col("value") /
+              nullif(first(col("value")).over(w), lit(0.0))).as("b100"))
+          .filter(col("b100").isNotNull)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, b100 FROM (
+          SELECT event_id, user_id,
+            100.0 * value / NULLIF(FIRST_VALUE(value) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 0) AS b100
+          FROM events) WHERE b100 IS NOT NULL ORDER BY event_id""")),
+
+    // ---- F15 split-ratio guess from a price gap (factor_builder.py:
+    // 746-753): nearest of {2,3,4,5,10,20} to the gap (inverted when the
+    // gap < 1), accepted within 15% relative error ----
+    QueryDef("q25_split_guess",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val cands = array(Seq(2.0, 3.0, 4.0, 5.0, 10.0, 20.0).map(lit): _*)
+        t(s, dir, "orders")
+          .withColumn("prev", lag(col("o_totalprice"), 1).over(w))
+          .filter(col("prev").isNotNull && col("prev") > 0)
+          .withColumn("gap", col("o_totalprice") / col("prev"))
+          .withColumn("g2", when(col("gap") < 1.0, lit(1.0) / col("gap"))
+            .otherwise(col("gap")))
+          // argmin by (|g2-c|, c): sort [err, cand] pairs lexicographically
+          .withColumn("best",
+            element_at(array_sort(transform(cands,
+              c => array(abs(col("g2") - c), c))), 1))
+          .withColumn("guess",
+            when(element_at(col("best"), 1) / element_at(col("best"), 2) <= 0.15,
+              element_at(col("best"), 2)))
+          .select(col("o_orderkey"), col("gap"), col("guess"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH g AS (
+          SELECT o_orderkey, o_totalprice /
+            LAG(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS gap
+          FROM orders),
+        e AS (
+          SELECT o_orderkey, gap,
+            CASE WHEN gap < 1.0 THEN 1.0 / gap ELSE gap END AS g2
+          FROM g WHERE gap IS NOT NULL),
+        b AS (
+          SELECT o_orderkey, gap,
+            list_sort(list_transform([2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+              c -> [abs(g2 - c), c]))[1] AS best
+          FROM e)
+        SELECT o_orderkey, gap,
+          CASE WHEN best[1] / best[2] <= 0.15 THEN best[2] END AS guess
+        FROM b ORDER BY o_orderkey""")),
+
+    // ---- S7 manifest-driven interval-overlap pruning (lake_io.py:
+    // 108-147): keep "files" whose [start,end] overlaps the query
+    // window; the manifest is the per-(suppkey,month) zone map ----
+    QueryDef("q26_interval_overlap",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(min(col("l_shipdate")).as("fstart"),
+          max(col("l_shipdate")).as("fend"),
+          count(lit(1)).as("rows"))
+        .filter(col("fstart") <= lit("1996-07-15").cast("timestamp") &&
+          col("fend") >= lit("1996-03-15").cast("timestamp"))
+        .select(col("l_suppkey"), col("ym"), col("rows"))
+        .orderBy(col("l_suppkey"), col("ym")),
+      Some("""SELECT l_suppkey, ym, rows FROM (
+          SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS ym,
+            MIN(l_shipdate) AS fstart, MAX(l_shipdate) AS fend,
+            COUNT(*) AS rows
+          FROM lineitem GROUP BY 1, 2)
+        WHERE fstart <= TIMESTAMP '1996-07-15' AND fend >= TIMESTAMP '1996-03-15'
+        ORDER BY l_suppkey, ym""")),
+
+    // ---- S5/U1 schema-drift union: two generations of a table with
+    // different column sets merged by name, missing columns null-padded
+    // (lake_io.py:419-476 schema-safe multi-file scan) ----
+    QueryDef("q27_schema_union",
+      (s, dir) => {
+        val oldGen = t(s, dir, "part")
+          .filter(col("p_size") >= 40)
+          .select(col("p_partkey").as("key"), lit("old").as("gen"),
+            col("p_retailprice").as("price"))
+        val newGen = t(s, dir, "part")
+          .filter(col("p_size") < 10)
+          .select(col("p_partkey").as("key"), lit("new").as("gen"),
+            col("p_brand").as("brand"))
+        oldGen.unionByName(newGen, allowMissingColumns = true)
+          .orderBy(col("gen"), col("key"))
+      },
+      Some("""SELECT * FROM (
+          SELECT p_partkey AS key, 'old' AS gen, p_retailprice AS price,
+            CAST(NULL AS VARCHAR) AS brand
+          FROM part WHERE p_size >= 40
+          UNION ALL BY NAME
+          SELECT p_partkey AS key, 'new' AS gen, p_brand AS brand
+          FROM part WHERE p_size < 10)
+        ORDER BY gen, key""")),
+
+    // ---- F2 timezone derivation: UTC instants -> Eastern wall clock as
+    // a DERIVED column (SURVEY.md §7.4: storage stays UTC, the
+    // reference's stored-Eastern convention becomes a projection;
+    // ingest.py:268, lake_io.py:315-320) ----
+    QueryDef("q28_tz_convert",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_id") % 25 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_time"),
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_time"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_time,
+          strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+            '%Y-%m-%d %H:%M:%S') AS ny_time
+        FROM events WHERE event_id % 25 = 0 ORDER BY event_id""")),
+
+    // ---- J2 backward as-of: for each purchase, the user's last click
+    // at-or-before it (the direction the reference doesn't use —
+    // completes the as-of surface) ----
+    QueryDef("q29_asof_backward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .withColumn("click_ts", col("ts"))
+        AsOf.joinBackward(purchases, clicks, Seq("user_id"), "ts", "ts",
+            Seq("click_ts", "click_id"))
+          .filter(col("click_ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("click_ts")).as("click_us"),
+            col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+          SELECT user_id, ts, MAX(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        m AS (
+          SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS click_ts
+          FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+          GROUP BY p.event_id, p.user_id, p.ts)
+        SELECT m.event_id, m.user_id, epoch_us(m.ts) AS ts_us,
+          epoch_us(m.click_ts) AS click_us, c.click_id
+        FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        ORDER BY m.event_id"""))
+  )
+}

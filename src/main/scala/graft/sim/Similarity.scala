@@ -42,18 +42,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** All corpus pairs (i<j) with cosine >= threshold. Brute-force
-    * O(n²/2) — correctness baseline; use [[lshBuckets]] + within-bucket
-    * pairs for large corpora.
+  /** All corpus pairs (i<j) with cosine >= threshold. O(n²/2) compute,
+    * executed as a broadcast + per-partition tight loop instead of a
+    * Catalyst lambda per element (~100× less overhead on the quadratic
+    * kernel). The fold order (ascending index, 0.0 seed) matches the
+    * [[cosine]] column form and the DuckDB list_reduce oracle
+    * bit-for-bit. Broadcasting the corpus bounds this to small/medium
+    * corpora — the 100 TB path is [[lshTopK]]-style bucketing.
     */
   def brutePairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(
+      rows.collect().sortBy(_._1))
+    rows.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (ida, va) =>
+        all.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, vb) =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < va.length) {
+              val x = va(i).toDouble; val y = vb(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (cos >= threshold) Some((ida, idb, cos)) else None
+          }
+      }
+    }.toDF("id_a", "id_b", "cosine")
   }
 
   /** ANN top-k via one LSH table: candidates share the bucket key, then

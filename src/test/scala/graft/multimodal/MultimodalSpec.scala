@@ -1,0 +1,50 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (1L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2, 3)),
+    (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
+    (3L, "RIFF1234WAVEfmt ".getBytes("ASCII")),
+    (4L, Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'm', 'p', '4', '2')),
+    (5L, "not a media file".getBytes("ASCII")))
+    .toDF("media_id", "bytes")
+
+  test("magic-number format sniffing") {
+    val m = media.select($"media_id", Multimodal.sniffFormat($"bytes").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "jpeg" && m(2L) == "png" && m(3L) == "wav" &&
+      m(4L) == "mp4" && m(5L) == "unknown")
+  }
+
+  test("content stats give a stable dedup key") {
+    val s = media.select($"media_id" +: Multimodal.contentStats($"bytes"): _*)
+    val rows = s.as[(Long, Int, String)].collect()
+    assert(rows.forall(_._3.length == 32))
+    assert(rows.map(_._3).distinct.length == 5)
+  }
+
+  test("pseudo-embedding has model-encoder shape and is deterministic") {
+    val e1 = media.select(Multimodal.pseudoEmbedding($"bytes", 8).as("e"))
+      .as[Array[Float]].collect()
+    val e2 = media.select(Multimodal.pseudoEmbedding($"bytes", 8).as("e"))
+      .as[Array[Float]].collect()
+    assert(e1.forall(_.length == 8))
+    assert(e1.flatten.toSeq == e2.flatten.toSeq)
+    assert(e1.flatten.forall(v => v >= -1.0f && v <= 1.0f))
+  }
+
+  test("decode stub preserves ids and emits the decoded schema") {
+    val out = Multimodal.decodeStub(media, batchSize = 2)
+    assert(out.count() == 5)
+    assert(out.columns.contains("decoded_width") && out.columns.contains("decoded_bytes"))
+    val r = out.filter($"media_id" === 3L)
+      .select($"decoded_bytes").as[Long].head()
+    assert(r == 16L)
+  }
+}
