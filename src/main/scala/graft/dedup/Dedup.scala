@@ -95,7 +95,9 @@ object Dedup {
     cands
       .join(broadcast(setsA), "id_a")
       .join(broadcast(setsB), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      // merge-walk intersect (codegen) — array_intersect hashes per row
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("inter") /
         (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)

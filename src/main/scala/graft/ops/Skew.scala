@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed
+  * (one ticker = half the volume, one user = half the events). AQE's
+  * skew-join split handles sort-merge cases at runtime; explicit
+  * salting remains the tool when the skewed side must hash-join against
+  * a replicable right side.
+  */
+object Skew {
+
+  private val SaltCol = "__salt"
+
+  /** Salted equi-join: the left (large, skewed) side gets a random salt
+    * in [0, buckets); the right side is replicated `buckets` times with
+    * every salt value, so each hot key spreads over `buckets` reducers.
+    * Semantics identical to `left.join(right, keys, joinType)` for
+    * row-preserving join types (inner / left_outer).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salting preserves semantics only for inner/left joins, got $joinType")
+    val salted = left.withColumn(SaltCol,
+      (rand(seed = 42) * buckets).cast("int"))
+    val replicated = right.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+
+  /** Key histogram — pick salting candidates: keys holding more than
+    * `threshold` of all rows.
+    */
+  def hotKeys(df: DataFrame, keys: Seq[String], threshold: Double = 0.05): DataFrame = {
+    val total = df.count()
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("fraction", col("n") / total.toDouble)
+      .filter(col("fraction") >= threshold)
+      .orderBy(col("n").desc)
+  }
+}

@@ -147,6 +147,51 @@ object ExtraQueries {
             '%Y-%m-%d %H:%M:%S') AS ny_time
         FROM events WHERE event_id % 25 = 0 ORDER BY event_id""")),
 
+    // ---- sessionization: gap-based session assignment — the batch
+    // twin of flatMapGroupsWithState session windows (streaming path in
+    // graft.streaming); cumulative-sum-of-gaps formulation ----
+    QueryDef("q30_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, ts,
+            epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        m AS (
+          SELECT user_id, ts,
+            SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        FROM m GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    // ---- O3/global top-k: ORDER BY + LIMIT (Spark TakeOrderedAndProject) ----
+    QueryDef("q31_global_topn",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
     // ---- J2 backward as-of: for each purchase, the user's last click
     // at-or-before it (the direction the reference doesn't use —
     // completes the as-of surface) ----

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SortedIntersectCountSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("merge-walk count matches array_intersect size") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(7L), Seq(7L)))
+      .toDF("a", "b")
+      .select(
+        SortedIntersectCount.sorted_intersect_count($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"))
+    df.as[(Int, Int)].collect().foreach { case (fast, ref) =>
+      assert(fast == ref)
+    }
+  }
+
+  test("SQL registration via GraftExtensions.registerTemp") {
+    // withExtensions only applies at session construction; the shared
+    // test session is already up -> use the runtime registration path
+    graft.GraftExtensions.registerTemp(spark)
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect_count(array(1L,2L,5L), array(2L,5L,9L)) c,
+        |       graft_rolling_min_hash('abcdefghij', 8) h,
+        |       graft_simhash60(array(7L)) sh""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(!r.isNullAt(1))
+    assert(r.getLong(2) == 7L)
+  }
+}
