@@ -1,0 +1,102 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: partition the corpus into
+  * coarse cells (k-means centroids), search only the `nprobe` cells
+  * nearest each query. The 100 TB shape: centroids are tiny and
+  * broadcast; the corpus is scanned once to assign cells and the
+  * candidate join is an equi-join on cell id — no cross join anywhere.
+  *
+  * Training is deterministic: seed centroids are the lowest-id vectors,
+  * refined by a fixed number of Lloyd iterations on a bounded sample
+  * collected to the driver (centroid count × dims is KBs).
+  */
+object Ivf {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def nearest(v: Array[Float], n: Int): Seq[Int] =
+      centroids.indices
+        .map(c => (c, Ivf.l2sq(centroids(c), v)))
+        .sortBy { case (c, d) => (d, c) }
+        .take(n).map(_._1)
+  }
+
+  private[sim] def l2sq(c: Array[Double], v: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Fit k centroids: seeds = vectors with the k lowest ids, then
+    * `iters` Lloyd steps over a sample of at most `maxSample` vectors
+    * (lowest ids — deterministic).
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3, maxSample: Int = 4096): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol)).limit(maxSample).collect()
+    require(sample.length >= k, s"need >= $k vectors to fit, got ${sample.length}")
+    var centroids = sample.take(k).map(_._2.map(_.toDouble))
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { case (_, v) =>
+        val c = centroids.indices.minBy(ci => (l2sq(centroids(ci), v), ci))
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    Model(centroids)
+  }
+
+  /** Assign every corpus vector to its nearest cell. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, bc.value.nearest(v, 1).head) }
+      .toDF(idCol, "cell")
+    corpus.join(assigned, idCol)
+  }
+
+  /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
+    * rank within candidates. With nprobe == k (all cells) this equals
+    * the brute-force result.
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      model: Model, k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val corpusCells = assign(corpus, idCol, vecCol, model)
+    val queryCells = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => bc.value.nearest(qv, nprobe).map(c => (qid, c)) }
+      .toDF(qIdCol, "cell")
+      .join(queries, qIdCol)
+    val scored = corpusCells.join(broadcast(queryCells), "cell")
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        Similarity.cosine(col(vecCol), col(qVecCol)).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
