@@ -157,27 +157,46 @@ object Dedup {
         concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
   }
 
-  /** n-gram Jaccard near-dup pairs via inverted-index join: docs sharing
-    * any n-gram become candidates, then exact Jaccard >= threshold.
+  /** n-gram Jaccard near-dup pairs with PPJoin-style prefix filtering:
+    * output = all pairs with Jaccard >= threshold over distinct word
+    * n-grams.
+    *
+    * Candidate generation indexes only each doc's PREFIX — its
+    * |G| - ceil(t·|G|) + 1 rarest grams under a global
+    * (document-frequency, hash) order. Prefix-filter theorem: any pair
+    * with Jaccard >= t shares at least one prefix gram on BOTH sides,
+    * so joining prefix postings is complete; rare-first ordering keeps
+    * posting lists short, shrinking the candidate join by orders of
+    * magnitude versus a full inverted index. Verification is the exact
+    * merge-walk intersect over sorted hash arrays (broadcast-attached).
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val grams = docs.select(col(idCol).as("doc"),
-      wordNgrams(col(textCol), n).as("grams"))
-    // join on the 60-bit gram hash: 8-byte fixed keys shuffle/compare
-    // far cheaper than variable-length gram strings
-    val inv = grams.select(col("doc"),
-      explode(tokenHashes(col("grams"))).as("g"))
-    val pairCounts = inv.as("a")
-      .join(inv.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = grams.select(col("doc"), size(col("grams")).as("n_grams"))
-    pairCounts
-      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      tokenHashes(wordNgrams(col(textCol), n)).as("gh"))
+    val inv = grams.select(col("doc"), explode(col("gh")).as("g"))
+    // global rare-first order: (document frequency, gram hash)
+    val df_ = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = inv.join(df_, "g")
+      .withColumn("pos", row_number().over(Window.partitionBy(col("doc"))
+        .orderBy(col("df"), col("g"))))
+    val sized = grams.select(col("doc"), size(col("gh")).as("ng"))
+    val prefix = ranked.join(sized, "doc")
+      .filter(col("pos") <= col("ng") - ceil(col("ng") * threshold) + 1)
+      .select(col("doc"), col("g"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sortedSets = grams.select(col("doc"), array_sort(col("gh")).as("sh"))
+    cands
+      .join(broadcast(sortedSets.select(col("doc").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(broadcast(sortedSets.select(col("doc").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
