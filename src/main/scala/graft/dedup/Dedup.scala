@@ -78,13 +78,21 @@ object Dedup {
       // intersections run on sorted 60-bit hashes: fixed 8-byte compares
       // instead of variable-length strings on the quadratic kernel
       .withColumn("toks_h", array_sort(tokenHashes(col("toks"))))
+      .persist()
     // Slim candidate generation: the band self-join carries ONLY
-    // (doc, band) — shipping token arrays through a join whose output is
-    // quadratic in bucket size multiplies shuffle volume by array width.
-    // Token sets are re-attached afterwards via two broadcast joins
-    // against the (small) per-doc set table.
+    // (doc, 60-bit band key) — shipping token arrays through a join
+    // whose output is quadratic in bucket size multiplies shuffle volume
+    // by array width. The md5 band key is folded to a bigint (hash60 of
+    // it): bucket equality is preserved (same slice values ⟺ same md5 ⟺
+    // same fold), so the candidate set is unchanged, while the join and
+    // the pair-dedup shuffle compare 8-byte keys instead of 32-char
+    // strings. Token sets are re-attached afterwards via two broadcast
+    // joins against the (small) per-doc set table.
     val banded = withSets.select(col("doc"),
-      explode(lshBandKeys(minhashSignature(col("toks"), k), bands, rows)).as("band"))
+      explode(transform(
+        lshBandKeys(minhashSignature(col("toks"), k), bands, rows),
+        (b, i) => TextOps.hash60(
+          concat(i.cast("string"), lit(":"), b)))).as("band"))
     val cands = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.doc") < col("b.doc"))
@@ -157,36 +165,47 @@ object Dedup {
         concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
   }
 
-  /** n-gram Jaccard near-dup pairs with PPJoin-style prefix filtering:
-    * output = all pairs with Jaccard >= threshold over distinct word
-    * n-grams.
+  /** n-gram Jaccard near-dup pairs with PPJoin-style prefix + positional
+    * filtering: output = all pairs with Jaccard >= threshold over
+    * distinct word n-grams.
     *
     * Candidate generation indexes only each doc's PREFIX — its
     * |G| - ceil(t·|G|) + 1 rarest grams under a global
     * (document-frequency, hash) order. Prefix-filter theorem: any pair
     * with Jaccard >= t shares at least one prefix gram on BOTH sides,
     * so joining prefix postings is complete; rare-first ordering keeps
-    * posting lists short, shrinking the candidate join by orders of
-    * magnitude versus a full inverted index. Verification is the exact
-    * merge-walk intersect over sorted hash arrays (broadcast-attached).
+    * posting lists short. The join additionally applies PPJoin's
+    * positional bound — overlap <= 1 + min(|A|-posA, |B|-posB), which
+    * must reach ceil(t/(1+t)·(|A|+|B|)) at the first common prefix gram
+    * of any qualifying pair — pruning candidates before the dedup
+    * shuffle (it subsumes the |B| >= t·|A| length filter at pos=1).
+    * Verification is the exact merge-walk intersect over sorted hash
+    * arrays (broadcast-attached). The gram table is persisted: it feeds
+    * the inverted index, the prefix ranking, and the verification sets,
+    * and the tokenize→ngram→hash chain is the per-row hot path.
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val grams = docs.select(col(idCol).as("doc"),
-      tokenHashes(wordNgrams(col(textCol), n)).as("gh"))
+      tokenHashes(wordNgrams(col(textCol), n)).as("gh")).persist()
     val inv = grams.select(col("doc"), explode(col("gh")).as("g"))
     // global rare-first order: (document frequency, gram hash)
     val df_ = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc"))
     val ranked = inv.join(df_, "g")
-      .withColumn("pos", row_number().over(Window.partitionBy(col("doc"))
-        .orderBy(col("df"), col("g"))))
-    val sized = grams.select(col("doc"), size(col("gh")).as("ng"))
-    val prefix = ranked.join(sized, "doc")
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("g"))))
+      .withColumn("ng", count(lit(1)).over(wDoc))
+    val prefix = ranked
       .filter(col("pos") <= col("ng") - ceil(col("ng") * threshold) + 1)
-      .select(col("doc"), col("g"))
+      .select(col("doc"), col("g"), col("pos"), col("ng"))
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.ng") + col("b.ng")))
     val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
+      .join(prefix.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc") < col("b.doc") &&
+        (lit(1) + least(col("a.ng") - col("a.pos"),
+          col("b.ng") - col("b.pos")) >= minOverlap))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sortedSets = grams.select(col("doc"), array_sort(col("gh")).as("sh"))
