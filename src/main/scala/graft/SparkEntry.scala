@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DataOpsQueries, ExtraQueries, QueryDef}
+import graft.queries.{AdvancedQueries, CoreQueries, DataOpsQueries, ExtraQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, DataOpsQueries, ExtraQueries, QueryDef}
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    CoreQueries.defs ++ DataOpsQueries.defs ++ ExtraQueries.defs
+    CoreQueries.defs ++ DataOpsQueries.defs ++ ExtraQueries.defs ++
+      AdvancedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
