@@ -86,7 +86,8 @@ object Factors {
     * Ratios are > 0 so the log-sum running product is exact enough and
     * single-pass (the exact fold is the test oracle).
     */
-  def splitFactorGrid(days: DataFrame, splits: DataFrame): DataFrame = {
+  def splitFactorGrid(days: DataFrame, splits: DataFrame,
+      exact: Boolean = false): DataFrame = {
     val aligned = alignEvents(
       splits.select(col("ticker"), col("execution_date"), col("ratio")),
       days, "execution_date")
@@ -98,7 +99,9 @@ object Factors {
     days.select(col("id"), col("event_day"))
       .join(dayRatio, Seq("id", "event_day"), "left")
       .withColumn("r", coalesce(col("day_ratio"), lit(1.0)))
-      .withColumn("F", Cumulative.cumprodLog(col("r"), w))
+      .withColumn("F",
+        if (exact) Cumulative.cumprodExact(col("r"), w)
+        else Cumulative.cumprodLog(col("r"), w))
       .withColumn("F_last", last(col("F")).over(whole))
       .select(col("id"), col("event_day"),
         (col("F") / col("F_last")).as("split_price_factor"),
@@ -112,7 +115,8 @@ object Factors {
     * (factor_builder.py:328), g masked like the reference, G = running
     * product of g (sign-safe), anchored to last.
     */
-  def dividendFactorGrid(dayBase: DataFrame, dividends: DataFrame): DataFrame = {
+  def dividendFactorGrid(dayBase: DataFrame, dividends: DataFrame,
+      exact: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
     val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val aligned = alignEvents(
@@ -129,7 +133,9 @@ object Factors {
           col("prior_base") > 0.0,
           (col("prior_base") - col("amount")) / col("prior_base"))
           .otherwise(lit(1.0)))
-      .withColumn("G", Cumulative.cumprodSigned(col("g"), w))
+      .withColumn("G",
+        if (exact) Cumulative.cumprodExact(col("g"), w)
+        else Cumulative.cumprodSigned(col("g"), w))
       .withColumn("G_last", last(col("G")).over(whole))
       .select(col("id"), col("event_day"),
         (col("G") / col("G_last")).as("tr_price_factor"))

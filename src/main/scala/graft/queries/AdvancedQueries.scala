@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.adjust.Factors
 import graft.model.Tables
 import graft.multimodal.Multimodal
 import graft.ops.Skew
@@ -116,6 +117,99 @@ object AdvancedQueries {
           CAST((16 + (len % 64)) // 2 AS INT) AS decoded_height,
           CAST(len AS BIGINT) AS decoded_bytes
         FROM m ORDER BY media_id""")),
+
+    // ---- The reference's analytic core, end-to-end (factor_builder.py
+    // batch path, SURVEY.md §3.2): PIT identity attach → forward as-of
+    // event alignment → same-day ratio product → grouped cumprod →
+    // anchor-to-last → split application → dividend/TR factors on the
+    // split base. Bars/SM/splits/dividends are all derived
+    // deterministically from the events table; every float op is either
+    // exact-integer math (split ratios) or the same IEEE op sequence in
+    // both engines (sequential windowed product, q08-validated). ----
+    QueryDef("q32_adjusted_close",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("ticker", concat(lit("U"), col("user_id")))
+        val bars = ev
+          .groupBy(col("ticker"), to_date(col("ts")).as("event_day"))
+          .agg(max(col("value")).as("close"))
+          .withColumn("datetime", col("event_day").cast("timestamp"))
+        // even users carry a FIGI valid from Jan 5 (PIT window splits
+        // their series into a NOFIGI__ prefix and a FIGI suffix)
+        val sm = ev.select(col("ticker"), col("user_id")).distinct()
+          .filter(col("user_id") % 2 === 0)
+          .select(col("ticker"),
+            concat(lit("FIGI"), col("user_id")).as("composite_figi"),
+            lit("2024-01-05").cast("date").as("effective_start"),
+            lit(null).cast("date").as("effective_end"))
+        val splits = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 29 === 0)
+          .select(col("ticker"), to_date(col("ts")).as("execution_date"),
+            (lit(2.0) + (col("event_id") % 3).cast("double")).as("ratio"))
+        val dividends = ev
+          .filter(col("event_type") === "click" && col("event_id") % 31 === 0)
+          .select(col("ticker"), to_date(col("ts")).as("ex_date"),
+            dec4(col("value")).as("cash_amount"))
+        val withId = Factors.attachId(bars, sm)
+        val days = Factors.idDays(withId)
+        val sgrid = Factors.splitFactorGrid(days, splits, exact = true)
+        val dayBase = withId.join(sgrid, Seq("id", "event_day"), "left")
+          .withColumn("close_split",
+            col("close") * coalesce(col("split_price_factor"), lit(1.0)))
+        val dgrid = Factors.dividendFactorGrid(
+          dayBase.select(col("id"), col("ticker"), col("event_day"),
+            col("close_split")),
+          dividends, exact = true)
+        dayBase.join(dgrid, Seq("id", "event_day"), "left")
+          .withColumn("close_tr",
+            col("close_split") * coalesce(col("tr_price_factor"), lit(1.0)))
+          .select(col("ticker"),
+            date_format(col("event_day"), "yyyy-MM-dd").as("day"),
+            col("id"), col("close"), col("close_split"), col("close_tr"))
+          .orderBy(col("ticker"), col("day"))
+      },
+      Some("""WITH ev AS (SELECT 'U'||CAST(user_id AS VARCHAR) AS ticker, user_id, ts, event_id, event_type, value FROM events),
+        bars AS (SELECT ticker, CAST(ts AS DATE) AS event_day, MAX(value) AS close FROM ev GROUP BY 1, 2),
+        sm AS (SELECT DISTINCT ticker, 'FIGI'||CAST(user_id AS VARCHAR) AS figi FROM ev WHERE user_id % 2 = 0),
+        wid AS (SELECT b.ticker, b.event_day, b.close,
+            CASE WHEN s.figi IS NOT NULL AND b.event_day >= DATE '2024-01-05' THEN s.figi
+                 ELSE 'NOFIGI__'||b.ticker END AS id
+          FROM bars b LEFT JOIN sm s ON s.ticker = b.ticker),
+        sp AS (SELECT ticker, CAST(ts AS DATE) AS execution_date, 2.0 + CAST(event_id % 3 AS DOUBLE) AS ratio
+          FROM ev WHERE event_type = 'purchase' AND event_id % 29 = 0),
+        spsnap AS (SELECT sp.ticker, sp.ratio,
+            (SELECT MIN(w.event_day) FROM wid w WHERE w.ticker = sp.ticker AND w.event_day >= sp.execution_date) AS snap_day
+          FROM sp),
+        spday AS (SELECT w.id, s.snap_day AS event_day, product(s.ratio ORDER BY s.ratio) AS day_ratio
+          FROM spsnap s JOIN wid w ON w.ticker = s.ticker AND w.event_day = s.snap_day
+          WHERE s.snap_day IS NOT NULL GROUP BY w.id, s.snap_day),
+        grid AS (SELECT w.id, w.ticker, w.event_day, w.close, COALESCE(d.day_ratio, 1.0) AS r
+          FROM wid w LEFT JOIN spday d ON d.id = w.id AND d.event_day = w.event_day),
+        fgrid AS (SELECT *, PRODUCT(r) OVER (PARTITION BY id ORDER BY event_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS F FROM grid),
+        f2 AS (SELECT *, LAST_VALUE(F) OVER (PARTITION BY id ORDER BY event_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS F_last FROM fgrid),
+        sbase AS (SELECT id, ticker, event_day, close, close * (F / F_last) AS close_split FROM f2),
+        dv AS (SELECT ticker, CAST(ts AS DATE) AS ex_date, CAST(value AS DECIMAL(18,4)) AS cash_amount
+          FROM ev WHERE event_type = 'click' AND event_id % 31 = 0),
+        dvsnap AS (SELECT dv.ticker, dv.cash_amount,
+            (SELECT MIN(b.event_day) FROM sbase b WHERE b.ticker = dv.ticker AND b.event_day >= dv.ex_date) AS snap_day
+          FROM dv),
+        dvday AS (SELECT b.id, d.snap_day AS event_day, SUM(d.cash_amount) AS amount
+          FROM dvsnap d JOIN sbase b ON b.ticker = d.ticker AND b.event_day = d.snap_day
+          WHERE d.snap_day IS NOT NULL GROUP BY b.id, d.snap_day),
+        gginp AS (SELECT b.id, b.ticker, b.event_day, b.close, b.close_split,
+            LAG(b.close_split) OVER (PARTITION BY b.id ORDER BY b.event_day) AS prior_base, a.amount
+          FROM sbase b LEFT JOIN dvday a ON a.id = b.id AND a.event_day = b.event_day),
+        gg AS (SELECT *, CASE WHEN amount IS NOT NULL AND prior_base IS NOT NULL AND prior_base > 0
+              THEN (prior_base - CAST(amount AS DOUBLE)) / prior_base ELSE 1.0 END AS gfac FROM gginp),
+        gcum AS (SELECT *, PRODUCT(gfac) OVER (PARTITION BY id ORDER BY event_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grun FROM gg),
+        g2 AS (SELECT *, LAST_VALUE(grun) OVER (PARTITION BY id ORDER BY event_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS grun_last FROM gcum)
+        SELECT ticker, strftime(event_day, '%Y-%m-%d') AS day, id, close, close_split,
+          close_split * (grun / grun_last) AS close_tr
+        FROM g2 ORDER BY ticker, day""")),
 
     // ---- Skew-salted join: must be result-identical to the plain join
     // it replaces. Oracle: the plain SQL join + aggregate. ----
