@@ -16,7 +16,16 @@ object Adjuster {
 
   /** Full adjusted build: identity attach → split factors → apply →
     * dividend factors on the split base → apply → select by policy.
-    * One lazy plan end-to-end; dims ride broadcast joins.
+    * Dims ride broadcast joins.
+    *
+    * Scale notes: `withId` (the full bar lake + identity) feeds three
+    * consumers (day grid, split application, TR base) and `withSplit`
+    * feeds two — without materialization each branch would re-scan and
+    * re-attach the whole lake. Both are persisted (memory-spilling-to-
+    * disk), and `withId` is hash-partitioned by `id` up front so every
+    * downstream window (`partitionBy(id)`) and factor join
+    * (`id, event_day` — subset-clustered) reuses one distribution
+    * instead of re-shuffling the fact table per stage.
     */
   def buildAdjusted(
       bars: DataFrame,
@@ -25,6 +34,8 @@ object Adjuster {
       dividends: DataFrame,
       materialize: String = MaterializeClose): DataFrame = {
     val withId = Factors.attachId(bars, securityMaster)
+      .repartition(col("id"))
+      .persist()
     val days = Factors.idDays(withId)
     val sf = Factors.splitFactorGrid(days, splits)
 
@@ -35,6 +46,7 @@ object Adjuster {
       .withColumn("close_split", col("close") * col("split_price_factor"))
       .withColumn("volume_split",
         (col("volume") * col("split_volume_factor")).cast("double"))
+      .persist()
 
     // Day-level base: the (last) split-adjusted close of each trading
     // day — for day bars this is the row itself; for minute bars the

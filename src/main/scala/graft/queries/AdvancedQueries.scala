@@ -150,7 +150,12 @@ object AdvancedQueries {
           .filter(col("event_type") === "click" && col("event_id") % 31 === 0)
           .select(col("ticker"), to_date(col("ts")).as("ex_date"),
             dec4(col("value")).as("cash_amount"))
+        // withId feeds the day grid, the split application, and (via the
+        // split base) the TR grid — persist + id-partition once instead
+        // of re-running the scan→aggregate→PIT-attach chain per branch
         val withId = Factors.attachId(bars, sm)
+          .repartition(col("id"))
+          .persist()
         val days = Factors.idDays(withId)
         val sgrid = Factors.splitFactorGrid(days, splits, exact = true)
         val dayBase = withId.join(sgrid, Seq("id", "event_day"), "left")
