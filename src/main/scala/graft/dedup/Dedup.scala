@@ -17,6 +17,8 @@ import graft.text.TextOps
   */
 object Dedup {
 
+  import graft.ops.Partitioning.spread
+
   /** Exact-duplicate annotation: md5 over normalized text; every doc gets
     * its group's canonical (min) id and group size.
     */
@@ -73,7 +75,7 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
     val rows = k / bands
-    val withSets = docs
+    val withSets = spread(docs)
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
       // intersections run on sorted 60-bit hashes: fixed 8-byte compares
       // instead of variable-length strings on the quadratic kernel
@@ -135,7 +137,7 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x15-bit banding is only complete for Hamming <= 3")
-    val sh = docs
+    val sh = spread(docs)
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
       .withColumn("toks_h", tokenHashes(col("toks")))
       .withColumn("simhash", simhash60("toks_h"))
@@ -187,7 +189,7 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc"),
+    val grams = spread(docs).select(col(idCol).as("doc"),
       tokenHashes(wordNgrams(col(textCol), n)).as("gh")).persist()
     val inv = grams.select(col("doc"), explode(col("gh")).as("g"))
     // global rare-first order: (document frequency, gram hash)

@@ -66,7 +66,8 @@ object Ivf {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+    val assigned = graft.ops.Partitioning.spread(corpus)
+      .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, bc.value.nearest(v, 1).head) }
       .toDF(idCol, "cell")

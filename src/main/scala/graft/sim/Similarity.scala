@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Partitioning.spread
+
 /** Embedding similarity search: exact cosine, brute-force top-k (the
   * correctness baseline), and hyperplane-LSH bucketing (the scale path).
   *
@@ -33,7 +35,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = spread(corpus).crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).as("neighbor_id"),
         cosine(col(vecCol), col(qVecCol)).as("cosine"))
@@ -54,7 +56,7 @@ object Similarity {
       threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
+    val rows = spread(corpus).select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
     val bc = spark.sparkContext.broadcast(
       rows.collect().sortBy(_._1))
@@ -84,7 +86,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, planes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucketPacked(vecCol, planes))
+    val cb = spread(corpus).withColumn("bucket", lshBucketPacked(vecCol, planes))
     val qb = queries.withColumn("qbucket", lshBucketPacked(qVecCol, planes))
     val scored = cb.join(broadcast(qb),
         col("bucket") === col("qbucket") && col(idCol) =!= col(qIdCol))
