@@ -16,9 +16,13 @@ object SparkEntry {
     CoreQueries.defs ++ DataOpsQueries.defs ++ ExtraQueries.defs ++
       AdvancedQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q32 runs the reference's whole analytic core — PIT
+    * identity, as-of alignment, factor cumprods, anchor-to-last, split
+    * and TR application — through graft.adjust in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg_pricing")(spark, "/root/testdata/sf0.001")
+    queries("q32_adjusted_close")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
