@@ -190,7 +190,8 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val grams = spread(docs).select(col(idCol).as("doc"),
-      tokenHashes(wordNgrams(col(textCol), n)).as("gh")).persist()
+      graft.functions.WordNgramHashes
+        .word_ngram_hashes(col(textCol), n).as("gh")).persist()
     val inv = grams.select(col("doc"), explode(col("gh")).as("g"))
     // global rare-first order: (document frequency, gram hash)
     val df_ = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
