@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{RollingMinHash, Simhash60, SortedIntersectCount}
+import graft.functions.{RollingMinHash, Simhash60, SortedIntersectCount, WordNgramHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -39,7 +39,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => Simhash60(children.head)),
     ("graft_sorted_intersect_count",
       "graft_sorted_intersect_count(a, b) - |a intersect b| for sorted distinct bigint arrays",
-      (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+      (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))),
+    ("graft_word_ngram_hashes",
+      "graft_word_ngram_hashes(text, n) - distinct 60-bit hashes of word n-grams",
+      (children: Seq[Expression]) => WordNgramHashes(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at
     * session construction) — the notebook / shared-session path.
