@@ -73,7 +73,8 @@ object Dedup {
     */
   def minhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.6,
+      broadcastSets: Boolean = true): DataFrame = {
     val rows = k / bands
     val withSets = spread(docs)
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
@@ -100,11 +101,15 @@ object Dedup {
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // broadcastSets: right for corpora whose per-doc set table fits an
+    // executor (bench scale). At lake scale pass false — the candidate
+    // pairs shuffle-join the set table on id instead (AQE plans it).
+    def maybeBc(df: DataFrame) = if (broadcastSets) broadcast(df) else df
     val setsA = withSets.select(col("doc").as("id_a"), col("toks_h").as("toks_a"))
     val setsB = withSets.select(col("doc").as("id_b"), col("toks_h").as("toks_b"))
     cands
-      .join(broadcast(setsA), "id_a")
-      .join(broadcast(setsB), "id_b")
+      .join(maybeBc(setsA), "id_a")
+      .join(maybeBc(setsB), "id_b")
       // merge-walk intersect (codegen) — array_intersect hashes per row
       .withColumn("inter", graft.functions.SortedIntersectCount
         .sorted_intersect_count(col("toks_a"), col("toks_b")))
@@ -188,7 +193,8 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 2, threshold: Double = 0.5): DataFrame = {
+      n: Int = 2, threshold: Double = 0.5,
+      broadcastSets: Boolean = true): DataFrame = {
     val grams = spread(docs).select(col(idCol).as("doc"),
       graft.functions.WordNgramHashes
         .word_ngram_hashes(col(textCol), n).as("gh")).persist()
@@ -212,9 +218,10 @@ object Dedup {
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sortedSets = grams.select(col("doc"), array_sort(col("gh")).as("sh"))
+    def maybeBc(df: DataFrame) = if (broadcastSets) broadcast(df) else df
     cands
-      .join(broadcast(sortedSets.select(col("doc").as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(broadcast(sortedSets.select(col("doc").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .join(maybeBc(sortedSets.select(col("doc").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(maybeBc(sortedSets.select(col("doc").as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("inter", graft.functions.SortedIntersectCount
         .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter") /
