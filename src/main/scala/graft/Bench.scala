@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: pay one-time costs (codegen classloading, typed
+    // encoder compilation, parquet footer caches, JIT) before the
+    // timing loop so per-query numbers reflect steady state.
+    locally {
+      import spark.implicits._
+      spark.range(1000).map(i => (i, Array(i.toFloat))).filter(_._1 >= 0).count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
