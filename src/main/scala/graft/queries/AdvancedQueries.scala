@@ -9,6 +9,7 @@ import graft.model.Tables
 import graft.multimodal.Multimodal
 import graft.ops.Skew
 import graft.sim.{Ivf, Similarity}
+import graft.text.TextOps
 
 /** Driver-visible queries for the operators that live beyond plain SQL:
   * IVF / LSH approximate nearest neighbor, multimodal binary columns,
@@ -215,6 +216,47 @@ object AdvancedQueries {
         SELECT ticker, strftime(event_day, '%Y-%m-%d') AS day, id, close, close_split,
           close_split * (grun / grun_last) AS close_tr
         FROM g2 ORDER BY ticker, day""")),
+
+    // ---- Training-data chunking: overlapping token windows, one row
+    // per chunk (the engine's generator/explode operator family) ----
+    QueryDef("qt5_chunk_explode",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), chunkSize = 32, overlap = 8)))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          TextOps.hash60(col("col")).as("chunk_hash"),
+          size(split(col("col"), " ")).as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH d AS (SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) AS nt,
+          CASE WHEN len(toks) <= 32 THEN 1 ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc
+          FROM d),
+        u AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
+        e AS (SELECT doc_id, i - 1 AS chunk_id,
+            array_to_string(toks[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ') AS chunk
+          FROM u)
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash,
+          CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
+        FROM e ORDER BY doc_id, chunk_id""")),
+
+    // ---- Deterministic train/val/test split: content-independent
+    // md5-hash bucket of the id — stable across runs and engines ----
+    QueryDef("qt6_hash_split",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          (TextOps.hash60(col("doc_id").cast("string")) % 100).as("bucket"),
+          TextOps.hashSplit(col("doc_id"), Seq(90, 95),
+            Seq("train", "val", "test")).as("split"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id""")),
 
     // ---- Skew-salted join: must be result-identical to the plain join
     // it replaces. Oracle: the plain SQL join + aggregate. ----

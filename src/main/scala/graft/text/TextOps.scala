@@ -102,4 +102,33 @@ object TextOps {
     */
   def fingerprintMd5(text: Column): Column = md5(norm(text))
   def fingerprint60(text: Column): Column = hash60(norm(text))
+
+  /** Overlapping token-window chunks — the training-data chunking
+    * primitive (explode downstream for one row per chunk). Chunk i
+    * covers tokens [i·stride, i·stride + chunkSize) of the normalized
+    * text, stride = chunkSize − overlap; the final chunk may be short.
+    * Documents at or under chunkSize yield exactly one chunk.
+    */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val n = when(size(toks) <= chunkSize, lit(1))
+      .otherwise(((size(toks) - chunkSize + (stride - 1)) / stride).cast("int") + 1)
+    transform(sequence(lit(0), n - 1), i =>
+      concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+  }
+
+  /** Deterministic corpus split by content-independent hash of the id:
+    * stable across runs/engines (md5-based hash60), stratified by the
+    * given percentage cut points, e.g. Seq(90, 95) -> train/val/test.
+    */
+  def hashSplit(id: Column, cuts: Seq[Int], names: Seq[String]): Column = {
+    require(names.length == cuts.length + 1, "need one more name than cut")
+    val bucket = hash60(id.cast("string")) % 100
+    cuts.zip(names).foldRight(lit(names.last): Column) { case ((cut, name), acc) =>
+      when(bucket < cut, name).otherwise(acc)
+    }
+  }
 }
