@@ -15,7 +15,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_agg_pricing", "q02_filter_project", "q03_join_nation_revenue",
         "q04_semi_join", "q06_asof_next_purchase", "q17_pit_versions",
-        "qd3_minhash_lsh", "qt4_rolling_fingerprint")
+        "qd3_minhash_lsh", "qd5_ngram_jaccard", "q32_adjusted_close",
+        "qt4_rolling_fingerprint")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
