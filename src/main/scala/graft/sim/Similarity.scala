@@ -101,16 +101,48 @@ object Similarity {
     * positive. The hyperplanes are deterministic ±1 weights derived from
     * md5 parity of "p:i" — no RNG state, any engine derives the same
     * planes. SQL-expression form (takes the column NAME) so the shift
-    * amount can be a column.
+    * amount can be a column. `table` offsets the plane family so
+    * independent tables get independent hyperplanes.
     */
-  def lshBucketPacked(vecExpr: String, planes: Int): Column = {
+  def lshBucketPacked(vecExpr: String, planes: Int, table: Int = 0): Column = {
+    val off = table * 1000
     expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
       acc + if(
         aggregate(zip_with($vecExpr, sequence(0, size($vecExpr) - 1), (x, i) ->
           cast(x as double) * if(bit_count(cast(conv(substring(md5(
-            concat(cast(p as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint)) % 2 = 0,
+            concat(cast(p + $off as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint)) % 2 = 0,
             1.0D, -1.0D)),
         0.0D, (s, x) -> s + x) > 0.0D,
         shiftleft(1L, p), 0L))""")
+  }
+
+  /** Multi-table LSH ANN (OR-amplification): candidates share a bucket
+    * in ANY of `tables` independent hyperplane families — recall rises
+    * roughly as 1-(1-p^planes)^tables while each table's bucket join
+    * stays an equi-join. Candidates are deduped per (query, neighbor)
+    * before exact scoring, so a pair colliding in several tables is
+    * scored once.
+    */
+  def lshTopKMulti(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
+    val tabs = array((0 until tables).map(t =>
+      lshBucketPacked(vecCol, planes, t) * lit(tables) + t): _*)
+    val qTabs = array((0 until tables).map(t =>
+      lshBucketPacked(qVecCol, planes, t) * lit(tables) + t): _*)
+    val cb = spread(corpus).withColumn("bucket", explode(tabs))
+    val qb = queries.withColumn("qbucket", explode(qTabs))
+    val cands = cb.join(broadcast(qb),
+        col("bucket") === col("qbucket") && col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        col(vecCol), col(qVecCol))
+      .dropDuplicates(qIdCol, "neighbor_id")
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .select(col(qIdCol), col("neighbor_id"),
+        cosine(col(vecCol), col(qVecCol)).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
