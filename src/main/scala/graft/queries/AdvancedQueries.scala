@@ -89,6 +89,20 @@ object AdvancedQueries {
       },
       None),
 
+    // ---- Multi-table LSH ANN (OR-amplification): rows-only like qs4;
+    // recall dominance over single-table is asserted in SimilaritySpec ----
+    QueryDef("qs5_lsh_multi_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        Similarity.lshTopKMulti(e, q, "vec_id", "embedding", "query_id", "qe",
+            k = 5, planes = 4, tables = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
     QueryDef("qm1_media_sniff",
