@@ -256,6 +256,28 @@ object AdvancedQueries {
           CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
         FROM e ORDER BY doc_id, chunk_id""")),
 
+    // ---- Quantile-trim quality filter: keep docs inside the exact
+    // [p10, p90] band of a quality metric — the percentile-cutoff
+    // operator of corpus curation. Exact interpolated percentile
+    // (Spark `percentile` ≡ DuckDB `quantile_cont` on doubles,
+    // bit-checked), broadcast as a 1-row cutoff table. ----
+    QueryDef("qt7_quantile_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+        val cuts = d.agg(
+          expr("percentile(v, 0.1)").as("lo"),
+          expr("percentile(v, 0.9)").as("hi"))
+        d.crossJoin(broadcast(cuts))
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .select(col("doc_id"), col("v"), col("lo"), col("hi"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        c AS (SELECT quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi FROM s)
+        SELECT doc_id, v, lo, hi FROM s, c
+        WHERE v >= lo AND v <= hi ORDER BY doc_id""")),
+
     // ---- Deterministic train/val/test split: content-independent
     // md5-hash bucket of the id — stable across runs and engines ----
     QueryDef("qt6_hash_split",
