@@ -140,24 +140,35 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, broadcastFingerprints: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4x15-bit banding is only complete for Hamming <= 3")
+    // fingerprint table is persisted: it feeds the band join (twice) and
+    // both verification attaches
     val sh = spread(docs)
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
       .withColumn("toks_h", tokenHashes(col("toks")))
       .withColumn("simhash", simhash60("toks_h"))
       .select(col("doc"), col("simhash"))
-    val banded = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .persist()
+    // Slim candidate stream: (doc, packed band-index·2^15 + band-key
+    // long) only — carrying the two 8-byte fingerprints through the
+    // quadratic pair dedup measured 3.5x slower. Fingerprints re-attach
+    // after the dedup (broadcast by default; the (doc, long) table is
+    // 16 bytes/doc, shuffle-join it at lake scale instead).
+    val banded = sh
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
         expr("(shiftright(simhash, band * 15) & 32767)"))
-    banded.as("a")
+      .select(col("doc"), (col("band") * 32768 + col("band_key")).as("bk"))
+    val cands = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    def maybeBc(df: DataFrame) = if (broadcastFingerprints) broadcast(df) else df
+    cands
+      .join(maybeBc(sh.select(col("doc").as("id_a"), col("simhash").as("sh_a"))), "id_a")
+      .join(maybeBc(sh.select(col("doc").as("id_b"), col("simhash").as("sh_b"))), "id_b")
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
