@@ -205,20 +205,44 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5,
-      broadcastSets: Boolean = true): DataFrame = {
+      broadcastSets: Boolean = true,
+      broadcastDocFreq: Boolean = true): DataFrame = {
     val grams = spread(docs).select(col(idCol).as("doc"),
       graft.functions.WordNgramHashes
         .word_ngram_hashes(col(textCol), n).as("gh")).persist()
     val inv = grams.select(col("doc"), explode(col("gh")).as("g"))
     // global rare-first order: (document frequency, gram hash)
     val df_ = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc"))
-    val ranked = inv.join(df_, "g")
-      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("g"))))
-      .withColumn("ng", count(lit(1)).over(wDoc))
-    val prefix = ranked
-      .filter(col("pos") <= col("ng") - ceil(col("ng") * threshold) + 1)
-      .select(col("doc"), col("g"), col("pos"), col("ng"))
+    // prefix = the |G| - ceil(t·|G|) + 1 rarest grams of each doc,
+    // with their rank and the doc's gram count (for the positional
+    // bound). Two routes to the same rows:
+    val prefix = if (broadcastDocFreq) {
+      // vocabulary fits the driver (bench / dimension-sized corpora):
+      // ship the (gram -> df) map and cut the prefix inside each doc's
+      // array in one pass — no inverted-index join, no ranking window.
+      val spark = grams.sparkSession
+      import spark.implicits._
+      val dfMap = spark.sparkContext.broadcast(
+        df_.as[(Long, Long)].collect().toMap)
+      grams.as[(Long, Array[Long])].flatMap { case (doc, gh) =>
+        val m = dfMap.value
+        val ng = gh.length
+        val p = ng - math.ceil(ng * threshold).toInt + 1
+        gh.map(g => (m(g), g)).sorted.iterator.take(p).zipWithIndex.map {
+          case ((_, g), i) => (doc, g, i + 1, ng)
+        }
+      }.toDF("doc", "g", "pos", "ng")
+    } else {
+      // lake scale: vocabulary exceeds the driver — rank through the
+      // inverted index (one aggregate shuffle + one window sort)
+      val wDoc = Window.partitionBy(col("doc"))
+      inv.join(df_, "g")
+        .withColumn("pos",
+          row_number().over(wDoc.orderBy(col("df"), col("g"))))
+        .withColumn("ng", count(lit(1)).over(wDoc))
+        .filter(col("pos") <= col("ng") - ceil(col("ng") * threshold) + 1)
+        .select(col("doc"), col("g"), col("pos"), col("ng"))
+    }
     val minOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.ng") + col("b.ng")))
     val cands = prefix.as("a")
