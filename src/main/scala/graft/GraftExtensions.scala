@@ -21,7 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""), builder))
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "",
+          "", "", "built-in"), builder))
     }
 }
 

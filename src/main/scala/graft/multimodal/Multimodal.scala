@@ -95,4 +95,50 @@ object Multimodal {
     */
   def repartitionForDecode(media: DataFrame, partitions: Int): DataFrame =
     media.repartition(partitions, abs(hash(col("media_id"), md5(col("bytes")))))
+
+  /** Resize-stage STUB: batched per-partition iteration producing the
+    * target-box dimensions with aspect ratio preserved. The geometry is
+    * REAL (fit-within-box math on the decoded dimensions); only the
+    * pixel resampling a codec would do is absent. Input needs
+    * (media_id, decoded_width, decoded_height) — compose after
+    * [[decodeStub]].
+    */
+  def resizeStub(decoded: DataFrame, maxW: Int, maxH: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val out = decoded.select(col("media_id"),
+        col("decoded_width"), col("decoded_height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // <-- real resampler would process `batch` here
+          batch.iterator.map { case (id, w, h) =>
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / math.max(w, 1),
+                maxH.toDouble / math.max(h, 1)))
+            (id, math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          }
+        }
+      }.toDF("media_id", "resized_width", "resized_height")
+    decoded.join(out, "media_id")
+  }
+
+  /** Frame-sampling STUB for video payloads: emits one row per sampled
+    * frame — frame index every `everyNth` of a deterministic
+    * payload-derived frame count, with a per-frame content key
+    * (md5 of payload + frame index; a real decoder hashes the decoded
+    * frame). The generator shape (explode to frame granularity with
+    * ordinal + key) is the real part.
+    */
+  def frameSampleStub(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val frameCount = (length(col("bytes")) % 240 + 1).cast("int")
+    media.select(col("media_id"), col("bytes"), frameCount.as("n_frames"))
+      .withColumn("frame_index",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
+      .select(col("media_id"), col("n_frames"), col("frame_index"),
+        md5(concat(col("bytes"), col("frame_index").cast("string")))
+          .as("frame_key"))
+  }
 }

@@ -294,6 +294,28 @@ object AdvancedQueries {
                ELSE 'test' END AS split
           FROM documents ORDER BY doc_id""")),
 
+    // ---- Video frame-sampling plumbing: one row per every-3rd frame
+    // of a deterministic payload-derived frame count, with per-frame
+    // content keys. Payload here is the raw utf-8 text (no magic
+    // bytes) so the oracle can reproduce the md5 keys — DuckDB's md5
+    // is VARCHAR-only. ----
+    QueryDef("qm3_frame_sample",
+      (s, dir) => {
+        val media = t(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        Multimodal.frameSampleStub(media, everyNth = 3)
+          .orderBy(col("media_id"), col("frame_index"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+          CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS n_frames
+          FROM documents),
+        f AS (SELECT media_id, text, n_frames,
+          unnest(range(0, n_frames, 3)) AS frame_index FROM m)
+        SELECT media_id, n_frames, CAST(frame_index AS INT) AS frame_index,
+          md5(text || CAST(frame_index AS VARCHAR)) AS frame_key
+        FROM f ORDER BY media_id, frame_index""")),
+
     // ---- Skew-salted join: must be result-identical to the plain join
     // it replaces. Oracle: the plain SQL join + aggregate. ----
     QueryDef("qx1_salted_join",

@@ -47,4 +47,34 @@ class MultimodalSpec extends SparkTestBase {
       .select($"decoded_bytes").as[Long].head()
     assert(r == 16L)
   }
+
+  test("resize stub fits within the box, preserves aspect, keeps ids") {
+    val decoded = Multimodal.decodeStub(media)
+    val out = Multimodal.resizeStub(decoded, maxW = 20, maxH = 12)
+    assert(out.count() === 5)
+    out.select($"decoded_width", $"decoded_height",
+        $"resized_width", $"resized_height")
+      .as[(Int, Int, Int, Int)].collect().foreach { case (w, h, rw, rh) =>
+        assert(rw <= 20 && rh <= 12)
+        // aspect preserved within integer truncation
+        assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.5, s"$w x $h -> $rw x $rh")
+      }
+  }
+
+  test("frame sampling explodes to every-nth frame with ordinal + key") {
+    val out = Multimodal.frameSampleStub(media, everyNth = 3)
+    val byId = out.groupBy($"media_id")
+      .agg(max($"n_frames").as("nf"), count(lit(1)).as("n"),
+        countDistinct($"frame_key").as("dk"))
+      .as[(Long, Int, Long, Long)].collect()
+    assert(byId.length === 5)
+    byId.foreach { case (_, nf, n, dk) =>
+      assert(n === (nf + 2) / 3) // ceil(nf / 3): frames 0, 3, 6, ...
+      assert(dk === n)           // one distinct key per sampled frame
+    }
+    // deterministic: same payload, same keys
+    val again = Multimodal.frameSampleStub(media, everyNth = 3)
+    assert(out.orderBy($"media_id", $"frame_index").collect().toSeq ===
+      again.orderBy($"media_id", $"frame_index").collect().toSeq)
+  }
 }
