@@ -82,4 +82,29 @@ object BarsIngest {
     manifest(spark, lakeRoot)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(out)
+
+  /** Incremental manifest maintenance: scan ONLY the partition paths
+    * touched by a new drop and merge into the previous manifest. Every
+    * prior entry UNDER a touched path is evicted first — a dynamic
+    * partition overwrite deletes the old files and writes new names, so
+    * matching on file paths would leave stale entries for files that no
+    * longer exist. At lake scale this turns the nightly manifest job
+    * from a 100 TB rescan into a scan of the day's drop.
+    */
+  def mergeManifest(
+      spark: SparkSession, prevManifest: DataFrame,
+      lakeRoot: String, newPaths: Seq[String]): DataFrame = {
+    // basePath keeps the hive partition columns (ticker/year/month)
+    // resolvable when reading partition subdirectories directly
+    val delta = spark.read.option("basePath", lakeRoot).parquet(newPaths: _*)
+      .groupBy(col("ticker"), input_file_name().as("path"))
+      .agg(
+        min(col("datetime")).as("start"),
+        max(col("datetime")).as("end"),
+        count(lit(1)).as("rows"))
+    val underTouched = newPaths
+      .map(p => col("path").contains(p.stripPrefix("file:")))
+      .reduce(_ || _)
+    prevManifest.filter(!underTouched).unionByName(delta)
+  }
 }

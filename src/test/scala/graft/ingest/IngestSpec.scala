@@ -55,6 +55,51 @@ class IngestSpec extends SparkTestBase {
     assert(aapl == 2L)
   }
 
+  test("incremental manifest merge equals a full rebuild after a re-drop") {
+    // self-contained mini-lake (the shared fixture must stay unmutated)
+    val root = s"$tmp/lake_mm"
+    val header = "ticker,window_start,open,high,low,close,volume,transactions,vwap"
+    def epochMs(day: String) = java.sql.Timestamp.valueOf(s"$day 21:00:00").getTime
+    writeGz(s"$tmp/mm_drop1.csv.gz", Seq(header,
+      s"aapl,${epochMs("2024-01-02")},1,2,0.5,1.5,100,5,1.2",
+      s"aapl,${epochMs("2024-02-01")},2,3,1.5,2.5,200,6,2.2",
+      s"msft,${epochMs("2024-01-02")},5,6,4.5,5.5,300,7,5.2"))
+    BarsIngest.ingest(spark, s"$tmp/mm_drop1.csv.gz", root, timeframe = "day")
+    val full0 = BarsIngest.manifest(spark, root).collect()
+    val full0Df = spark.createDataFrame(
+      spark.sparkContext.parallelize(full0.toSeq),
+      BarsIngest.manifest(spark, root).schema)
+    // re-drop via dynamic partition overwrite (the St3 mechanism):
+    // AAPL 2024-01 is recomputed with an extra row; other partitions
+    // stay untouched on disk
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.option("basePath", root).parquet(s"$root/ticker=AAPL/year=2024/month=1")
+        .unionByName(spark.read.option("basePath", root)
+          .parquet(s"$root/ticker=AAPL/year=2024/month=1")
+          .withColumn("datetime",
+            org.apache.spark.sql.functions.expr("datetime + INTERVAL 13 DAYS")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("ticker", "year", "month").parquet(root)
+    } finally {
+      prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val part = s"$root/ticker=AAPL/year=2024/month=1"
+    val merged = BarsIngest.mergeManifest(spark, full0Df, root, Seq(part))
+    val rebuilt = BarsIngest.manifest(spark, root)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"ticker", $"path", $"start", $"end", $"rows")
+        .orderBy($"path").collect().toSeq
+    assert(canon(merged) === canon(rebuilt))
+    // the replaced AAPL-Jan file now counts 2 rows
+    assert(merged.filter($"ticker" === "AAPL" && $"path".contains("month=1"))
+      .agg(sum($"rows")).as[Long].head() === 2L)
+  }
+
   test("LakeReader prunes by ticker + range and pads missing columns") {
     val got = LakeReader.read(spark, lakeRoot,
       tickers = Seq("aapl"),
