@@ -75,6 +75,9 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6,
       broadcastSets: Boolean = true): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands " +
+        "(trailing signature values would be silently excluded from every band)")
     val rows = k / bands
     val withSets = spread(docs)
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))

@@ -102,8 +102,12 @@ object BarsIngest {
         min(col("datetime")).as("start"),
         max(col("datetime")).as("end"),
         count(lit(1)).as("rows"))
+    // Match on a directory boundary (trailing "/"): a raw substring
+    // match on ".../month=1" would also evict entries under month=10/11/12
+    // without re-adding them (the delta only scanned month=1), silently
+    // losing files from the merged manifest.
     val underTouched = newPaths
-      .map(p => col("path").contains(p.stripPrefix("file:")))
+      .map(p => col("path").contains(p.stripPrefix("file:").stripSuffix("/") + "/"))
       .reduce(_ || _)
     prevManifest.filter(!underTouched).unionByName(delta)
   }

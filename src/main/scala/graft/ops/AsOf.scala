@@ -62,9 +62,9 @@ object AsOf {
     require(!valueCols.exists(leftCols.contains),
       s"valueCols ${valueCols.mkString(",")} collide with left columns")
 
-    // Right side: only keys + time + carried values. If several right rows
-    // share a timestamp, keep one deterministically (first by value order)
-    // so `first over` is well-defined.
+    // Right side: only keys + time + carried values. Determinism for
+    // right rows sharing a timestamp comes from the window orderBy below,
+    // which extends (time, side) with the value columns themselves.
     val r = right
       .select((keys.map(col) :+ col(rTime).as(time)) ++ valueCols.map(col): _*)
       .withColumn(SideCol, lit(1))
@@ -88,9 +88,15 @@ object AsOf {
     // [current, following] from a left row still sees the same-time right
     // row ⇒ exact matches allowed); backward ⇒ right first, symmetric.
     val sideOrder = if (forward) col(SideCol).asc else col(SideCol).desc
+    // Tie-break among right rows sharing (keys, time): order by the value
+    // columns so the picked row is the one with the smallest value tuple
+    // in BOTH directions (asc for `first` forward, desc for `last`
+    // backward). Without this, first/last ignoring nulls picks
+    // nondeterministically among equal-time right rows.
+    val valueOrder = valueCols.map(c => if (forward) col(c).asc else col(c).desc)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, sideOrder)
+      .orderBy(col(time).asc +: sideOrder +: valueOrder: _*)
     val frame =
       if (forward) w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

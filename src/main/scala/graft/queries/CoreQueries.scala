@@ -487,7 +487,7 @@ object CoreQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type"""))

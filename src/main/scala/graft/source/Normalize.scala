@@ -62,12 +62,19 @@ object Normalize {
     */
   def sniffTimestamp(c: Column): Column = {
     val digits = c.cast("string").rlike("^[0-9]+(\\.0+)?$")
-    val v = c.cast("double")
+    // Integer epochs stay in exact arithmetic: nanosecond values (~1.7e18)
+    // exceed double's 2^53 integer range, so a double round-trip can be
+    // off by a microsecond or more. decimal(20,0) holds the full range
+    // (and absorbs a literal ".0" suffix); the ns→µs division runs in
+    // decimal (exact quotient) — Column./ on longs would promote to
+    // double and reintroduce the precision loss.
+    val d = c.cast("decimal(20,0)")
+    val v = d.cast("long")
     when(digits,
-      when(v > 1e17, timestamp_micros((v / 1e3).cast("long")))
-        .when(v > 1e14, timestamp_micros(v.cast("long")))
-        .when(v > 1e11, timestamp_millis(v.cast("long")))
-        .otherwise(timestamp_seconds(v.cast("long"))))
+      when(v > 100000000000000000L, timestamp_micros(floor(d / 1000).cast("long")))
+        .when(v > 100000000000000L, timestamp_micros(v))
+        .when(v > 100000000000L, timestamp_millis(v))
+        .otherwise(timestamp_seconds(v)))
       .otherwise(to_timestamp(c.cast("string")))
   }
 

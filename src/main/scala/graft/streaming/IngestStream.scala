@@ -47,9 +47,14 @@ object IngestStream {
       .option("header", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(watchDir)
+    // Same null-partition drop as the batch path (BarsIngest.ingest):
+    // rows whose datetime fails to parse must not land in
+    // year=__HIVE_DEFAULT_PARTITION__ — both ingest paths produce the
+    // same lake for the same malformed input.
     val bars = Normalize.normalizeBars(raw)
       .withColumn("year", year(col("datetime")))
       .withColumn("month", month(col("datetime")))
+      .na.drop(Seq("year", "month"))
     val writer = bars.writeStream
       .format("parquet")
       .option("path", lakeRoot)

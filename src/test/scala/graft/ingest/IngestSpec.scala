@@ -100,6 +100,36 @@ class IngestSpec extends SparkTestBase {
       .agg(sum($"rows")).as[Long].head() === 2L)
   }
 
+  test("manifest merge of month=1 does not evict month=10/11/12 entries") {
+    // path-substring trap: "month=1" is a prefix of "month=10"; the
+    // eviction match must stop at the directory boundary
+    val root = s"$tmp/lake_mm2"
+    val header = "ticker,window_start,open,high,low,close,volume,transactions,vwap"
+    def epochMs(day: String) = java.sql.Timestamp.valueOf(s"$day 21:00:00").getTime
+    writeGz(s"$tmp/mm2_drop1.csv.gz", Seq(header,
+      s"aapl,${epochMs("2024-01-02")},1,2,0.5,1.5,100,5,1.2",
+      s"aapl,${epochMs("2024-10-02")},2,3,1.5,2.5,200,6,2.2",
+      s"aapl,${epochMs("2024-11-04")},3,4,2.5,3.5,300,7,3.2",
+      s"aapl,${epochMs("2024-12-02")},4,5,3.5,4.5,400,8,4.2"))
+    BarsIngest.ingest(spark, s"$tmp/mm2_drop1.csv.gz", root, timeframe = "day")
+    val full0 = BarsIngest.manifest(spark, root).collect()
+    val full0Df = spark.createDataFrame(
+      spark.sparkContext.parallelize(full0.toSeq),
+      BarsIngest.manifest(spark, root).schema)
+    // merge a delta that touches ONLY month=1
+    val part = s"$root/ticker=AAPL/year=2024/month=1"
+    val merged = BarsIngest.mergeManifest(spark, full0Df, root, Seq(part))
+    val rebuilt = BarsIngest.manifest(spark, root)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"ticker", $"path", $"start", $"end", $"rows")
+        .orderBy($"path").collect().toSeq
+    assert(canon(merged) === canon(rebuilt))
+    // month=10/11/12 entries must survive the merge
+    assert(merged.filter($"path".contains("month=10/")).count() === 1L)
+    assert(merged.filter($"path".contains("month=11/")).count() === 1L)
+    assert(merged.filter($"path".contains("month=12/")).count() === 1L)
+  }
+
   test("LakeReader prunes by ticker + range and pads missing columns") {
     val got = LakeReader.read(spark, lakeRoot,
       tickers = Seq("aapl"),

@@ -45,6 +45,20 @@ class AsOfSpec extends SparkTestBase {
     assert(out("early").isEmpty)
   }
 
+  test("equal-time right rows resolve to the smallest value tuple, both directions") {
+    // two right rows share (k, time); the tie must break deterministically
+    // to the smallest value in BOTH directions
+    val right = Seq(("A", d("2024-01-05"), "v2"), ("A", d("2024-01-05"), "v1"))
+      .toDF("k", "day", "pick")
+    val events = Seq(("A", d("2024-01-04"), "fwd"), ("A", d("2024-01-06"), "bwd"))
+      .toDF("k", "edate", "tag")
+    val fwd = AsOf.joinForward(events.filter($"tag" === "fwd"), right,
+      Seq("k"), "edate", "day", Seq("pick")).select($"pick").as[String].head()
+    val bwd = AsOf.joinBackward(events.filter($"tag" === "bwd"), right,
+      Seq("k"), "edate", "day", Seq("pick")).select($"pick").as[String].head()
+    assert(fwd == "v1" && bwd == "v1")
+  }
+
   test("keys do not leak matches across groups") {
     val events = Seq(("B", d("2024-01-05"), "bLate")).toDF("k", "edate", "tag")
     val out = AsOf.joinForward(events, days, Seq("k"), "edate", "day", Seq("snap"))

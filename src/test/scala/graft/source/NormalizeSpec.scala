@@ -39,6 +39,15 @@ class NormalizeSpec extends SparkTestBase {
     assert(df.as[Long].collect().toSeq == Seq.fill(5)(base))
   }
 
+  test("nanosecond epochs convert with exact integer arithmetic") {
+    // 1455200494606748983 ns: the double path (v/1e3 after a double cast)
+    // rounds this UP to ...749 µs; the exact floor is ...748 µs. Doubles
+    // have a 2^53 integer range; ns epochs (~1.7e18) exceed it.
+    val df = Seq("1455200494606748983").toDF("raw")
+      .select(unix_micros(Normalize.sniffTimestamp($"raw")).as("us"))
+    assert(df.as[Long].head() == 1455200494606748L)
+  }
+
   test("symbol normalization: separators to dots, collapse, strip") {
     val df = Seq("brk/b", "BRK-B", "BRK^B", "BRK B", "BRK..B", ".BRK.")
       .toDF("s").select(Normalize.normalizeSymbol($"s").as("n"))
