@@ -24,7 +24,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Cache lifecycle: each query persists its own intermediates
+      // (MEMORY_AND_DISK); without an unpersist they accumulate across
+      // all ~50 queries and squeeze the unified memory pool — under box
+      // pressure the dedup kernels then spill/recompute 10x slower.
+      // Dropping the previous query's caches (outside its timed window)
+      // gives every query a clean storage pool.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

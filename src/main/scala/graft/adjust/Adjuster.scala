@@ -2,6 +2,7 @@ package graft.adjust
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Factor application + materialization — builds the adjusted lake from
   * raw bars and refdata dims (reference pipeline stages 3-10,
@@ -35,7 +36,7 @@ object Adjuster {
       materialize: String = MaterializeClose): DataFrame = {
     val withId = Factors.attachId(bars, securityMaster)
       .repartition(col("id"))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val days = Factors.idDays(withId)
     val sf = Factors.splitFactorGrid(days, splits)
 
@@ -46,7 +47,7 @@ object Adjuster {
       .withColumn("close_split", col("close") * col("split_price_factor"))
       .withColumn("volume_split",
         (col("volume") * col("split_volume_factor")).cast("double"))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Day-level base: the (last) split-adjusted close of each trading
     // day — for day bars this is the row itself; for minute bars the

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextOps
 
@@ -84,7 +85,7 @@ object Dedup {
       // intersections run on sorted 60-bit hashes: fixed 8-byte compares
       // instead of variable-length strings on the quadratic kernel
       .withColumn("toks_h", array_sort(tokenHashes(col("toks"))))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Slim candidate generation: the band self-join carries ONLY
     // (doc, 60-bit band key) — shipping token arrays through a join
     // whose output is quadratic in bucket size multiplies shuffle volume
@@ -152,7 +153,7 @@ object Dedup {
       .withColumn("toks_h", tokenHashes(col("toks")))
       .withColumn("simhash", simhash60("toks_h"))
       .select(col("doc"), col("simhash"))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Slim candidate stream: (doc, packed band-index·2^15 + band-key
     // long) only — carrying the two 8-byte fingerprints through the
     // quadratic pair dedup measured 3.5x slower. Fingerprints re-attach
@@ -212,7 +213,7 @@ object Dedup {
       broadcastDocFreq: Boolean = true): DataFrame = {
     val grams = spread(docs).select(col(idCol).as("doc"),
       graft.functions.WordNgramHashes
-        .word_ngram_hashes(col(textCol), n).as("gh")).persist()
+        .word_ngram_hashes(col(textCol), n).as("gh")).persist(StorageLevel.MEMORY_AND_DISK)
     val inv = grams.select(col("doc"), explode(col("gh")).as("g"))
     // global rare-first order: (document frequency, gram hash)
     val df_ = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 import graft.adjust.Factors
 import graft.model.Tables
@@ -25,6 +26,40 @@ object AdvancedQueries {
     Tables.load(s, dir, n)
 
   private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Embeddings table width — fixed by the testdata generator; the LSH
+    * oracle embeds per-dimension weight literals so it needs the dim
+    * statically.
+    */
+  private val EmbeddingDim = 64
+
+  /** DuckDB-side packed hyperplane bucket: the SAME ±1 md5-parity
+    * weights the engine derives ([[graft.functions.HyperplanePack
+    * .planeWeights]]) embedded as list literals, folded in the same
+    * 0.0-seeded ascending-index order — buckets match the codegen
+    * expression bit-for-bit.
+    */
+  private def lshBucketSql(vec: String, planes: Int, table: Int): String = {
+    val w = graft.functions.HyperplanePack.planeWeights(planes, table, EmbeddingDim)
+    (0 until planes).map { p =>
+      val lits = w(p).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(range(1, ${EmbeddingDim + 1}), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * CAST(($lits)[i] AS DOUBLE)), " +
+        s"(x, y) -> x + y) > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Exact cosine in DuckDB — same IEEE op sequence as
+    * [[graft.sim.Similarity.cosine]] (qs3-validated form).
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len($b) + 1),
+          i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)))"""
 
   /** Documents table dressed up as a media table: a real container magic
     * number (by doc_id mod 3) prepended to the utf-8 payload. Exercises
@@ -75,8 +110,11 @@ object AdvancedQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- LSH ANN (hyperplane sign buckets): genuinely approximate —
-    // rows-only check; recall vs brute force is asserted in SimSpec. ----
+    // ---- LSH ANN (hyperplane sign buckets): approximate vs brute
+    // force, but DETERMINISTIC — the md5-parity hyperplanes are pure
+    // arithmetic, so the oracle replays the exact bucket assignment
+    // (same weights as list literals) and checks rows/schema/hash
+    // bit-for-bit. Recall vs brute force is asserted in SimilaritySpec. ----
     QueryDef("qs4_lsh_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -87,10 +125,25 @@ object AdvancedQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+          ${lshBucketSql("embedding", planes = 6, table = 0)} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+          FROM b WHERE vec_id < 8),
+        sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${cosineSql("c.embedding", "q.qe")} AS cosine
+          FROM b c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sc)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- Multi-table LSH ANN (OR-amplification): rows-only like qs4;
-    // recall dominance over single-table is asserted in SimilaritySpec ----
+    // ---- Multi-table LSH ANN (OR-amplification): exact-oracled like
+    // qs4 — candidates share a bucket in ANY of the 8 plane families
+    // (OR chain over per-table bucket equalities), deduped, then exact
+    // cosine rank. Recall dominance over single-table is asserted in
+    // SimilaritySpec. ----
     QueryDef("qs5_lsh_multi_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -101,7 +154,30 @@ object AdvancedQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some {
+        val nTables = 8
+        val bucketCols = (0 until nTables).map(tb =>
+          s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
+        val anyMatch = (0 until nTables).map(tb => s"c.b$tb = q.qb$tb").mkString(" OR ")
+        val qAliases = (0 until nTables).map(tb => s"b$tb AS qb$tb").mkString(", ")
+        s"""WITH b AS (SELECT vec_id, embedding,
+          $bucketCols
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, $qAliases
+          FROM b WHERE vec_id < 8),
+        cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          FROM b c JOIN q ON ($anyMatch) AND c.vec_id <> q.query_id),
+        sc AS (SELECT cand.query_id, cand.neighbor_id,
+            ${cosineSql("cv.embedding", "qv.embedding")} AS cosine
+          FROM cand
+          JOIN b cv ON cv.vec_id = cand.neighbor_id
+          JOIN b qv ON qv.vec_id = cand.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sc)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
 
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
@@ -170,7 +246,7 @@ object AdvancedQueries {
         // of re-running the scan→aggregate→PIT-attach chain per branch
         val withId = Factors.attachId(bars, sm)
           .repartition(col("id"))
-          .persist()
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val days = Factors.idDays(withId)
         val sgrid = Factors.splitFactorGrid(days, splits, exact = true)
         val dayBase = withId.join(sgrid, Seq("id", "event_day"), "left")

@@ -100,21 +100,14 @@ object Similarity {
   /** Packed sign-bit bucket: bit p set iff the projection onto plane p is
     * positive. The hyperplanes are deterministic ±1 weights derived from
     * md5 parity of "p:i" — no RNG state, any engine derives the same
-    * planes. SQL-expression form (takes the column NAME) so the shift
-    * amount can be a column. `table` offsets the plane family so
-    * independent tables get independent hyperplanes.
+    * planes (the DuckDB oracle embeds [[graft.functions.HyperplanePack
+    * .planeWeights]] as literals). `table` offsets the plane family so
+    * independent tables get independent hyperplanes. Native codegen
+    * Expression: weights are derived once per JVM, not per row — the
+    * old HOF form recomputed planes × dim md5 hashes per row.
     */
-  def lshBucketPacked(vecExpr: String, planes: Int, table: Int = 0): Column = {
-    val off = table * 1000
-    expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-      acc + if(
-        aggregate(zip_with($vecExpr, sequence(0, size($vecExpr) - 1), (x, i) ->
-          cast(x as double) * if(bit_count(cast(conv(substring(md5(
-            concat(cast(p + $off as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint)) % 2 = 0,
-            1.0D, -1.0D)),
-        0.0D, (s, x) -> s + x) > 0.0D,
-        shiftleft(1L, p), 0L))""")
-  }
+  def lshBucketPacked(vecExpr: String, planes: Int, table: Int = 0): Column =
+    graft.functions.HyperplanePack.hyperplane_pack(col(vecExpr), planes, table)
 
   /** Multi-table LSH ANN (OR-amplification): candidates share a bucket
     * in ANY of `tables` independent hyperplane families — recall rises
