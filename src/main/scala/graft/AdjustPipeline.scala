@@ -51,7 +51,7 @@ object AdjustPipeline {
 
     val written = spark.read.parquet(s"$outRoot/adjusted")
     println(s"adjusted rows: ${written.count()}")
-    Adjuster.auditSummary(written, dividends)
+    Adjuster.auditSummary(written, splits, dividends)
       .orderBy(col("ticker"))
       .show(50, truncate = false)
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.ops.Cumulative
+
 /** Factor application + materialization — builds the adjusted lake from
   * raw bars and refdata dims (reference pipeline stages 3-10,
   * legacy_scripts/factor_builder.py:1125-1166; column policy :466-476).
@@ -33,12 +35,17 @@ object Adjuster {
       securityMaster: DataFrame,
       splits: DataFrame,
       dividends: DataFrame,
-      materialize: String = MaterializeClose): DataFrame = {
+      materialize: String = MaterializeClose,
+      detectGaps: Boolean = false): DataFrame = {
     val withId = Factors.attachId(bars, securityMaster)
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val days = Factors.idDays(withId)
-    val sf = Factors.splitFactorGrid(days, splits)
+    // detectGaps (reference CLI default for minute streaming, disabled
+    // by --no-detect-split-gaps): overnight price gaps that round to a
+    // clean split ratio recover splits missing/mis-dated in refdata
+    val edges = if (detectGaps) Some(Factors.dayEdges(withId)) else None
+    val sf = Factors.splitFactorGrid(days, splits, edges = edges)
 
     val withSplit = withId
       .join(sf, Seq("id", "event_day"), "left")
@@ -92,21 +99,80 @@ object Adjuster {
     case other => throw new IllegalArgumentException(s"unknown materialize policy: $other")
   }
 
-  /** Per-id audit summary (factor_builder.py:568-602 `_event_summary`):
-    * trading days, span, cumulative split ratio (volume factor of the
-    * first day = total forward split product), total dividend cash.
+  /** Per-id audit summary (factor_builder.py:568-643 `_write_summary_csv`
+    * / `_event_summary`): trading days, span, last bar timestamp,
+    * cumulative split ratio (volume factor of the first day = total
+    * forward split product), per-event-family alignment stats —
+    * events_aligned count, last RAW event date vs the trading day it
+    * ALIGNED to (the forward-snap audit trail), dividend day count and
+    * total cash — and the reference's `used_fallback` flag.
+    *
+    * `used_fallback` is constant false here by construction: the
+    * reference sets it when an event only matched through its ±1-day
+    * calendar fallback map (J8); this engine's exact as-of alignment
+    * (AsOf.joinForward) supersedes that path entirely, so no event can
+    * align via fallback. The column is kept for report parity.
     */
-  def auditSummary(adjusted: DataFrame, dividends: DataFrame): DataFrame = {
+  def auditSummary(adjusted: DataFrame, splits: DataFrame,
+      dividends: DataFrame): DataFrame = {
     val perId = adjusted.groupBy(col("id"), col("ticker")).agg(
       countDistinct(col("event_day")).as("n_days"),
       min(col("event_day")).as("first_day"),
       max(col("event_day")).as("last_day"),
+      max(col("datetime")).as("last_datetime"),
       max_by(col("split_volume_factor"), col("datetime")).as("last_svf"),
       min_by(col("split_volume_factor"), col("datetime")).as("first_svf"))
-    val cash = dividends.groupBy(col("ticker"))
-      .agg(sum(col("cash_amount")).as("total_cash"))
-    perId.join(broadcast(cash), Seq("ticker"), "left")
+    val days = adjusted
+      .select(col("id"), col("ticker"), col("event_day")).distinct()
+    // same forward-snap the factor grids use — aligned stats count
+    // exactly the events the factors consumed (post-last-day events
+    // excluded), matching the reference's per-day semantics:
+    // events_aligned = aligned DAYS whose ratio product != 1
+    // (factor_builder.py:280), dividend_event_days = aligned days with
+    // positive cash, total_cash = aligned cash only (:341-342)
+    val splitPerDay = Factors.alignEvents(
+        splits.select(col("ticker"), col("execution_date"), col("ratio")),
+        days, "execution_date")
+      .groupBy(col("snap_id").as("id"), col("snap_day"))
+      .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
+    val splitStats = splitPerDay.groupBy(col("id"))
+      .agg(sum(when(col("day_ratio") =!= 1.0, 1L).otherwise(0L))
+          .as("split_events_aligned"),
+        Cumulative.productAgg(col("day_ratio"), col("day_ratio"))
+          .as("split_cum_ratio"),
+        max(col("snap_day")).as("last_split_aligned_day"))
+    val divPerDay = Factors.alignEvents(
+        dividends.select(col("ticker"), col("ex_date"), col("cash_amount")),
+        days, "ex_date")
+      .groupBy(col("snap_id").as("id"), col("snap_day"))
+      .agg(sum(col("cash_amount")).as("amount"))
+    val divStats = divPerDay.groupBy(col("id"))
+      .agg(sum(when(col("amount") > 0.0, 1L).otherwise(0L))
+          .as("dividend_event_days"),
+        sum(col("amount")).as("total_cash"),
+        max(col("snap_day")).as("last_dividend_aligned_day"))
+    // last RAW event dates are over all events of the ticker, including
+    // ones that never aligned (factor_builder.py:282,343 take ev.max()
+    // before the dropna on alignment)
+    val rawSplitMax = splits.na.drop(Seq("execution_date", "ratio"))
+      .groupBy(col("ticker"))
+      .agg(max(col("execution_date")).as("last_split_raw_date"))
+    val rawDivMax = dividends.na.drop(Seq("ex_date", "cash_amount"))
+      .groupBy(col("ticker"))
+      .agg(max(col("ex_date")).as("last_dividend_raw_date"))
+    perId
+      .join(broadcast(splitStats), Seq("id"), "left")
+      .join(broadcast(divStats), Seq("id"), "left")
+      .join(broadcast(rawSplitMax), Seq("ticker"), "left")
+      .join(broadcast(rawDivMax), Seq("ticker"), "left")
       .withColumn("cum_split_ratio", col("first_svf") / col("last_svf"))
+      .withColumn("split_events_aligned",
+        coalesce(col("split_events_aligned"), lit(0L)))
+      .withColumn("split_cum_ratio", coalesce(col("split_cum_ratio"), lit(1.0)))
+      .withColumn("dividend_event_days",
+        coalesce(col("dividend_event_days"), lit(0L)))
+      .withColumn("total_cash", coalesce(col("total_cash"), lit(0.0)))
+      .withColumn("used_fallback", lit(false))
       .drop("first_svf", "last_svf")
   }
 }

@@ -80,20 +80,67 @@ object Factors {
       .filter(col("snap_day").isNotNull)
   }
 
+  /** Day-edge extraction for gap detection (factor_builder.py:727-744
+    * `_scan_day_edges`): first/last close of each (id, ticker,
+    * event_day) plus the raw overnight gap — first close over the PRIOR
+    * trading day's last close within the id. One aggregate + one lag;
+    * the reference thread-pools per-file pandas reads.
+    */
+  def dayEdges(barsWithId: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
+    barsWithId
+      .groupBy(col("id"), col("ticker"), col("event_day"))
+      .agg(min_by(col("close"), col("datetime")).as("first_close"),
+        max_by(col("close"), col("datetime")).as("last_close"))
+      .withColumn("prev_last", lag(col("last_close"), 1).over(w))
+      .withColumn("raw_gap", col("first_close") / col("prev_last"))
+  }
+
+  /** Split-ratio guess from a raw price gap (factor_builder.py:746-753
+    * `_guess`): nearest of {2,3,4,5,10,20} to the gap (inverted when
+    * < 1), accepted within 15% relative error; null otherwise
+    * (non-positive / null / NaN gaps never match the comparisons).
+    */
+  def splitGapGuess(gap: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cands = array(Seq(2.0, 3.0, 4.0, 5.0, 10.0, 20.0).map(lit): _*)
+    val g2 = when(gap < 1.0, lit(1.0) / gap).otherwise(gap)
+    // argmin by (|g2-c|, c): sort [err, cand] pairs lexicographically
+    val best = element_at(array_sort(transform(cands, c => array(abs(g2 - c), c))), 1)
+    when(gap.isNotNull && gap > 0.0 &&
+      element_at(best, 1) / element_at(best, 2) <= 0.15, element_at(best, 2))
+  }
+
   /** Split factor grid over every trading day of every id:
     * F = running product of day split ratios (non-event days ratio 1),
     * split_price_factor = F / F_final, split_volume_factor = F_final / F.
     * Ratios are > 0 so the log-sum running product is exact enough and
     * single-pass (the exact fold is the test oracle).
+    *
+    * `edges` (from [[dayEdges]]) switches on raw-gap detection
+    * (factor_builder.py:789-814, CLI default unless
+    * `--no-detect-split-gaps`): a day whose overnight gap rounds to a
+    * clean split ratio but has NO similar refdata ratio within ±1
+    * calendar day gets that guessed ratio (recovering splits missing
+    * from refdata); when the similar refdata ratio sits on the NEXT
+    * day, it is moved onto the gap day (refdata execution dates are
+    * often one day late for minute lakes). The reference applies
+    * guesses sequentially in day order; this relational form decides
+    * all guesses against the pre-override grid in one pass — identical
+    * unless two detected gaps land within one day of each other.
     */
   def splitFactorGrid(days: DataFrame, splits: DataFrame,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      edges: Option[DataFrame] = None): DataFrame = {
     val aligned = alignEvents(
       splits.select(col("ticker"), col("execution_date"), col("ratio")),
       days, "execution_date")
-    val dayRatio = aligned
+    val refRatio = aligned
       .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))
       .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
+    val dayRatio = edges match {
+      case None => refRatio
+      case Some(e) => gapOverride(refRatio, e)
+    }
     val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
     val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     days.select(col("id"), col("event_day"))
@@ -106,6 +153,50 @@ object Factors {
       .select(col("id"), col("event_day"),
         (col("F") / col("F_last")).as("split_price_factor"),
         (col("F_last") / col("F")).as("split_volume_factor"))
+  }
+
+  /** Gap-detection override of the refdata day-ratio grid
+    * (factor_builder.py:789-814). For each guessed gap day d:
+    *  - "similar" = any refdata ratio r0 in [d-1, d+1] with
+    *    |r0 / guess| in [0.85, 1.15];
+    *  - no similar ratio → upsert the guess at d (refdata missed the
+    *    split entirely);
+    *  - similar ratio on d+1 within 15% of the guess → drop the d+1 row
+    *    and re-date its event to d (late execution date).
+    * The guess/override tables are split-event-sized — they ride
+    * broadcast anti-joins against the (equally small) day-ratio grid.
+    */
+  private def gapOverride(refRatio: DataFrame, edges: DataFrame): DataFrame = {
+    val g = edges
+      .withColumn("guess", splitGapGuess(col("raw_gap")))
+      .filter(col("guess").isNotNull)
+      .select(col("id").as("gid"), col("event_day").as("gday"), col("guess"))
+    val dec = g
+      .join(refRatio,
+        refRatio("id") === col("gid") &&
+          refRatio("event_day").between(
+            date_sub(col("gday"), 1), date_add(col("gday"), 1)),
+        "left")
+      .groupBy(col("gid"), col("gday"), col("guess"))
+      .agg(
+        max(abs(col("day_ratio") / col("guess")).between(0.85, 1.15))
+          .as("similar"),
+        max(when(col("event_day") === date_add(col("gday"), 1),
+          col("day_ratio"))).as("next_ratio"))
+      .withColumn("similar", coalesce(col("similar"), lit(false)))
+      .withColumn("move_next", col("similar") && col("next_ratio").isNotNull &&
+        abs(col("next_ratio") / col("guess") - 1.0) <= 0.15)
+      .withColumn("apply_guess", !col("similar") || col("move_next"))
+    val deletes = dec.filter(col("move_next"))
+      .select(col("gid").as("id"), date_add(col("gday"), 1).as("event_day"))
+    val upserts = dec.filter(col("apply_guess"))
+      .select(col("gid").as("id"), col("gday").as("event_day"),
+        col("guess").as("day_ratio"))
+    refRatio
+      .join(broadcast(deletes), Seq("id", "event_day"), "left_anti")
+      .join(broadcast(upserts.select(col("id"), col("event_day"))),
+        Seq("id", "event_day"), "left_anti")
+      .unionByName(upserts)
   }
 
   /** Dividend / total-return factor grid. `dayBase` must carry one row

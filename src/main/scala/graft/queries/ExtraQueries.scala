@@ -47,20 +47,11 @@ object ExtraQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
-        val cands = array(Seq(2.0, 3.0, 4.0, 5.0, 10.0, 20.0).map(lit): _*)
         t(s, dir, "orders")
           .withColumn("prev", lag(col("o_totalprice"), 1).over(w))
           .filter(col("prev").isNotNull && col("prev") > 0)
           .withColumn("gap", col("o_totalprice") / col("prev"))
-          .withColumn("g2", when(col("gap") < 1.0, lit(1.0) / col("gap"))
-            .otherwise(col("gap")))
-          // argmin by (|g2-c|, c): sort [err, cand] pairs lexicographically
-          .withColumn("best",
-            element_at(array_sort(transform(cands,
-              c => array(abs(col("g2") - c), c))), 1))
-          .withColumn("guess",
-            when(element_at(col("best"), 1) / element_at(col("best"), 2) <= 0.15,
-              element_at(col("best"), 2)))
+          .withColumn("guess", graft.adjust.Factors.splitGapGuess(col("gap")))
           .select(col("o_orderkey"), col("gap"), col("guess"))
           .orderBy(col("o_orderkey"))
       },

@@ -106,12 +106,46 @@ class AdjusterSpec extends SparkTestBase {
   }
 
   test("audit summary: cumulative split ratio recovered") {
-    val audit = Adjuster.auditSummary(adjusted, dividends)
+    val audit = Adjuster.auditSummary(adjusted, splits, dividends)
       .filter($"ticker" === "AAA")
       .select($"n_days", $"cum_split_ratio", $"total_cash")
       .as[(Long, Double, Double)].head()
     assert(audit._1 == 10L)
     assert(approx(audit._2, 10.0, 1e-6))
-    assert(approx(audit._3, 10.4)) // both dividends counted in cash audit
+    // only the ALIGNED dividend is in the cash audit — the 01-15 one
+    // lands after the last bar and is dropped, exactly as the factor
+    // grid dropped it (factor_builder.py:341 sums per-day aligned cash)
+    assert(approx(audit._3, 0.5))
+  }
+
+  test("audit summary: alignment trail, day counts, fallback flag") {
+    val a = Adjuster.auditSummary(adjusted, splits, dividends)
+    val row = a.filter($"ticker" === "AAA")
+      .select($"split_events_aligned", $"split_cum_ratio",
+        date_format($"last_split_raw_date", "yyyy-MM-dd"),
+        date_format($"last_split_aligned_day", "yyyy-MM-dd"),
+        $"dividend_event_days",
+        date_format($"last_dividend_raw_date", "yyyy-MM-dd"),
+        date_format($"last_dividend_aligned_day", "yyyy-MM-dd"),
+        date_format($"last_datetime", "yyyy-MM-dd HH:mm:ss"),
+        $"used_fallback")
+      .as[(Long, Double, String, String, Long, String, String, String, Boolean)]
+      .head()
+    assert(row._1 == 1L)                      // one aligned split day
+    assert(approx(row._2, 10.0))              // product of aligned ratios
+    assert(row._3 == "2024-01-06")            // raw Saturday date
+    assert(row._4 == "2024-01-08")            // snapped to Monday
+    assert(row._5 == 1L)                      // one aligned dividend day
+    assert(row._6 == "2024-01-15")            // raw max INCLUDES the dropped one
+    assert(row._7 == "2024-01-10")            // last aligned dividend day
+    assert(row._8 == "2024-01-12 21:00:00")   // last bar timestamp
+    assert(!row._9)                           // exact as-of: never fallback
+    // no-event ticker: zero counts, null dates, neutral ratio
+    val bbb = a.filter($"ticker" === "BBB")
+      .select($"split_events_aligned", $"split_cum_ratio",
+        $"dividend_event_days", $"total_cash",
+        $"last_split_aligned_day".isNull, $"last_dividend_raw_date".isNull)
+      .as[(Long, Double, Long, Double, Boolean, Boolean)].head()
+    assert(bbb == ((0L, 1.0, 0L, 0.0, true, true)))
   }
 }

@@ -1,0 +1,100 @@
+package graft.adjust
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Raw-gap split detection (factor_builder.py:789-814 minute-path
+  * override, CLI default unless --no-detect-split-gaps): a 10:1
+  * overnight price gap recovers a split that refdata missed entirely,
+  * and re-dates a refdata split recorded one day late.
+  */
+class GapDetectSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String, hm: String = "21:00") = Timestamp.valueOf(s"$s $hm:00")
+  private def d(s: String) = Date.valueOf(s)
+
+  private val days = Seq("2024-02-01", "2024-02-02", "2024-02-05",
+    "2024-02-06", "2024-02-07", "2024-02-08")
+  // 10:1 split takes effect on day 4 (02-06): 104 -> 10.5
+  private val closes = Seq(100.0f, 102.0f, 104.0f, 10.5f, 10.6f, 10.7f)
+
+  // two bars per day so first_close != last_close exercises min_by/max_by
+  private lazy val bars = days.zip(closes).flatMap { case (day, c) =>
+    Seq((ts(day, "14:30"), "GGG", c, 1000L), (ts(day, "21:00"), "GGG", c + 0.1f, 1000L))
+  }.toDF("datetime", "ticker", "close", "volume")
+
+  private lazy val sm = Seq(("GGG", "FIGI_GGG", Some(d("2023-01-01")), None: Option[Date]))
+    .toDF("ticker", "composite_figi", "effective_start", "effective_end")
+  private lazy val noDividends = Seq.empty[(String, Date, Double)]
+    .toDF("ticker", "ex_date", "cash_amount")
+
+  private def spfByDay(adj: DataFrame): Map[String, Double] =
+    adj.select(date_format(col("event_day"), "yyyy-MM-dd"),
+        col("split_price_factor"))
+      .distinct().as[(String, Double)].collect().toMap
+
+  test("missed split recovered from the overnight gap") {
+    val noSplits = Seq.empty[(String, Date, Double)]
+      .toDF("ticker", "execution_date", "ratio")
+    val adj = Adjuster.buildAdjusted(bars, sm, noSplits, noDividends,
+      Adjuster.MaterializeClose, detectGaps = true)
+    val spf = spfByDay(adj)
+    // gap = 10.5 / 104.1 ≈ 0.1009 -> inverted 9.91 -> guess 10
+    assert(approx(spf("2024-02-05"), 0.1), s"pre-split factor: $spf")
+    assert(approx(spf("2024-02-01"), 0.1))
+    assert(approx(spf("2024-02-06"), 1.0))
+    assert(approx(spf("2024-02-08"), 1.0))
+    // without the flag nothing is adjusted
+    val off = spfByDay(Adjuster.buildAdjusted(bars, sm, noSplits, noDividends))
+    assert(off.values.forall(v => approx(v, 1.0)))
+  }
+
+  test("refdata split dated one day late is moved onto the gap day") {
+    val lateSplits = Seq(("GGG", d("2024-02-07"), 10.0))
+      .toDF("ticker", "execution_date", "ratio")
+    val adj = Adjuster.buildAdjusted(bars, sm, lateSplits, noDividends,
+      Adjuster.MaterializeClose, detectGaps = true)
+    val spf = spfByDay(adj)
+    // split applied at 02-06 (the gap day), not 02-07: the 02-07 refdata
+    // row is dropped and its ratio re-dated (±1-day dedup)
+    assert(approx(spf("2024-02-05"), 0.1), s"got $spf")
+    assert(approx(spf("2024-02-06"), 1.0), s"02-06 must be post-split: $spf")
+    // without detection the factor flips a day later
+    val off = spfByDay(Adjuster.buildAdjusted(bars, sm, lateSplits, noDividends))
+    assert(approx(off("2024-02-06"), 0.1), s"got $off")
+    assert(approx(off("2024-02-07"), 1.0))
+  }
+
+  test("correctly-dated refdata split is left untouched (no double count)") {
+    val goodSplits = Seq(("GGG", d("2024-02-06"), 10.0))
+      .toDF("ticker", "execution_date", "ratio")
+    val on = spfByDay(Adjuster.buildAdjusted(bars, sm, goodSplits, noDividends,
+      Adjuster.MaterializeClose, detectGaps = true))
+    val off = spfByDay(Adjuster.buildAdjusted(bars, sm, goodSplits, noDividends))
+    days.foreach { day =>
+      assert(approx(on(day), off(day)), s"$day: ${on(day)} vs ${off(day)}")
+    }
+  }
+
+  test("day edges: first/last close and prior-day gap") {
+    val withId = Factors.attachId(bars, sm)
+    val e = Factors.dayEdges(withId)
+      .select(date_format(col("event_day"), "yyyy-MM-dd"),
+        col("first_close").cast("double"), col("last_close").cast("double"),
+        col("raw_gap"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // closes are stored as float — compare at float precision
+    assert(approx(e("2024-02-01")._1, 100.0, 1e-6) &&
+      approx(e("2024-02-01")._2, 100.1, 1e-6))
+    assert(e("2024-02-01")._3.isEmpty) // no prior day
+    val gap = e("2024-02-06")._3.get
+    assert(gap > 0.095 && gap < 0.105, s"gap $gap")
+  }
+}
