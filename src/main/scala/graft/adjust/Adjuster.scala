@@ -36,16 +36,26 @@ object Adjuster {
       splits: DataFrame,
       dividends: DataFrame,
       materialize: String = MaterializeClose,
-      detectGaps: Boolean = false): DataFrame = {
+      detectGaps: Boolean = false,
+      debugDump: Option[String] = None): DataFrame = {
+    // debugDump (reference --debug-dump, factor_builder.py:1091-1115):
+    // drop the pipeline intermediates — _id_days, _edges, _split_F,
+    // _div_G — as CSV next to the build for factor forensics
+    def dump(df: DataFrame, name: String): Unit = debugDump.foreach { dir =>
+      graft.lake.Export.write(df, s"$dir/$name.csv")
+    }
     val withId = Factors.attachId(bars, securityMaster)
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val days = Factors.idDays(withId)
+    dump(days, "_id_days")
     // detectGaps (reference CLI default for minute streaming, disabled
     // by --no-detect-split-gaps): overnight price gaps that round to a
     // clean split ratio recover splits missing/mis-dated in refdata
     val edges = if (detectGaps) Some(Factors.dayEdges(withId)) else None
+    edges.foreach(dump(_, "_edges"))
     val sf = Factors.splitFactorGrid(days, splits, edges = edges)
+    dump(sf, "_split_F")
 
     val withSplit = withId
       .join(sf, Seq("id", "event_day"), "left")
@@ -64,6 +74,7 @@ object Adjuster {
       .agg(max_by(col("close_split"), col("datetime")).as("close_split"))
 
     val gf = Factors.dividendFactorGrid(dayBase, dividends)
+    dump(gf, "_div_G")
     val adjusted = withSplit
       .join(gf, Seq("id", "event_day"), "left")
       .withColumn("tr_price_factor", coalesce(col("tr_price_factor"), lit(1.0)))

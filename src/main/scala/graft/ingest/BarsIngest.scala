@@ -102,13 +102,29 @@ object BarsIngest {
         min(col("datetime")).as("start"),
         max(col("datetime")).as("end"),
         count(lit(1)).as("rows"))
-    // Match on a directory boundary (trailing "/"): a raw substring
-    // match on ".../month=1" would also evict entries under month=10/11/12
-    // without re-adding them (the delta only scanned month=1), silently
-    // losing files from the merged manifest.
-    val underTouched = newPaths
-      .map(p => col("path").contains(p.stripPrefix("file:").stripSuffix("/") + "/"))
-      .reduce(_ || _)
+    // Eviction matches on NORMALIZED path components, both sides:
+    // newPaths go through Hadoop Path/FileSystem (qualified, "..", "//"
+    // and trailing-slash collapsed — immune to file:/ vs file:///
+    // rendering), the manifest column gets its URI scheme+authority
+    // stripped. Directories evict on the "/"-terminated prefix (a raw
+    // ".../month=1" substring would also evict month=10..12 without
+    // re-adding them); a leaf FILE path evicts exactly its own entry.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val normalized = newPaths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      val q = fs.makeQualified(hp)
+      val isDir =
+        try fs.getFileStatus(q).isDirectory
+        catch { case _: java.io.FileNotFoundException => true }
+      (q.toUri.getPath, isDir)
+    }
+    val manifestPath = regexp_replace(
+      regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+    val underTouched = normalized.map { case (p, isDir) =>
+      if (isDir) manifestPath.startsWith(p + "/") else manifestPath === p
+    }.reduce(_ || _)
     prevManifest.filter(!underTouched).unionByName(delta)
   }
 }

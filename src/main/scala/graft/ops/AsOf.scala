@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (nearest-event) joins, re-expressing the reference's
   * `pd.merge_asof(..., direction="forward", allow_exact_matches=True)`
@@ -58,42 +60,47 @@ object AsOf {
       valueCols: Seq[String],
       forward: Boolean): DataFrame = {
     val time = "__asof_time"
+    val packed = "__asof_vals"
     val leftCols = left.columns.toSeq
+    require(valueCols.nonEmpty, "as-of join needs at least one value column")
     require(!valueCols.exists(leftCols.contains),
       s"valueCols ${valueCols.mkString(",")} collide with left columns")
 
-    // Right side: only keys + time + carried values. Determinism for
-    // right rows sharing a timestamp comes from the window orderBy below,
-    // which extends (time, side) with the value columns themselves.
+    // All carried values ride ONE struct column: the window picks a whole
+    // right row atomically (never a per-column mix of tied rows), and a
+    // single window function replaces one-per-value-column.
+    val valueStruct = StructType(valueCols.map(c => right.schema(c)))
     val r = right
-      .select((keys.map(col) :+ col(rTime).as(time)) ++ valueCols.map(col): _*)
+      .select(keys.map(col) ++ Seq(col(rTime).as(time),
+        struct(valueCols.map(col): _*).as(packed)): _*)
       .withColumn(SideCol, lit(1))
-    val l = left
-      .select((leftCols.map(col) :+ col(lTime).as(time)) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-      .withColumn(SideCol, lit(0))
-
-    // Pad the narrower side with nulls for the other side's columns so the
-    // union lines up by name.
-    val lPadded = l.select((leftCols ++ Seq(time) ++ valueCols ++ Seq(SideCol)).map(col): _*)
     // Right rows keep their key columns (they drive the partitioning);
-    // every other left column is null-padded.
+    // every other left column is null-padded. Left rows carry a NULL
+    // struct so first/last(ignoreNulls) skips them.
     val rPadded = r.select(
       leftCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(time)) ++ valueCols.map(col) ++ Seq(col(SideCol)): _*)
+        Seq(col(time), col(packed), col(SideCol)): _*)
+    val lPadded = left
+      .select(leftCols.map(col) ++ Seq(col(lTime).as(time),
+        lit(null).cast(valueStruct).as(packed)): _*)
+      .withColumn(SideCol, lit(0))
 
     // Ordering at equal timestamps: forward ⇒ left first (so the frame
     // [current, following] from a left row still sees the same-time right
     // row ⇒ exact matches allowed); backward ⇒ right first, symmetric.
     val sideOrder = if (forward) col(SideCol).asc else col(SideCol).desc
-    // Tie-break among right rows sharing (keys, time): order by the value
-    // columns so the picked row is the one with the smallest value tuple
-    // in BOTH directions (asc for `first` forward, desc for `last`
-    // backward). Without this, first/last ignoring nulls picks
-    // nondeterministically among equal-time right rows.
-    val valueOrder = valueCols.map(c => if (forward) col(c).asc else col(c).desc)
+    // Tie-break among right rows sharing (keys, time): order by the packed
+    // struct (lexicographic over the value tuple, nulls first) so the
+    // smallest tuple wins in both directions — asc for `first` forward,
+    // desc for `last` backward. Struct comparison needs orderable field
+    // types; with an unorderable value column (e.g. a map) the pick among
+    // exact ties falls back to arbitrary-but-atomic.
+    val valueOrder =
+      if (RowOrdering.isOrderable(valueStruct))
+        Seq(if (forward) col(packed).asc else col(packed).desc)
+      else Seq.empty
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col(time).asc +: sideOrder +: valueOrder: _*)
@@ -101,15 +108,14 @@ object AsOf {
       if (forward) w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // forward: FIRST right value at-or-after; backward: LAST at-or-before
-    val filled = valueCols.foldLeft(lPadded.unionByName(rPadded)) { (df, c) =>
-      val picked =
-        if (forward) first(col(c), ignoreNulls = true).over(frame)
-        else last(col(c), ignoreNulls = true).over(frame)
-      df.withColumn(c, picked)
-    }
-    filled
+    // forward: FIRST right row at-or-after; backward: LAST at-or-before
+    val picked =
+      if (forward) first(col(packed), ignoreNulls = true).over(frame)
+      else last(col(packed), ignoreNulls = true).over(frame)
+    lPadded.unionByName(rPadded)
+      .withColumn(packed, picked)
       .filter(col(SideCol) === 0)
-      .select((leftCols ++ valueCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(packed).getField(c).as(c)): _*)
   }
 }

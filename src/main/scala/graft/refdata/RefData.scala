@@ -118,6 +118,22 @@ object RefData {
         StructField("old_value", StringType),
         StructField("new_value", StringType))))
 
+  /** Normalized spelling guess for a raw symbol (run_pullers.py
+    * normalize_guess): upper-cased, separators collapsed to dots.
+    */
+  def normalizeGuess(raw: String): String = raw.trim.toUpperCase
+    .replaceAll("[/\\-^ ]", ".").replaceAll("\\.{2,}", ".")
+    .replaceAll("^\\.+|\\.+$", "")
+
+  /** Deterministic probe order for a symbol's spelling variants
+    * (run_pullers.py candidate_variants).
+    */
+  def candidateVariants(raw: String): Seq[String] = {
+    val norm = normalizeGuess(raw)
+    Seq(norm, norm.replace(".", "-"), norm.replace(".", ""),
+      norm.split("\\.").head).distinct
+  }
+
   /** Symbol preflight (run_pullers.py:38-63): probe spelling variants of
     * a symbol in deterministic order until the fetcher resolves one.
     * Returns (requested, resolvedOrNone).
@@ -125,14 +141,57 @@ object RefData {
   def resolveSymbols(http: HttpFetch, baseUrl: String,
       symbols: Seq[String]): Seq[(String, Option[String])] =
     symbols.map { raw =>
-      val norm = raw.trim.toUpperCase
-        .replaceAll("[/\\-^ ]", ".").replaceAll("\\.{2,}", ".")
-        .replaceAll("^\\.+|\\.+$", "")
-      val variants = Seq(norm, norm.replace(".", "-"),
-        norm.replace(".", ""), norm.split("\\.").head).distinct
-      raw -> variants.find { v =>
+      raw -> candidateVariants(raw).find { v =>
         try { http.get(s"$baseUrl/v3/reference/tickers/$v"); true }
         catch { case NonFatal(_) => false }
       }
     }
+
+  /** One preflight outcome row (run_pullers.py:65-152
+    * `preflight_validate`): status OK / MISSING, or ASSUMED when
+    * probing is disabled (the identity mapping on the normalized
+    * guess).
+    */
+  final case class PreflightRow(original: String, normalizedGuess: String,
+      resolved: Option[String], status: String, triedVariants: Seq[String])
+
+  /** Preflight a symbol list: probe each symbol's variants (or assume
+    * the normalized guess when `probe` is false — the reference's
+    * `--no-preflight` identity path).
+    */
+  def preflight(http: HttpFetch, baseUrl: String, symbols: Seq[String],
+      probe: Boolean = true): Seq[PreflightRow] =
+    if (!probe) symbols.map { raw =>
+      val norm = normalizeGuess(raw)
+      PreflightRow(raw, norm, Some(norm), "ASSUMED", Seq(norm))
+    } else resolveSymbols(http, baseUrl, symbols).map { case (raw, res) =>
+      PreflightRow(raw, normalizeGuess(raw), res,
+        if (res.isDefined) "OK" else "MISSING", candidateVariants(raw))
+    }
+
+  /** Write the preflight report artifacts the reference drops next to
+    * its refdata (run_pullers.py:140-144): `_ticker_normalization_map
+    * .csv` (one row per requested symbol) and `_missing_tickers.txt`
+    * (unresolved symbols, one per line). Driver-side metadata files —
+    * the symbol universe is watchlist-sized, never data-sized.
+    */
+  def writePreflightReport(rows: Seq[PreflightRow], outDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(outDir))
+    def csvQ(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val header = "original,normalized_guess,resolved,status,tried_variants"
+    val lines = rows.map { r =>
+      Seq(r.original, r.normalizedGuess, r.resolved.getOrElse(""),
+        r.status, r.triedVariants.mkString("|")).map(csvQ).mkString(",")
+    }
+    Files.write(Paths.get(outDir, "_ticker_normalization_map.csv"),
+      (header +: lines).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val missing = rows.filter(_.status == "MISSING").map(_.original)
+    Files.write(Paths.get(outDir, "_missing_tickers.txt"),
+      (if (missing.isEmpty) ""
+       else missing.mkString("", "\n", "\n")).getBytes("UTF-8"))
+  }
 }

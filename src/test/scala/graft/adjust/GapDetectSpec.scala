@@ -81,6 +81,30 @@ class GapDetectSpec extends SparkTestBase {
     }
   }
 
+  test("debug dumps: _id_days/_edges/_split_F/_div_G written and readable") {
+    val noSplits = Seq.empty[(String, Date, Double)]
+      .toDF("ticker", "execution_date", "ratio")
+    val dir = java.nio.file.Files.createTempDirectory("dbgdump").toString
+    Adjuster.buildAdjusted(bars, sm, noSplits, noDividends,
+      Adjuster.MaterializeClose, detectGaps = true,
+      debugDump = Some(dir)).count()
+    def reread(name: String) = spark.read.option("header", "true")
+      .csv(s"$dir/$name.csv")
+    assert(reread("_id_days").count() == days.size)
+    assert(reread("_id_days").columns.toSet == Set("id", "ticker", "event_day"))
+    val edges = reread("_edges")
+    assert(edges.count() == days.size)
+    assert(Set("first_close", "last_close", "prev_last", "raw_gap")
+      .subsetOf(edges.columns.toSet))
+    val f = reread("_split_F")
+    assert(f.count() == days.size)
+    assert(Set("split_price_factor", "split_volume_factor")
+      .subsetOf(f.columns.toSet))
+    val g = reread("_div_G")
+    assert(g.count() == days.size)
+    assert(g.columns.contains("tr_price_factor"))
+  }
+
   test("day edges: first/last close and prior-day gap") {
     val withId = Factors.attachId(bars, sm)
     val e = Factors.dayEdges(withId)

@@ -128,6 +128,18 @@ class IngestSpec extends SparkTestBase {
     assert(merged.filter($"path".contains("month=10/")).count() === 1L)
     assert(merged.filter($"path".contains("month=11/")).count() === 1L)
     assert(merged.filter($"path".contains("month=12/")).count() === 1L)
+
+    // a newPath pointing at a LEAF FILE (not a partition directory) must
+    // evict exactly that file's stale entry — the old trailing-"/" match
+    // never matched files, leaving a duplicate row after the merge
+    val leaf = new java.io.File(part).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val mergedLeaf = BarsIngest.mergeManifest(spark, full0Df, root, Seq(leaf))
+    assert(canon(mergedLeaf) === canon(rebuilt))
+    // scheme-qualified rendering of the same file normalizes identically
+    val mergedUri = BarsIngest.mergeManifest(spark, full0Df, root,
+      Seq(s"file:$leaf"))
+    assert(canon(mergedUri) === canon(rebuilt))
   }
 
   test("LakeReader prunes by ticker + range and pads missing columns") {

@@ -48,6 +48,36 @@ class RefDataSpec extends SparkTestBase {
     assert(resolved("zzzz").isEmpty)
   }
 
+  test("preflight report artifacts: normalization map csv + missing list") {
+    val http = new FakeHttp(Map("tickers/BRK-B" -> "{}", "tickers/AAPL" -> "{}"))
+    val rows = RefData.preflight(http, "http://x", Seq("brk/b", "aapl", "zz,zz"))
+    val dir = java.nio.file.Files.createTempDirectory("preflight").toString
+    RefData.writePreflightReport(rows, dir)
+    // leading-underscore files are Spark-hidden by convention (like the
+    // reference's pandas-written reports) — reread with plain file IO
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_ticker_normalization_map.csv"))
+    assert(lines.get(0) ==
+      "original,normalized_guess,resolved,status,tried_variants")
+    assert(lines.contains("brk/b,BRK.B,BRK-B,OK,BRK.B|BRK-B|BRKB|BRK"))
+    assert(lines.contains("aapl,AAPL,AAPL,OK,AAPL"))
+    // comma in the raw symbol is csv-quoted
+    assert(lines.stream.anyMatch(l =>
+      l.startsWith("\"zz,zz\"") && l.contains("MISSING")))
+    val missing = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_missing_tickers.txt")).trim
+    assert(missing == "zz,zz")
+    // no-probe identity path: everything ASSUMED, missing list empty
+    val dir2 = java.nio.file.Files.createTempDirectory("preflight2").toString
+    RefData.writePreflightReport(
+      RefData.preflight(http, "http://x", Seq("brk/b"), probe = false), dir2)
+    val assumed = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir2, "_ticker_normalization_map.csv")).get(1)
+    assert(assumed == "brk/b,BRK.B,BRK.B,ASSUMED,BRK.B")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir2, "_missing_tickers.txt")).isEmpty)
+  }
+
   test("ticker-events placeholder has the contract schema and zero rows") {
     val e = RefData.emptyTickerEvents(spark)
     assert(e.count() == 0)
