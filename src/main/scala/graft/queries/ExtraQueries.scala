@@ -215,6 +215,71 @@ object ExtraQueries {
         SELECT m.event_id, m.user_id, epoch_us(m.ts) AS ts_us,
           epoch_us(m.click_ts) AS click_us, c.click_id
         FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.click_ts
-        ORDER BY m.event_id"""))
+        ORDER BY m.event_id""")),
+
+    // ---- F15 end-to-end: the full gap-detection pipeline
+    // (dayEdges → splitGapGuess → splitFactorGrid override,
+    // factor_builder.py:789-814). Synthetic smooth closes drop 10:1 on
+    // 2024-01-15 for every 5th ticker with EMPTY refdata splits — the
+    // recovered factor grid must re-date every series exactly. All
+    // arithmetic (close formula, gap division, guess acceptance, exact
+    // windowed product) is the same IEEE op sequence in both engines. ----
+    QueryDef("qx2_gap_detect",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy(col("ticker")).orderBy(col("event_day"))
+        val grid = t(s, dir, "events")
+          .select(concat(lit("U"), col("user_id")).as("ticker"),
+            col("user_id"), to_date(col("ts")).as("event_day"))
+          .distinct()
+        val bars = grid
+          .withColumn("di", row_number().over(w).cast("double"))
+          .withColumn("close",
+            (lit(100.0) + (col("user_id") % 7).cast("double") +
+              col("di") * lit(0.5)) *
+              when(col("user_id") % 5 === 0 &&
+                col("event_day") >= lit("2024-01-15").cast("date"),
+                lit(0.1)).otherwise(lit(1.0)))
+          .withColumn("datetime", col("event_day").cast("timestamp"))
+          .withColumn("id", col("ticker"))
+        val days = bars.select(col("id"), col("ticker"), col("event_day"))
+        val noSplits = Seq.empty[(String, java.sql.Date, Double)]
+          .toDF("ticker", "execution_date", "ratio")
+        graft.adjust.Factors.splitFactorGrid(days, noSplits, exact = true,
+            edges = Some(graft.adjust.Factors.dayEdges(bars)))
+          .select(col("id").as("ticker"),
+            date_format(col("event_day"), "yyyy-MM-dd").as("day"),
+            col("split_price_factor"), col("split_volume_factor"))
+          .orderBy(col("ticker"), col("day"))
+      },
+      Some("""WITH grid AS (SELECT DISTINCT 'U'||CAST(user_id AS VARCHAR) AS ticker,
+            user_id, CAST(ts AS DATE) AS event_day FROM events),
+        b AS (SELECT ticker, event_day,
+            (100.0 + CAST(user_id % 7 AS DOUBLE) +
+              CAST(ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY event_day) AS DOUBLE) * 0.5)
+            * (CASE WHEN user_id % 5 = 0 AND event_day >= DATE '2024-01-15'
+                THEN 0.1 ELSE 1.0 END) AS close
+          FROM grid),
+        e AS (SELECT ticker, event_day,
+            close / LAG(close) OVER (PARTITION BY ticker ORDER BY event_day) AS gap
+          FROM b),
+        gu AS (SELECT ticker, event_day,
+            list_sort(list_transform([2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+              c -> [abs(g2 - c), c]))[1] AS best
+          FROM (SELECT ticker, event_day,
+              CASE WHEN gap < 1.0 THEN 1.0 / gap ELSE gap END AS g2
+            FROM e WHERE gap IS NOT NULL AND gap > 0)),
+        ratios AS (SELECT e.ticker, e.event_day,
+            COALESCE(CASE WHEN gu.best[1] / gu.best[2] <= 0.15 THEN gu.best[2] END,
+              1.0) AS day_r
+          FROM e LEFT JOIN gu ON gu.ticker = e.ticker AND gu.event_day = e.event_day),
+        cum AS (SELECT *, PRODUCT(day_r) OVER (PARTITION BY ticker ORDER BY event_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runf FROM ratios),
+        cum2 AS (SELECT *, LAST_VALUE(runf) OVER (PARTITION BY ticker ORDER BY event_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runf_last FROM cum)
+        SELECT ticker, strftime(event_day, '%Y-%m-%d') AS day,
+          runf / runf_last AS split_price_factor,
+          runf_last / runf AS split_volume_factor
+        FROM cum2 ORDER BY ticker, day"""))
   )
 }
