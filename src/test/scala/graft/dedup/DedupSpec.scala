@@ -61,6 +61,29 @@ class DedupSpec extends SparkTestBase {
     assert(!keys.contains((1L, 3L)))  // shuffled word order breaks bigrams
   }
 
+  test("lake paths (no broadcast) are result-identical to the bench paths") {
+    // the 100 TB flags swap broadcast attaches for shuffle joins and the
+    // driver doc-freq map for the inverted-index ranking — candidates,
+    // verification, and output must not change, only the plan.
+    // Real-corpus slice so prefixes/bands are non-trivial.
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect().toSeq
+    assert(
+      canon(Dedup.minhashPairs(corpus, "text", "doc_id", broadcastSets = false)) ==
+      canon(Dedup.minhashPairs(corpus, "text", "doc_id", broadcastSets = true)))
+    assert(
+      canon(Dedup.simhashPairs(corpus, "text", "doc_id", broadcastFingerprints = false)) ==
+      canon(Dedup.simhashPairs(corpus, "text", "doc_id", broadcastFingerprints = true)))
+    assert(
+      canon(Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        broadcastSets = false, broadcastDocFreq = false)) ==
+      canon(Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        broadcastSets = true, broadcastDocFreq = true)))
+  }
+
   test("embedding cosine: brute top-k exact, LSH candidates agree where bucketed") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -48,6 +48,15 @@ class HyperplanePackSpec extends SparkTestBase {
       assert(w(p)(i) == sqlW((p, i)), s"weight($p,$i)")
   }
 
+  test("double arrays bucket identically to their float originals") {
+    val mismatches = e.select(
+        HyperplanePack.hyperplane_pack(col("embedding"), 6, 0).as("f"),
+        HyperplanePack.hyperplane_pack(
+          expr("cast(embedding as array<double>)"), 6, 0).as("d"))
+      .filter(col("f") =!= col("d")).count()
+    assert(mismatches == 0)
+  }
+
   test("null vector yields null bucket") {
     val df = spark.sql("SELECT cast(null as array<float>) AS v")
     val out = df.select(

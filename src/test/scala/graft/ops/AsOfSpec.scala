@@ -59,6 +59,31 @@ class AsOfSpec extends SparkTestBase {
     assert(fwd == "v1" && bwd == "v1")
   }
 
+  test("tied right rows with nulls carry over as ONE atomic row") {
+    // row ("x1", null) vs (null, "y2"): the packed-struct pick must
+    // return one of those rows whole — never the per-column mix
+    // ("x1", "y2") the old per-column first/last could produce
+    val right = Seq(("A", d("2024-01-05"), Some("x1"), None: Option[String]),
+        ("A", d("2024-01-05"), None: Option[String], Some("y2")))
+      .toDF("k", "day", "va", "vb")
+    val events = Seq(("A", d("2024-01-04"))).toDF("k", "edate")
+    val out = AsOf.joinForward(events, right, Seq("k"), "edate", "day",
+        Seq("va", "vb"))
+      .select($"va", $"vb").as[(Option[String], Option[String])].head()
+    assert(out == ((None, Some("y2"))) || out == ((Some("x1"), None)))
+    // struct asc, nulls-first: (null, "y2") is the smallest tuple
+    assert(out == ((None, Some("y2"))))
+  }
+
+  test("unorderable value columns (map) no longer throw — atomic arbitrary pick") {
+    val right = Seq(("A", d("2024-01-05"), Map("a" -> 1)))
+      .toDF("k", "day", "m")
+    val events = Seq(("A", d("2024-01-04"))).toDF("k", "edate")
+    val out = AsOf.joinForward(events, right, Seq("k"), "edate", "day", Seq("m"))
+      .select($"m").as[Map[String, Int]].head()
+    assert(out == Map("a" -> 1))
+  }
+
   test("keys do not leak matches across groups") {
     val events = Seq(("B", d("2024-01-05"), "bLate")).toDF("k", "edate", "tag")
     val out = AsOf.joinForward(events, days, Seq("k"), "edate", "day", Seq("snap"))
