@@ -60,19 +60,16 @@ object Ivf {
     Model(centroids)
   }
 
-  /** Assign every corpus vector to its nearest cell. */
+  /** Assign every corpus vector to its nearest cell — a codegen column
+    * inside the corpus scan ([[graft.functions.NearestCell]], same
+    * (distance, index) tie rule as [[Model.nearest]]). The previous
+    * typed map + re-join shuffled the full corpus twice; at lake scale
+    * assignment must ride the scan.
+    */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
-      model: Model): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    val assigned = graft.ops.Partitioning.spread(corpus)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, bc.value.nearest(v, 1).head) }
-      .toDF(idCol, "cell")
-    corpus.join(assigned, idCol)
-  }
+      model: Model): DataFrame =
+    graft.ops.Partitioning.spread(corpus).withColumn("cell",
+      graft.functions.NearestCell.nearest_cell(col(vecCol), model.centroids))
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
     * rank within candidates. With nprobe == k (all cells) this equals

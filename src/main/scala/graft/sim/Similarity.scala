@@ -16,15 +16,13 @@ import graft.ops.Partitioning.spread
   */
 object Similarity {
 
-  /** Exact cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Exact cosine similarity of two numeric-array columns. Native
+    * codegen Expression ([[graft.functions.CosineSim]]) — same IEEE op
+    * sequence as the interpreted HOF form it replaced (0.0-seeded
+    * ascending folds), so results are bit-identical.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: every query row against the full corpus,
     * rank by (cosine desc, id) per query. The query side should be small
