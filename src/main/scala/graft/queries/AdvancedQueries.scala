@@ -179,6 +179,35 @@ object AdvancedQueries {
         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    // ---- Embedding near-dup at lake scale: the LSH-bucketed twin of
+    // qs2 — candidate pairs share a bucket in ANY of the 8 plane
+    // families (bucket SELF-join, never all-pairs), deduped, then one
+    // exact cosine check against the threshold. Exact-oracled like
+    // qs4/qs5; recall vs the brute qs2 baseline is asserted in
+    // SimilaritySpec. ----
+    QueryDef("qs6_lsh_neardup",
+      (s, dir) => Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val nTables = 8
+        val bucketCols = (0 until nTables).map(tb =>
+          s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
+        val anyMatch = (0 until nTables).map(tb => s"a.b$tb = c.b$tb").mkString(" OR ")
+        s"""WITH b AS (SELECT vec_id, embedding,
+          $bucketCols
+          FROM embeddings),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON ($anyMatch) AND a.vec_id < c.vec_id),
+        sc AS (SELECT cand.id_a, cand.id_b,
+            ${cosineSql("av.embedding", "bv.embedding")} AS cosine
+          FROM cand
+          JOIN b av ON av.vec_id = cand.id_a
+          JOIN b bv ON bv.vec_id = cand.id_b)
+        SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.45
+        ORDER BY id_a, id_b"""
+      }),
+
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
     QueryDef("qm1_media_sniff",

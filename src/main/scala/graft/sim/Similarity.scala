@@ -107,6 +107,35 @@ object Similarity {
   def lshBucketPacked(vecExpr: String, planes: Int, table: Int = 0): Column =
     graft.functions.HyperplanePack.hyperplane_pack(col(vecExpr), planes, table)
 
+  /** Lake-path embedding near-dup: all pairs (i < j) with cosine >=
+    * threshold, candidates from a multi-table hyperplane-LSH bucket
+    * SELF-join instead of [[brutePairs]]' all-pairs broadcast. Candidate
+    * generation is an equi-join on the packed bucket key (quadratic work
+    * confined within buckets, like the text-dedup family); a pair
+    * colliding in several tables is deduped before the one exact cosine
+    * evaluation. Approximate — recall follows the OR-amplification
+    * curve 1-(1-p^planes)^tables — but DETERMINISTIC: the md5-parity
+    * hyperplanes replay in any engine, so the result is exactly
+    * oracle-able. [[brutePairs]] is the exact (non-lake) baseline.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
+    val base = spread(corpus)
+      .select(col(idCol).cast("long").as("nd_id"), col(vecCol).as("nd_vec"))
+    val tabs = array((0 until tables).map(t =>
+      lshBucketPacked("nd_vec", planes, t) * lit(tables) + t): _*)
+    val cb = base.withColumn("bucket", explode(tabs))
+    val left = cb.select(col("nd_id").as("id_a"),
+      col("nd_vec").as("vec_a"), col("bucket"))
+    val right = cb.select(col("nd_id").as("id_b"),
+      col("nd_vec").as("vec_b"), col("bucket"))
+    left.join(right, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Multi-table LSH ANN (OR-amplification): candidates share a bucket
     * in ANY of `tables` independent hyperplane families — recall rises
     * roughly as 1-(1-p^planes)^tables while each table's bucket join

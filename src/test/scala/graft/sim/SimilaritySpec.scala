@@ -31,6 +31,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(rMulti >= 0.4, s"multi-table recall too low: $rMulti")
   }
 
+  test("LSH near-dup pairs: subset of brute pairs, identical cosines, decent recall") {
+    val brute = Similarity.brutePairs(e, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.45, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no false positives: every emitted pair is a true above-threshold
+    // pair and its cosine is the exact value (same codegen kernel)
+    lsh.foreach { case (pair, cos) =>
+      assert(brute.contains(pair), s"false positive $pair")
+      assert(brute(pair) === cos, s"cosine mismatch on $pair")
+    }
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"near-dup recall too low: $recall (${lsh.size}/${brute.size})")
+  }
+
   test("multi-table candidates are deduped: at most k rows per query") {
     val multi = Similarity.lshTopKMulti(
       e, q, "vec_id", "embedding", "query_id", "qe", k = 5, planes = 4, tables = 8)
