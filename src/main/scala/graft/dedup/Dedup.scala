@@ -179,6 +179,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Duplicate-cluster assignment: connected components over an
+    * undirected near-dup pair graph — one row per doc appearing in at
+    * least one pair, with `cluster_id` = the minimum doc id reachable,
+    * the cluster size, and an `is_canonical` flag on the cluster min.
+    * This turns pairwise dedup output (minhashPairs / simhashPairs /
+    * ngramJaccardPairs / lshNearDupPairs) into the keep/drop decision a
+    * training pipeline actually needs.
+    *
+    * Algorithm: iterative min-label propagation. Each round is two hash
+    * shuffles of the (node, label) table — neighbor-min aggregate, then
+    * label join — and the label moves one hop per round, so rounds =
+    * eccentricity of each component's min node (2-3 for the dense,
+    * clique-ish graphs dedup produces). The fixpoint test is a per-round
+    * driver count, the standard Pregel iteration shape. The label table
+    * holds only docs that occur in pairs, not the corpus. Adversarial
+    * long-path graphs would need alternating star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") for
+    * O(log n) rounds — not the dedup regime; see SCALING.md.
+    */
+  def dupClusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e = pairs
+      .select(col(idACol).cast("long").as("src"),
+        col(idBCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted = labels
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_label"))
+      val stepped = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      done = stepped.filter(col("label") < col("prev")).isEmpty
+      persisted.unpersist()
+      persisted = stepped
+      labels = stepped.select(col("node"), col("label"))
+      iter += 1
+    }
+    require(done,
+      s"dupClusters did not converge in $maxIter rounds — component " +
+        "diameter exceeds maxIter (raise it, or star-contract first)")
+    val byCluster = Window.partitionBy(col("label"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("label")).as("is_canonical"))
+  }
+
   /** Word n-grams (default bigrams) of the normalized text, distinct. */
   def wordNgrams(text: Column, n: Int = 2): Column = {
     val toks = TextOps.tokens(text)

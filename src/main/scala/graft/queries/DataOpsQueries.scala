@@ -25,6 +25,36 @@ object DataOpsQueries {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** qd3's oracle body (no ORDER BY) — the exact-Jaccard-verified
+    * MinHash/LSH pair set, reused as the input graph of qd6's
+    * connected-components oracle.
+    */
+  private val minhashPairsSql =
+    s"""WITH d AS (SELECT doc_id, list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
+        dh AS (SELECT doc_id, toks,
+          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
+          FROM d),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+        mh AS (
+          SELECT doc_id, i,
+            MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT) AS v
+          FROM tok CROSS JOIN generate_series(0, 15) g(i) GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 4 AS b,
+            md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM mh GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, len(toks) AS n FROM d),
+        inter AS (
+          SELECT c.id_a, c.id_b, len(list_intersect(da.toks_h, db.toks_h)) AS inter
+          FROM cand c JOIN dh da ON da.doc_id = c.id_a JOIN dh db ON db.doc_id = c.id_b)
+        SELECT i.id_a, i.id_b,
+          i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.6"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + quality scoring ----
@@ -149,31 +179,32 @@ object DataOpsQueries {
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
           k = 16, bands = 4, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH d AS (SELECT doc_id, list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
-        dh AS (SELECT doc_id, toks,
-          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
-          FROM d),
-        tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
-        mh AS (
-          SELECT doc_id, i,
-            MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT) AS v
-          FROM tok CROSS JOIN generate_series(0, 15) g(i) GROUP BY doc_id, i),
-        band AS (
-          SELECT doc_id, i // 4 AS b,
-            md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
-          FROM mh GROUP BY doc_id, i // 4),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-        sz AS (SELECT doc_id, len(toks) AS n FROM d),
-        inter AS (
-          SELECT c.id_a, c.id_b, len(list_intersect(da.toks_h, db.toks_h)) AS inter
-          FROM cand c JOIN dh da ON da.doc_id = c.id_a JOIN dh db ON db.doc_id = c.id_b)
-        SELECT i.id_a, i.id_b,
-          i.inter / (sa.n + sb.n - i.inter) AS jaccard
-        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
-        WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.6
-        ORDER BY id_a, id_b""")),
+      Some(s"$minhashPairsSql\n        ORDER BY id_a, id_b")),
+
+    // ---- Duplicate clusters: connected components over the qd3 pair
+    // graph (min-label propagation on the Spark side, recursive-CTE
+    // transitive closure in the oracle), with the canonical keep/drop
+    // flag per doc — the decision step a dedup pipeline feeds into. ----
+    QueryDef("qd6_dup_clusters",
+      (s, dir) => Dedup.dupClusters(
+          Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+            k = 16, bands = 4, threshold = 0.6))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE p AS ($minhashPairsSql),
+        und AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a),
+        csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, c.cluster_size,
+          (l.doc_id = l.cluster_id) AS is_canonical
+        FROM lab l JOIN csz c ON c.cluster_id = l.cluster_id
+        ORDER BY doc_id""")),
 
     // ---- SimHash near-dup pairs (banded candidates, Hamming <= 3) ----
     QueryDef("qd4_simhash_pairs",

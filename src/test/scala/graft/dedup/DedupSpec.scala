@@ -84,6 +84,32 @@ class DedupSpec extends SparkTestBase {
         broadcastSets = true, broadcastDocFreq = true)))
   }
 
+  test("dupClusters: components, sizes, canonical flags — multi-hop path converges") {
+    // component {1,2,3,4,5} is a PATH (worst case for label propagation:
+    // min must walk 4 hops), {10,11} a pair, 20 isolated (absent)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 10L, 11L))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { n =>
+      assert(out(n) == ((1L, 5L, n == 1L)), s"node $n -> ${out(n)}")
+    }
+    Seq(10L, 11L).foreach { n =>
+      assert(out(n) == ((10L, 2L, n == 10L)), s"node $n -> ${out(n)}")
+    }
+  }
+
+  test("dupClusters: empty pair set yields empty output; maxIter bound enforced") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(empty).isEmpty)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(path, maxIter = 2).collect()
+    }
+  }
+
   test("embedding cosine: brute top-k exact, LSH candidates agree where bucketed") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
