@@ -187,16 +187,29 @@ object Dedup {
     * ngramJaccardPairs / lshNearDupPairs) into the keep/drop decision a
     * training pipeline actually needs.
     *
-    * Algorithm: iterative min-label propagation. Each round is two hash
-    * shuffles of the (node, label) table — neighbor-min aggregate, then
-    * label join — and the label moves one hop per round, so rounds =
-    * eccentricity of each component's min node (2-3 for the dense,
-    * clique-ish graphs dedup produces). The fixpoint test is a per-round
-    * driver count, the standard Pregel iteration shape. The label table
-    * holds only docs that occur in pairs, not the corpus. Adversarial
-    * long-path graphs would need alternating star contraction (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond") for
-    * O(log n) rounds — not the dedup regime; see SCALING.md.
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * takes one hop along the edges (neighbor-min aggregate + label join)
+    * and then path-halves through the previous round's label mapping
+    * (label <- prevLabel(label)), so the min label travels O(2^r) hops
+    * after r rounds — O(log diameter) rounds total, vs O(diameter) for
+    * plain propagation (the alternating-star-contraction bound of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * achieved with one extra equi-join per round). The label table holds
+    * only docs that occur in pairs, not the corpus.
+    *
+    * Each round's label table is persisted and FULLY materialized by the
+    * fixpoint count before the next round builds on it. The fixpoint
+    * test must be a full-scan action (count of changed rows), not
+    * isEmpty/take(1): a take-based probe caches only the partitions it
+    * happened to scan, and every later round then recomputes the missing
+    * partitions through the whole deepening lineage — measured
+    * exponential blow-up (2s, 2s, 4s, 8s, 68s, 177s per round at sf0.1)
+    * versus flat ~1s rounds when fully materialized.
+    *
+    * Cache lifecycle: intermediate label tables and the edge table are
+    * unpersisted before returning; the FINAL label table stays cached
+    * (it is already materialized and backs the returned plan) — the
+    * caller owns it, per the SCALING.md lifecycle note.
     */
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -208,6 +221,7 @@ object Dedup {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // fully materialize before iterating (see Scaladoc)
     var persisted = labels
     var iter = 0
     var done = false
@@ -215,11 +229,20 @@ object Dedup {
       val nbrMin = und.join(labels, und("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
-      val stepped = labels.join(nbrMin, col("node") === col("src"), "left")
+      val hop = labels.join(nbrMin, col("node") === col("src"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump through the PREVIOUS round's (materialized) mapping:
+      // label values are always node ids of the same component, so
+      // prevLabel(label) is defined and monotonically no larger
+      val prevMap = labels.select(col("node").as("pj_node"),
+        col("label").as("pj_label"))
+      val stepped = hop.join(prevMap, col("label") === col("pj_node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("label"), coalesce(col("pj_label"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      done = stepped.filter(col("label") < col("prev")).isEmpty
+      // full-scan fixpoint test: materializes every partition of stepped
+      done = stepped.filter(col("label") < col("prev")).count() == 0L
       persisted.unpersist()
       persisted = stepped
       labels = stepped.select(col("node"), col("label"))
@@ -227,7 +250,8 @@ object Dedup {
     }
     require(done,
       s"dupClusters did not converge in $maxIter rounds — component " +
-        "diameter exceeds maxIter (raise it, or star-contract first)")
+        "diameter exceeds 2^maxIter (raise it)")
+    e.unpersist() // final labels are materialized; edge cache no longer needed
     val byCluster = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(byCluster))
