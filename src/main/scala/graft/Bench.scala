@@ -21,7 +21,12 @@ object Bench {
       spark.range(1000).map(i => (i, Array(i.toFloat))).filter(_._1 >= 0).count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query-name filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=qd6_dup_clusters); driver runs unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -187,46 +187,92 @@ object Dedup {
     * ngramJaccardPairs / lshNearDupPairs) into the keep/drop decision a
     * training pipeline actually needs.
     *
-    * Algorithm: min-label propagation with pointer jumping. Each round
-    * takes one hop along the edges (neighbor-min aggregate + label join)
-    * and then path-halves through the previous round's label mapping
-    * (label <- prevLabel(label)), so the min label travels O(2^r) hops
-    * after r rounds — O(log diameter) rounds total, vs O(diameter) for
-    * plain propagation (the alternating-star-contraction bound of
-    * Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * achieved with one extra equi-join per round). The label table holds
-    * only docs that occur in pairs, not the corpus.
+    * Algorithm: ONE star-contraction level, then min-label propagation
+    * with pointer jumping on the contracted graph (cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — star contraction
+    * is their edge-shrinking primitive; pointer jumping gives the
+    * O(log diameter) round bound).
     *
-    * Each round's label table is persisted and FULLY materialized by the
-    * fixpoint count before the next round builds on it. The fixpoint
-    * test must be a full-scan action (count of changed rows), not
-    * isEmpty/take(1): a take-based probe caches only the partitions it
-    * happened to scan, and every later round then recomputes the missing
-    * partitions through the whole deepening lineage — measured
-    * exponential blow-up (2s, 2s, 4s, 8s, 68s, 177s per round at sf0.1)
-    * versus flat ~1s rounds when fully materialized.
+    *  - Contraction: every node takes label min(self, min neighbor) —
+    *    one aggregate over the edge list — and edges are rewritten
+    *    through that mapping (self-loops dropped, dedup'd). Near-dup
+    *    graphs are clique-heavy (a template with n copies is a clique
+    *    with n·(n-1)/2 pair edges), and one contraction collapses each
+    *    clique to its min: at sf0.1 the 11.3M-row undirected edge list
+    *    contracts to a few hundred edges, so the iterative loop never
+    *    rescans the big table. At lake scale the rewrite is two
+    *    equi-joins + a distinct — O(|E|) shuffle ONCE, not per round.
+    *  - Loop: each round takes one hop (neighbor-min aggregate + label
+    *    join) and then path-halves through the previous round's mapping
+    *    (label <- prevLabel(label)), so the min label travels O(2^r)
+    *    hops after r rounds. Worst case (a pure path, which contraction
+    *    barely shrinks) still converges in ~log2(diameter)+1 rounds.
+    *  - Compose: finalLabel(v) = loopLabel(contractionLabel(v)) — one
+    *    small join. The label tables hold only docs that occur in
+    *    pairs, never the corpus.
     *
-    * Cache lifecycle: intermediate label tables and the edge table are
-    * unpersisted before returning; the FINAL label table stays cached
-    * (it is already materialized and backs the returned plan) — the
-    * caller owns it, per the SCALING.md lifecycle note.
+    * Every iteration product is cut from its lineage with an EAGER
+    * `localCheckpoint()` before the next round builds on it. persist()
+    * is NOT enough: caching substitutes InMemoryRelation only at
+    * physical planning, while the analyzed LOGICAL plan keeps the full
+    * self-referential tree — each round references the previous labels
+    * three times (neighbor-min join, hop left-join, pointer-jump map),
+    * so the logical plan grows ~3^rounds and the driver alone burns
+    * hours canonicalizing it (measured: a 2.1e9-char plan string and a
+    * 2301 s run at sf0.1 on KB-sized cached data). Checkpointing
+    * collapses each round to a LogicalRDD leaf — the same per-N-rounds
+    * lineage truncation GraphFrames' connected components uses. The
+    * fixpoint test stays a full-scan action (count of changed rows) on
+    * the checkpointed table, so every partition is materialized exactly
+    * once per round.
+    *
+    * Cache lifecycle: no CacheManager entries are left behind;
+    * checkpointed RDDs are slim (node, label) / (src, dst) long pairs,
+    * stored MEMORY_AND_DISK, reclaimed by the ContextCleaner once the
+    * superseded round's Dataset is unreferenced. On a real cluster use
+    * reliable `checkpoint()` only if executor loss must be survivable
+    * mid-computation; localCheckpoint is the right trade for an
+    * iterative batch job.
     */
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val e = pairs
+    // Materialize the (possibly expensive) upstream pair pipeline ONCE,
+    // as the slim directed list — 16 bytes/pair. The symmetric view is
+    // derived lazily per scan (explode from the local RDD is cheap);
+    // checkpointing the exploded form would double the write volume.
+    val p = pairs
       .select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = und.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val und = p.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ud"))
+      .select(col("ud.src").as("src"), col("ud.dst").as("dst"))
+    // Contraction labels: min(self, min neighbor). Every node appears
+    // as dst (the edge list is symmetric), so one dst-grouped aggregate
+    // covers the node set.
+    val l0 = und.groupBy(col("dst"))
+      .agg(min(col("src")).as("mn"))
+      .select(col("dst").as("node"), least(col("dst"), col("mn")).as("label"))
+      .localCheckpoint()
+    // Rewrite edges through l0; symmetric in, symmetric out. AQE
+    // broadcasts l0 when it is small; at lake scale these are the two
+    // one-off O(|E|) shuffle joins.
+    val lSrc = l0.select(col("node").as("ls_node"), col("label").as("ls_label"))
+    val lDst = l0.select(col("node").as("ld_node"), col("label").as("ld_label"))
+    var edges = und.join(lSrc, col("src") === col("ls_node"))
+      .join(lDst, col("dst") === col("ld_node"))
+      .select(col("ls_label").as("src"), col("ld_label").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // fully materialize before iterating (see Scaladoc)
-    var persisted = labels
+      .localCheckpoint()
     var iter = 0
-    var done = false
+    var done = edges.isEmpty // fully contracted already (clique-only graph)
     while (!done && iter < maxIter) {
-      val nbrMin = und.join(labels, und("dst") === labels("node"))
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
       val hop = labels.join(nbrMin, col("node") === col("src"), "left")
@@ -240,20 +286,25 @@ object Dedup {
       val stepped = hop.join(prevMap, col("label") === col("pj_node"), "left")
         .select(col("node"), col("prev"),
           least(col("label"), coalesce(col("pj_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // full-scan fixpoint test: materializes every partition of stepped
+        .localCheckpoint() // eager: one materialization, flat lineage
+      // full-scan fixpoint test over the checkpointed round
       done = stepped.filter(col("label") < col("prev")).count() == 0L
-      persisted.unpersist()
-      persisted = stepped
       labels = stepped.select(col("node"), col("label"))
       iter += 1
     }
     require(done,
       s"dupClusters did not converge in $maxIter rounds — component " +
         "diameter exceeds 2^maxIter (raise it)")
-    e.unpersist() // final labels are materialized; edge cache no longer needed
+    // Compose contraction + loop labels. Contracted nodes with no edges
+    // (components that collapsed to a star in one level) are absent from
+    // the loop's label table — their l0 label is already final.
+    val loopMap = labels.select(col("node").as("lp_node"),
+      col("label").as("lp_label"))
+    val resolved = l0.join(loopMap, col("label") === col("lp_node"), "left")
+      .select(col("node"),
+        coalesce(col("lp_label"), col("label")).as("label"))
     val byCluster = Window.partitionBy(col("label"))
-    labels
+    resolved
       .withColumn("cluster_size", count(lit(1)).over(byCluster))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"),

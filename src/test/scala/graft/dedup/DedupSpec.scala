@@ -101,6 +101,28 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dupClusters scale guardrail: log-round convergence, flat logical plan") {
+    // Path graph of diameter 200 — the label-propagation worst case.
+    // Two bounds, both of which the r4 persist()-only implementation
+    // violated: (1) pointer jumping must converge within
+    // ceil(log2 diameter)+2 rounds (maxIter below — the require() in
+    // dupClusters fails the test otherwise); (2) the returned plan must
+    // stay a few nodes over a LogicalRDD leaf. persist() alone leaves
+    // the logical tree self-referential 3× per round (~3^rounds nodes,
+    // measured 2.1e9-char plan strings at sf0.1) — only a per-round
+    // lineage cut (localCheckpoint) keeps it flat.
+    val n = 200
+    val pairs = (1 to n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val maxIter = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2
+    val out = Dedup.dupClusters(pairs, maxIter = maxIter)
+    val rows = out.select($"doc_id", $"cluster_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == n + 1)
+    assert(rows.forall { case (_, c, s) => c == 1L && s == n + 1L })
+    val planLen = out.queryExecution.logical.treeString.length
+    assert(planLen < 10000, s"logical plan blew up: $planLen chars")
+  }
+
   test("dupClusters: empty pair set yields empty output; maxIter bound enforced") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.dupClusters(empty).isEmpty)
