@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.ops.Partitioning.spread
 
@@ -120,17 +121,27 @@ object Similarity {
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
+    // Slim candidate generation (the minhashPairs pattern): the bucket
+    // self-join and the quadratic pair dedup carry ONLY (id, bucket) —
+    // shipping the embedding arrays through a join whose output is
+    // quadratic in bucket size multiplies shuffle volume by the vector
+    // width. Vectors re-attach per deduped pair via two equi-joins
+    // against the slim persisted (id, vec) table before the ONE cosine
+    // evaluation (AQE broadcasts that table when it is small).
     val base = spread(corpus)
       .select(col(idCol).cast("long").as("nd_id"), col(vecCol).as("nd_vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tabs = array((0 until tables).map(t =>
       lshBucketPacked("nd_vec", planes, t) * lit(tables) + t): _*)
-    val cb = base.withColumn("bucket", explode(tabs))
-    val left = cb.select(col("nd_id").as("id_a"),
-      col("nd_vec").as("vec_a"), col("bucket"))
-    val right = cb.select(col("nd_id").as("id_b"),
-      col("nd_vec").as("vec_b"), col("bucket"))
-    left.join(right, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val banded = base.select(col("nd_id"), explode(tabs).as("bucket"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.nd_id") < col("b.nd_id"))
+      .select(col("a.nd_id").as("id_a"), col("b.nd_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cands
+      .join(base.select(col("nd_id").as("id_a"), col("nd_vec").as("vec_a")), "id_a")
+      .join(base.select(col("nd_id").as("id_b"), col("nd_vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -147,22 +158,30 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
+    // Slim candidates: the multi-table bucket join and the per-pair
+    // dedup carry only ids + bucket keys; corpus vectors re-attach by id
+    // after the dedup (one equi-join against the persisted slim table),
+    // query vectors by broadcast — so no embedding array rides the
+    // quadratic candidate shuffle.
     val tabs = array((0 until tables).map(t =>
       lshBucketPacked(vecCol, planes, t) * lit(tables) + t): _*)
     val qTabs = array((0 until tables).map(t =>
       lshBucketPacked(qVecCol, planes, t) * lit(tables) + t): _*)
-    val cb = spread(corpus).withColumn("bucket", explode(tabs))
-    val qb = queries.withColumn("qbucket", explode(qTabs))
-    val cands = cb.join(broadcast(qb),
+    val base = spread(corpus).select(col(idCol), col(vecCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cBand = base.select(col(idCol), explode(tabs).as("bucket"))
+    val qBand = queries.select(col(qIdCol), explode(qTabs).as("qbucket"))
+    val cands = cBand.join(broadcast(qBand),
         col("bucket") === col("qbucket") && col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol).as("neighbor_id"),
-        col(vecCol), col(qVecCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"))
       .dropDuplicates(qIdCol, "neighbor_id")
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands
+    val scored = cands
+      .join(base.select(col(idCol).as("neighbor_id"), col(vecCol)), "neighbor_id")
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), qIdCol)
       .select(col(qIdCol), col("neighbor_id"),
         cosine(col(vecCol), col(qVecCol)).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
