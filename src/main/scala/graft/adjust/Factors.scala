@@ -83,11 +83,17 @@ object Factors {
   /** Day-edge extraction for gap detection (factor_builder.py:727-744
     * `_scan_day_edges`): first/last close of each (id, ticker,
     * event_day) plus the raw overnight gap — first close over the PRIOR
-    * trading day's last close within the id. One aggregate + one lag;
-    * the reference thread-pools per-file pandas reads.
+    * trading day's last close within the TICKER (reference parity: the
+    * reference scans per-ticker files, so a split landing exactly on an
+    * id/FIGI validity boundary — same ticker, new id overnight — still
+    * produces a detectable gap; an id-partitioned lag would see null
+    * there). The id tiebreak pins lag order on the rare day carrying
+    * both sides of an intraday identity change. One aggregate + one
+    * lag; the reference thread-pools per-file pandas reads.
     */
   def dayEdges(barsWithId: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("event_day"), col("id"))
     barsWithId
       .groupBy(col("id"), col("ticker"), col("event_day"))
       .agg(min_by(col("close"), col("datetime")).as("first_close"),

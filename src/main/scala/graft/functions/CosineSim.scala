@@ -54,9 +54,12 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
 
-  /** Called from generated code. Vectors must have equal length (the
-    * engine's embedding columns are fixed-width; a mismatch is a data
-    * bug better surfaced than nulled).
+  /** Called from generated code. Vectors must have equal length and
+    * null-free elements (the engine's embedding columns are fixed-width
+    * and dense; a mismatch or a null element is a data bug better
+    * surfaced than nulled — note the replaced HOF fold silently returned
+    * null for a null element, so "bit-identical to the HOF form" holds
+    * exactly on the null-free domain and fails loudly off it).
     */
   def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
@@ -67,6 +70,9 @@ object CosineSim {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_sim: null vector element at index $i — filter or impute upstream")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

@@ -81,9 +81,19 @@ object HyperplanePack {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
 
-  /** Called from generated code. One compiled O(planes·dim) loop. */
+  /** Called from generated code. One compiled O(planes·dim) loop. Null
+    * elements are rejected up front (one pass, not per plane) — a null
+    * in a dense embedding is corruption better surfaced than hashed.
+    */
   def compute(vec: ArrayData, planes: Int, table: Int, isFloat: Boolean): Long = {
     val dim = vec.numElements()
+    var j = 0
+    while (j < dim) {
+      if (vec.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"hyperplane_pack: null vector element at index $j — filter or impute upstream")
+      j += 1
+    }
     val w = cache.computeIfAbsent((planes, table, dim),
       _ => planeWeights(planes, table, dim))
     var out = 0L

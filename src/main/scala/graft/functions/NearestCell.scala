@@ -43,9 +43,18 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
 object NearestCell {
 
   /** Called from generated code. Ascending scan with strict-less update
-    * ⇒ first minimal index wins (= smallest cell id among ties).
+    * ⇒ first minimal index wins (= smallest cell id among ties). Null
+    * elements are rejected up front (one pass, not per centroid).
     */
   def compute(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val n = vec.numElements()
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"nearest_cell: null vector element at index $j — filter or impute upstream")
+      j += 1
+    }
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0

@@ -94,36 +94,52 @@ object BarsIngest {
   def mergeManifest(
       spark: SparkSession, prevManifest: DataFrame,
       lakeRoot: String, newPaths: Seq[String]): DataFrame = {
-    // basePath keeps the hive partition columns (ticker/year/month)
-    // resolvable when reading partition subdirectories directly
-    val delta = spark.read.option("basePath", lakeRoot).parquet(newPaths: _*)
-      .groupBy(col("ticker"), input_file_name().as("path"))
-      .agg(
-        min(col("datetime")).as("start"),
-        max(col("datetime")).as("end"),
-        count(lit(1)).as("rows"))
-    // Eviction matches on NORMALIZED path components, both sides:
-    // newPaths go through Hadoop Path/FileSystem (qualified, "..", "//"
-    // and trailing-slash collapsed — immune to file:/ vs file:///
-    // rendering), the manifest column gets its URI scheme+authority
-    // stripped. Directories evict on the "/"-terminated prefix (a raw
-    // ".../month=1" substring would also evict month=10..12 without
-    // re-adding them); a leaf FILE path evicts exactly its own entry.
+    // Resolve every touched path ONCE: qualified URI ("..", "//",
+    // trailing slash collapsed — immune to file:/ vs file:///
+    // rendering) plus its status — Some(isDir) if it exists, None if
+    // deleted. Deleted paths still participate in EVICTION (that is how
+    // a deletion propagates to the manifest) but are excluded from the
+    // delta scan, which would otherwise fail on a missing path.
     val hconf = spark.sparkContext.hadoopConfiguration
-    val normalized = newPaths.map { p =>
+    val resolved = newPaths.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(hconf)
       val q = fs.makeQualified(hp)
-      val isDir =
-        try fs.getFileStatus(q).isDirectory
-        catch { case _: java.io.FileNotFoundException => true }
-      (q.toUri.getPath, isDir)
+      val status =
+        try Some(fs.getFileStatus(q).isDirectory)
+        catch { case _: java.io.FileNotFoundException => None }
+      (q, status)
     }
+    val existing = resolved.collect { case (q, Some(_)) => q.toString }
+    // basePath keeps the hive partition columns (ticker/year/month)
+    // resolvable when reading partition subdirectories directly
+    val delta = if (existing.isEmpty) prevManifest.limit(0)
+      else spark.read.option("basePath", lakeRoot).parquet(existing: _*)
+        .groupBy(col("ticker"), input_file_name().as("path"))
+        .agg(
+          min(col("datetime")).as("start"),
+          max(col("datetime")).as("end"),
+          count(lit(1)).as("rows"))
+    // Eviction matches on NORMALIZED path components, both sides (the
+    // manifest column gets its URI scheme+authority stripped).
+    // Directories evict on the "/"-terminated prefix (a raw
+    // ".../month=1" substring would also evict month=10..12 without
+    // re-adding them); a leaf FILE path evicts exactly its own entry. A
+    // path that no longer EXISTS (deleted partition dir or deleted leaf
+    // file — getFileStatus cannot tell which it was) evicts BOTH forms,
+    // so deletions always propagate instead of leaving a stale row
+    // whose delta scan contributes nothing (reference semantics: the
+    // rebuild in ingest.py:345-422 can never go stale).
     val manifestPath = regexp_replace(
       regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
       "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
-    val underTouched = normalized.map { case (p, isDir) =>
-      if (isDir) manifestPath.startsWith(p + "/") else manifestPath === p
+    val underTouched = resolved.map { case (q, status) =>
+      val uri = q.toUri.getPath
+      status match {
+        case Some(true)  => manifestPath.startsWith(uri + "/")
+        case Some(false) => manifestPath === uri
+        case None        => manifestPath.startsWith(uri + "/") || manifestPath === uri
+      }
     }.reduce(_ || _)
     prevManifest.filter(!underTouched).unionByName(delta)
   }

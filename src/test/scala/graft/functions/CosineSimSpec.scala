@@ -35,6 +35,26 @@ class CosineSimSpec extends SparkTestBase {
     assert(out.select(CosineSim.cosine_sim(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("null vector ELEMENTS are rejected loudly, not read as garbage") {
+    // the replaced HOF fold returned null for a null element; the codegen
+    // kernels treat it as corruption and fail with a pointed message
+    // (documented next to the length require) — silent 0.0/garbage reads
+    // are the one unacceptable outcome
+    val out = spark.sql(
+      "SELECT array(1.0F, cast(null as float)) AS a, array(1.0F, 2.0F) AS b")
+    val ex = intercept[Exception] {
+      out.select(CosineSim.cosine_sim(col("a"), col("b"))).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        Option(e.getCause).toSeq.flatMap(rootMessages))
+    assert(rootMessages(ex).exists(_.contains("null vector element")), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      out.select(HyperplanePack.hyperplane_pack(col("a"), 8)).collect()
+    }
+    assert(rootMessages(ex2).exists(_.contains("null vector element")), ex2.getMessage)
+  }
+
   test("nearest_cell matches Model.nearest for every corpus vector") {
     import spark.implicits._
     val model = Ivf.fit(e, "vec_id", "embedding", k = 8)

@@ -140,6 +140,22 @@ class IngestSpec extends SparkTestBase {
     val mergedUri = BarsIngest.mergeManifest(spark, full0Df, root,
       Seq(s"file:$leaf"))
     assert(canon(mergedUri) === canon(rebuilt))
+
+    // a DELETED leaf file must be evicted, not survive as a stale row:
+    // getFileStatus can no longer tell file from directory, so the merge
+    // must drop both the exact-path row and any "p/"-prefixed rows (and
+    // must not crash scanning the missing path). Reference semantics:
+    // the full rebuild (ingest.py:345-422) can never go stale.
+    val month10 = new java.io.File(s"$root/ticker=AAPL/year=2024/month=10")
+    val leaf10 = month10.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(leaf10.delete(), s"could not delete fixture $leaf10")
+    val mergedDel = BarsIngest.mergeManifest(spark, full0Df, root,
+      Seq(leaf10.getAbsolutePath))
+    assert(mergedDel.filter($"path".contains("month=10/")).count() === 0L)
+    // untouched entries survive
+    assert(mergedDel.filter($"path".contains("month=11/")).count() === 1L)
+    assert(canon(mergedDel) === canon(BarsIngest.manifest(spark, root)))
   }
 
   test("LakeReader prunes by ticker + range and pads missing columns") {
