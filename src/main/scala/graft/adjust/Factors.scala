@@ -129,10 +129,9 @@ object Factors {
     * calendar day gets that guessed ratio (recovering splits missing
     * from refdata); when the similar refdata ratio sits on the NEXT
     * day, it is moved onto the gap day (refdata execution dates are
-    * often one day late for minute lakes). The reference applies
-    * guesses sequentially in day order; this relational form decides
-    * all guesses against the pre-override grid in one pass — identical
-    * unless two detected gaps land within one day of each other.
+    * often one day late for minute lakes). Guesses apply sequentially
+    * in day order per id — each sees earlier upserts/deletes, exactly
+    * like the reference's loop (see [[gapOverride]]).
     */
   def splitFactorGrid(days: DataFrame, splits: DataFrame,
       exact: Boolean = false,
@@ -161,48 +160,66 @@ object Factors {
         (col("F_last") / col("F")).as("split_volume_factor"))
   }
 
-  /** Gap-detection override of the refdata day-ratio grid
-    * (factor_builder.py:789-814). For each guessed gap day d:
-    *  - "similar" = any refdata ratio r0 in [d-1, d+1] with
+  /** Gap-detection override of the refdata day-ratio grid — EXACT
+    * sequential parity with factor_builder.py:789-814. Guesses are
+    * applied per id in ascending day order, each one deciding against
+    * the grid AS MODIFIED by earlier guesses (the reference mutates
+    * `per_day` inside its loop, so two gap days within one calendar day
+    * of each other interact):
+    *  - "similar" = any CURRENT ratio r0 in [d-1, d+1] with
     *    |r0 / guess| in [0.85, 1.15];
     *  - no similar ratio → upsert the guess at d (refdata missed the
     *    split entirely);
     *  - similar ratio on d+1 within 15% of the guess → drop the d+1 row
     *    and re-date its event to d (late execution date).
-    * The guess/override tables are split-event-sized — they ride
-    * broadcast anti-joins against the (equally small) day-ratio grid.
+    * Executed as `flatMapGroups` per id: the per-group state is
+    * split-EVENT-sized (a handful of (day, ratio) entries per security,
+    * never the bar history), so the sequential loop the semantics
+    * require costs O(events) memory per group while staying fully
+    * distributed across ids — the Spark-native shape of the reference's
+    * per-ticker pandas loop.
     */
   private def gapOverride(refRatio: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = refRatio.sparkSession
+    import spark.implicits._
     val g = edges
       .withColumn("guess", splitGapGuess(col("raw_gap")))
       .filter(col("guess").isNotNull)
-      .select(col("id").as("gid"), col("event_day").as("gday"), col("guess"))
-    val dec = g
-      .join(refRatio,
-        refRatio("id") === col("gid") &&
-          refRatio("event_day").between(
-            date_sub(col("gday"), 1), date_add(col("gday"), 1)),
-        "left")
-      .groupBy(col("gid"), col("gday"), col("guess"))
-      .agg(
-        max(abs(col("day_ratio") / col("guess")).between(0.85, 1.15))
-          .as("similar"),
-        max(when(col("event_day") === date_add(col("gday"), 1),
-          col("day_ratio"))).as("next_ratio"))
-      .withColumn("similar", coalesce(col("similar"), lit(false)))
-      .withColumn("move_next", col("similar") && col("next_ratio").isNotNull &&
-        abs(col("next_ratio") / col("guess") - 1.0) <= 0.15)
-      .withColumn("apply_guess", !col("similar") || col("move_next"))
-    val deletes = dec.filter(col("move_next"))
-      .select(col("gid").as("id"), date_add(col("gday"), 1).as("event_day"))
-    val upserts = dec.filter(col("apply_guess"))
-      .select(col("gid").as("id"), col("gday").as("event_day"),
-        col("guess").as("day_ratio"))
+      .select(col("id"), col("event_day"), col("guess").as("v"),
+        lit(true).as("is_guess"))
     refRatio
-      .join(broadcast(deletes), Seq("id", "event_day"), "left_anti")
-      .join(broadcast(upserts.select(col("id"), col("event_day"))),
-        Seq("id", "event_day"), "left_anti")
-      .unionByName(upserts)
+      .select(col("id"), col("event_day"), col("day_ratio").as("v"),
+        lit(false).as("is_guess"))
+      .unionByName(g)
+      .as[(String, java.sql.Date, Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        val rows = it.toArray
+        val ratios = scala.collection.mutable.TreeMap.empty[Long, Double]
+        rows.iterator.filter(!_._4).foreach { case (_, d, v, _) =>
+          ratios(d.toLocalDate.toEpochDay) = v
+        }
+        rows.iterator.filter(_._4)
+          .map { case (_, d, v, _) => (d.toLocalDate.toEpochDay, v) }
+          .toArray.sortBy(identity[(Long, Double)])
+          .foreach { case (d, guess) =>
+            val window = (d - 1 to d + 1).flatMap(ratios.get)
+            val similar = window.exists { r0 =>
+              val q = math.abs(r0 / guess); q >= 0.85 && q <= 1.15
+            }
+            if (!similar) ratios(d) = guess
+            else ratios.get(d + 1) match {
+              case Some(r1) if math.abs(r1 / guess - 1.0) <= 0.15 =>
+                ratios.remove(d + 1)
+                ratios(d) = guess
+              case _ => ()
+            }
+          }
+        ratios.iterator.map { case (ed, v) =>
+          (id, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(ed)), v)
+        }
+      }
+      .toDF("id", "event_day", "day_ratio")
   }
 
   /** Dividend / total-return factor grid. `dayBase` must carry one row

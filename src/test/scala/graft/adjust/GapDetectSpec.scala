@@ -105,6 +105,30 @@ class GapDetectSpec extends SparkTestBase {
     assert(g.columns.contains("tr_price_factor"))
   }
 
+  test("adjacent same-ratio gap days apply sequentially (reference loop parity)") {
+    // Two 2:1 drops on CALENDAR-adjacent days (02-06, 02-07). The
+    // reference applies guesses in day order against the LIVE grid
+    // (factor_builder.py:789-814): the 02-06 guess upserts ratio 2, so
+    // the 02-07 guess sees it in its ±1-day window as "similar" (2/2 in
+    // [0.85,1.15]), finds no d+1 refdata row to re-date, and is dropped.
+    // A one-pass decision against the pre-override grid would apply
+    // BOTH guesses (spf 0.25 before 02-06) — the divergence ADVICE r3
+    // flagged; this pins the sequential behavior.
+    val closes2 = Seq(100.0f, 100.0f, 100.0f, 50.0f, 25.0f, 25.0f)
+    val bars2 = days.zip(closes2).flatMap { case (day, c) =>
+      Seq((ts(day, "14:30"), "GGG", c, 1000L), (ts(day, "21:00"), "GGG", c, 1000L))
+    }.toDF("datetime", "ticker", "close", "volume")
+    val noSplits = Seq.empty[(String, Date, Double)]
+      .toDF("ticker", "execution_date", "ratio")
+    val adj = Adjuster.buildAdjusted(bars2, sm, noSplits, noDividends,
+      Adjuster.MaterializeClose, detectGaps = true)
+    val spf = spfByDay(adj)
+    assert(approx(spf("2024-02-05"), 0.5), s"only the first gap applies: $spf")
+    assert(approx(spf("2024-02-06"), 1.0), s"got $spf")
+    assert(approx(spf("2024-02-07"), 1.0), s"second gap suppressed: $spf")
+    assert(approx(spf("2024-02-08"), 1.0))
+  }
+
   test("gap on an id/FIGI validity boundary is still detected (ticker lag)") {
     // Same bars, but the security's identity changes overnight exactly on
     // the split day: FIGI_OLD valid through 02-05, FIGI_NEW from 02-06.
