@@ -123,6 +123,45 @@ class DedupSpec extends SparkTestBase {
     assert(planLen < 10000, s"logical plan blew up: $planLen chars")
   }
 
+  test("dupClusters matches a union-find oracle on random graphs") {
+    // The contraction + pointer-jump pipeline against a straightforward
+    // driver union-find, over graph shapes a path/clique fixture misses:
+    // sparse forests, dense blobs, rings, and singleton-free edge soups.
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 8).foreach { trial =>
+      val n = 30 + rnd.nextInt(120)
+      val m = 1 + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m) {
+        // ids sparse + shuffled so node id order carries no structure
+        val a = rnd.nextInt(n) * 7919L + 13
+        val b = rnd.nextInt(n) * 7919L + 13
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+          .select($"doc_id", $"cluster_id", $"cluster_size", $"is_canonical")
+          .as[(Long, Long, Long, Boolean)].collect()
+        assert(got.length == want.size, s"trial $trial: node count")
+        got.foreach { case (node, cid, size, canon) =>
+          assert(cid == want(node), s"trial $trial node $node")
+          assert(size == want.values.count(_ == want(node)).toLong,
+            s"trial $trial node $node size")
+          assert(canon == (node == cid), s"trial $trial node $node canonical")
+        }
+      }
+    }
+  }
+
   test("dupClusters: empty pair set yields empty output; maxIter bound enforced") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.dupClusters(empty).isEmpty)
