@@ -244,26 +244,31 @@ object Dedup {
       .select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
       .localCheckpoint()
-    val und = p.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("ud"))
-      .select(col("ud.src").as("src"), col("ud.dst").as("dst"))
-    // Contraction labels: min(self, min neighbor). Every node appears
-    // as dst (the edge list is symmetric), so one dst-grouped aggregate
-    // covers the node set.
-    val l0 = und.groupBy(col("dst"))
-      .agg(min(col("src")).as("mn"))
-      .select(col("dst").as("node"), least(col("dst"), col("mn")).as("label"))
+    // Contraction labels: min(self, min neighbor), from TWO
+    // half-aggregates over the directed list merged full-outer —
+    // cheaper than symmetrizing first (that doubles every contraction
+    // scan to 2|E| rows; here the explode happens only on the already
+    // tiny contracted edge set below).
+    val mIn = p.groupBy(col("dst").as("node")).agg(min(col("src")).as("mn_in"))
+    val mOut = p.groupBy(col("src").as("node")).agg(min(col("dst")).as("mn_out"))
+    val l0 = mIn.join(mOut, Seq("node"), "full_outer")
+      .select(col("node"),
+        least(col("node"), col("mn_in"), col("mn_out")).as("label"))
       .localCheckpoint()
-    // Rewrite edges through l0; symmetric in, symmetric out. AQE
-    // broadcasts l0 when it is small; at lake scale these are the two
-    // one-off O(|E|) shuffle joins.
+    // Rewrite edges through l0 (symmetry of the quotient is restored by
+    // the explode below). AQE broadcasts l0 when it is small; at lake
+    // scale these are the two one-off O(|E|) shuffle joins.
     val lSrc = l0.select(col("node").as("ls_node"), col("label").as("ls_label"))
     val lDst = l0.select(col("node").as("ld_node"), col("label").as("ld_label"))
-    var edges = und.join(lSrc, col("src") === col("ls_node"))
+    var edges = p.join(lSrc, col("src") === col("ls_node"))
       .join(lDst, col("dst") === col("ld_node"))
-      .select(col("ls_label").as("src"), col("ld_label").as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .select(col("ls_label").as("csrc"), col("ld_label").as("cdst"))
+      .filter(col("csrc") =!= col("cdst"))
+      .distinct()
+      .select(explode(array(
+        struct(col("csrc").as("src"), col("cdst").as("dst")),
+        struct(col("cdst").as("src"), col("csrc").as("dst")))).as("ud"))
+      .select(col("ud.src").as("src"), col("ud.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
