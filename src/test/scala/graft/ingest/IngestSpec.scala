@@ -156,6 +156,16 @@ class IngestSpec extends SparkTestBase {
     // untouched entries survive
     assert(mergedDel.filter($"path".contains("month=11/")).count() === 1L)
     assert(canon(mergedDel) === canon(BarsIngest.manifest(spark, root)))
+
+    // a deleted partition DIRECTORY propagates the same way (the
+    // dropped-partition maintenance case: remove dir, merge its path)
+    val month11 = new java.io.File(s"$root/ticker=AAPL/year=2024/month=11")
+    month11.listFiles().foreach(f => assert(f.delete()))
+    assert(month11.delete(), s"could not delete fixture dir $month11")
+    val mergedDelDir = BarsIngest.mergeManifest(spark, full0Df, root,
+      Seq(month11.getAbsolutePath))
+    assert(mergedDelDir.filter($"path".contains("month=11/")).count() === 0L)
+    assert(mergedDelDir.filter($"path".contains("month=12/")).count() === 1L)
   }
 
   test("LakeReader prunes by ticker + range and pads missing columns") {
