@@ -151,6 +151,39 @@ object DataOpsQueries {
              CAST(unicode(s[i+7]) AS BIGINT)) % 2147483647)) AS rmh
         FROM d ORDER BY doc_id""")),
 
+    // ---- Gopher-style repetition signals (Rae et al. 2021): duplicate-
+    // token fraction as a pure column expression; top-bigram fraction
+    // as explode + two-level aggregate — the linear relational shape
+    // (an array-lambda argmax would be O(n²) per doc and is not). ----
+    QueryDef("qt8_repetition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val top = docs.select(col("doc_id"),
+            explode(TextOps.wordBigrams(col("text"))).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg((max(col("n")).cast("double") / sum(col("n")))
+            .as("top_bigram_frac"))
+        docs.select(col("doc_id"),
+            TextOps.dupTokenFraction(col("text")).as("dup_token_frac"))
+          .join(top, Seq("doc_id"), "left")
+          .withColumn("top_bigram_frac",
+            coalesce(col("top_bigram_frac"), lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        bgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM d WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bgs GROUP BY doc_id, bg),
+        tb AS (SELECT doc_id, CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_bigram_frac
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(d.toks)) AS DOUBLE) / CAST(len(d.toks) AS DOUBLE) AS dup_token_frac,
+          COALESCE(tb.top_bigram_frac, CAST(0.0 AS DOUBLE)) AS top_bigram_frac
+        FROM d LEFT JOIN tb ON tb.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")

@@ -97,6 +97,26 @@ object TextOps {
       .otherwise("zh")
   }
 
+  /** Gopher-style repetition signal (cf. Rae et al. 2021's repetition
+    * filters): fraction of whitespace tokens that repeat an earlier
+    * token, i.e. 1 - distinct/total. High values mark token-soup /
+    * boilerplate documents a training pipeline drops.
+    */
+  def dupTokenFraction(text: Column): Column =
+    lit(1.0) - size(array_distinct(tokens(text))) / tokenCountWs(text)
+
+  /** Non-distinct word bigrams of the normalized text — the COUNTING
+    * form feeding repetition fractions ([[graft.dedup.Dedup.wordNgrams]]
+    * is the distinct set form for Jaccard). Single-token documents get
+    * an empty array (guarded: Spark's `sequence(1, 0)` would descend).
+    */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  }
+
   /** Content fingerprints: md5 of the normalized text, and its 60-bit
     * numeric form for compact storage / joins.
     */
