@@ -184,6 +184,34 @@ object DataOpsQueries {
         FROM d LEFT JOIN tb ON tb.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- train/eval n-gram decontamination (GPT-3 app. C / Pile
+    // style): hash-split the corpus 90/10, then flag train docs
+    // sharing any word 8-gram with the eval slice. Equi-join on the
+    // 60-bit gram hash; eval grams broadcast (benchmark-set-sized). ----
+    QueryDef("qt9_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("split",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        graft.text.Decontaminate.contaminated(
+            docs.filter(col("split") === "train"),
+            docs.filter(col("split") === "eval"),
+            "text", "doc_id", n = 8)
+          .orderBy(col("train_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        sp AS (SELECT doc_id, toks,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM d),
+        g8 AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
+              i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
+          FROM sp WHERE len(toks) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval')
+        SELECT t.doc_id AS train_id, COUNT(*) AS n_shared_grams
+        FROM g8 t JOIN eg ON eg.g = t.g
+        WHERE t.split = 'train'
+        GROUP BY t.doc_id ORDER BY train_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")

@@ -1,0 +1,43 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def doc(words: String*) = words.mkString(" ")
+
+  test("train docs sharing an 8-gram with eval are flagged, others are not") {
+    val shared = doc("one", "two", "three", "four", "five", "six", "seven", "eight")
+    val train = Seq(
+      (1L, shared + " tail tokens here"),          // contains the eval 8-gram
+      (2L, doc("totally", "different", "words", "that", "never", "overlap",
+        "with", "anything", "held", "out")),       // clean
+      (3L, "short doc"))                           // < 8 tokens: no grams
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "prefix " + shared)).toDF("doc_id", "text")
+    val out = Decontaminate.contaminated(train, eval_, "text", "doc_id", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L))
+    // train doc 1 windows: [one..eight], [two..tail], [three..here] —
+    // only the first matches an eval window ([prefix..seven], [one..eight])
+    assert(out(1L) == 1L)
+  }
+
+  test("lake path (no broadcast) is result-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("split",
+        TextOps.hashSplit(col("doc_id"), Seq(80), Seq("train", "eval")))
+    val tr = docs.filter($"split" === "train")
+    val ev = docs.filter($"split" === "eval")
+    def canon(b: Boolean) =
+      Decontaminate.contaminated(tr, ev, "text", "doc_id", n = 3,
+          broadcastEval = b)
+        .orderBy("train_id").collect().toSeq
+    val bc = canon(true)
+    assert(bc.nonEmpty) // template corpus: 3-gram overlap must exist
+    assert(canon(false) == bc)
+  }
+}
