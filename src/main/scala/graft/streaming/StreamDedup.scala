@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Streaming exact-dedup on ingest — dropping duplicate documents as
+  * they ARRIVE, before they land in the lake. Dedup at rest over a
+  * 100 TB corpus costs a full-corpus batch job ([[graft.dedup.Dedup
+  * .exactDupAnnotate]]); dedup in flight costs one state lookup per
+  * row against a store bounded by the watermark horizon.
+  *
+  * Built on `dropDuplicatesWithinWatermark`: one row per content
+  * fingerprint survives, and the per-key state is EVICTED once the
+  * watermark passes the key's event time — bounded state, unlike plain
+  * streaming `dropDuplicates`, whose keys accumulate forever. These are
+  * exactly corpus-feed semantics: a page re-crawled within the horizon
+  * is a duplicate; the same content resurfacing after the horizon is a
+  * legitimate new snapshot (and batch dedup downstream still catches
+  * it if the pipeline wants global uniqueness).
+  */
+object StreamDedup {
+
+  /** Add a `content_hash` fingerprint and keep the first document per
+    * fingerprint within the watermark horizon. `docs` must be a
+    * streaming DataFrame carrying an event-time column `tsCol`.
+    */
+  def exactDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", TextOps.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+}
