@@ -212,6 +212,30 @@ object DataOpsQueries {
         WHERE t.split = 'train'
         GROUP BY t.doc_id ORDER BY train_id""")),
 
+    // ---- sequence packing: shard-local concat-then-chop bin
+    // assignment by cumulative token count (no global sort; one window
+    // per hash shard; deterministic (hash, id) order) ----
+    QueryDef("qt10_seq_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.text.Pack.packBins(d, "doc_id",
+            TextOps.tokenCountWs(col("text")), binTokens = 64, shards = 8)
+          .withColumn("n_tok", col("n_tok").cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+          CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents),
+        sh AS (SELECT doc_id, n_tok, h, CAST(h % 8 AS INT) AS shard FROM d),
+        c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
+          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) AS bin,
+          CAST(cum - n_tok AS BIGINT)
+            - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
+        FROM c ORDER BY doc_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")
