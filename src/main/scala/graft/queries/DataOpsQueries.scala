@@ -236,6 +236,27 @@ object DataOpsQueries {
             - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
         FROM c ORDER BY doc_id""")),
 
+    // ---- symmetric int8 embedding quantization (4x storage cut for
+    // ANN serving): per-vector amax/127 scale, round-half-up via IEEE
+    // floor (engine-portable; round() is not) ----
+    QueryDef("qs7_int8_quant",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.int8Scale(col("embedding")).as("scale"),
+          // codes serialized to csv: the driver compare hashes scalar
+          // columns only (array cells are unhashable on its side)
+          concat_ws(",", transform(
+            Similarity.int8Quantize(col("embedding")),
+            c => c.cast("string"))).as("q_csv"))
+        .orderBy(col("vec_id")),
+      Some("""WITH s AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127.0 AS DOUBLE) AS scale
+        FROM embeddings)
+        SELECT vec_id, scale,
+          array_to_string(list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN '0'
+            ELSE CAST(CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR) END), ',') AS q_csv
+        FROM s ORDER BY vec_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")

@@ -77,6 +77,25 @@ object Similarity {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** Per-vector symmetric int8 quantization scale: amax/127, as double.
+    * Quantized storage cuts ANN memory 4× vs float32 — the standard
+    * serving trade.
+    */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** Int8 codes: floor(x/scale + 0.5) — round-half-up spelled with
+    * IEEE floor, which is bit-identical across engines (round() is
+    * not: Spark and DuckDB disagree at the last ulp). The all-zero
+    * vector (scale 0) quantizes to zeros instead of dividing by zero.
+    */
+  def int8Quantize(vec: Column): Column = {
+    val s = int8Scale(vec)
+    transform(vec, x =>
+      when(s === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / s + 0.5).cast("int")))
+  }
+
   /** ANN top-k via one LSH table: candidates share the bucket key, then
     * exact cosine rank within candidates. Trades recall for avoiding the
     * full cross join — the 100 TB path.
