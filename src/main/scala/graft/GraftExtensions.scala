@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{RollingMinHash, Simhash60, SortedIntersectCount, WordNgramHashes}
+import graft.functions.{CosineSim, HyperplanePack, RollingMinHash, Simhash60, SortedIntersectCount, WordNgramHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -44,7 +44,18 @@ object GraftExtensions {
     ("graft_word_ngram_hashes",
       "graft_word_ngram_hashes(text, n) - distinct 60-bit hashes of word n-grams",
       (children: Seq[Expression]) => WordNgramHashes(children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+        children(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_cosine_sim",
+      "graft_cosine_sim(a, b) - exact cosine of two float/double arrays",
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+    // NearestCell is intentionally NOT SQL-exposed: it closes over a
+    // driver-fit centroid matrix, which has no SQL-literal form.
+    ("graft_hyperplane_pack",
+      "graft_hyperplane_pack(vec, planes[, table]) - packed sign-bit LSH bucket",
+      (children: Seq[Expression]) => HyperplanePack(children.head,
+        children(1).eval().asInstanceOf[Number].intValue(),
+        if (children.length > 2) children(2).eval().asInstanceOf[Number].intValue()
+        else 0)))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at
     * session construction) — the notebook / shared-session path.

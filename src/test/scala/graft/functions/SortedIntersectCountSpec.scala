@@ -29,10 +29,16 @@ class SortedIntersectCountSpec extends SparkTestBase {
     val r = spark.sql(
       """SELECT graft_sorted_intersect_count(array(1L,2L,5L), array(2L,5L,9L)) c,
         |       graft_rolling_min_hash('abcdefghij', 8) h,
-        |       graft_simhash60(array(7L)) sh""".stripMargin)
+        |       graft_simhash60(array(7L)) sh,
+        |       graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) cs,
+        |       graft_hyperplane_pack(array(1.0F, 0.5F), 8) hp,
+        |       graft_hyperplane_pack(array(1.0F, 0.5F), 8, 1) hp1""".stripMargin)
       .collect()(0)
     assert(r.getInt(0) == 2)
     assert(!r.isNullAt(1))
     assert(r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 1.0)
+    assert(!r.isNullAt(4) && !r.isNullAt(5))
+    assert(r.getLong(4) != r.getLong(5)) // independent table families
   }
 }
