@@ -165,6 +165,12 @@ class DedupSpec extends SparkTestBase {
   test("dupClusters: empty pair set yields empty output; maxIter bound enforced") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.dupClusters(empty).isEmpty)
+    // self-loop input (never produced by the pair kernels, which enforce
+    // id_a < id_b) degrades gracefully to a singleton cluster
+    val self = Seq((7L, 7L)).toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(self).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))) ==
+      Seq((7L, 7L, 1L, true)))
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
       Dedup.dupClusters(path, maxIter = 2).collect()
