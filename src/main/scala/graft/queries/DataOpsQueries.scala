@@ -312,6 +312,59 @@ object DataOpsQueries {
         FROM lab l JOIN csz c ON c.cluster_id = l.cluster_id
         ORDER BY doc_id""")),
 
+    // ---- The curation composite: near-dup clusters -> keep canonical
+    // docs -> absolute quality floor -> pack survivors into context
+    // bins. One lazy plan composing four operator families (LSH dedup,
+    // connected components, quality scoring, sequence packing) — the
+    // end-to-end shape of a training-data build. ----
+    QueryDef("qx3_curate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashPairs(docs, "text", "doc_id",
+            k = 16, bands = 4, threshold = 0.6))
+        val dropIds = clusters.filter(!col("is_canonical"))
+          .select(col("doc_id"))
+        val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")
+          .withColumn("quality", TextOps.qualityScore(col("text")))
+          .filter(col("quality") >= 0.32)
+        graft.text.Pack.packBins(kept, "doc_id",
+            TextOps.tokenCountWs(col("text")), binTokens = 64, shards = 8)
+          .withColumn("n_tok", col("n_tok").cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE p AS ($minhashPairsSql),
+        und AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a),
+        dropd AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+        kd AS (SELECT doc_id, text, $normSql AS norm FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropd)),
+        kq AS (SELECT doc_id, norm,
+            len(string_split(norm, ' ')) AS n_tok_ws,
+            len(list_filter(string_split(norm, ' '),
+              t -> list_contains(['the','a','of','and','to','is','in'], t))) AS n_stop,
+            (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text) AS punct
+          FROM kd),
+        kf AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM kq
+          WHERE ((n_stop / n_tok_ws) * 2.0 + (1.0 - punct) +
+            least(n_tok_ws, 100) / 100.0) / 4.0 >= 0.32),
+        sh AS (SELECT doc_id, n_tok, h, CAST(h % 8 AS INT) AS shard FROM kf),
+        c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
+          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) AS bin,
+          CAST(cum - n_tok AS BIGINT)
+            - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
+        FROM c ORDER BY doc_id""")),
+
     // ---- SimHash near-dup pairs (banded candidates, Hamming <= 3) ----
     QueryDef("qd4_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
