@@ -16,7 +16,12 @@ object Explain {
       else Seq("q01_agg_pricing", "q02_filter_project", "q03_join_nation_revenue",
         "q04_semi_join", "q06_asof_next_purchase", "q17_pit_versions",
         "qd3_minhash_lsh", "qd5_ngram_jaccard", "q32_adjusted_close",
-        "qt4_rolling_fingerprint")
+        "qt4_rolling_fingerprint",
+        // round-5 additions worth watching for plan regressions: slim
+        // LSH candidate joins, gram-hash decontamination, shard-window
+        // packing, and the curation composite
+        "qs6_lsh_neardup", "qt9_decontaminate", "qt10_seq_pack",
+        "qx3_curate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
