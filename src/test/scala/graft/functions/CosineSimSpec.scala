@@ -32,7 +32,7 @@ class CosineSimSpec extends SparkTestBase {
   test("null inputs yield null cosine") {
     val out = spark.sql(
       "SELECT cast(null as array<float>) AS a, array(1.0F, 2.0F) AS b")
-    assert(out.select(CosineSim.cosine_sim(col("a"), col("b"))).head.isNullAt(0))
+    assert(out.select(CosineSim.cosine_sim(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("null vector ELEMENTS are rejected loudly, not read as garbage") {

@@ -28,11 +28,11 @@ class RefdataStreamSpec extends SparkTestBase {
     val got = spark.table("refdata_all")
     assert(got.count() === 250)
     // no cursor duplicated or skipped
-    assert(got.agg(countDistinct(col("cursor"))).head.getLong(0) === 250)
-    assert(got.agg(min(col("cursor")), max(col("cursor"))).head ===
+    assert(got.agg(countDistinct(col("cursor"))).head().getLong(0) === 250)
+    assert(got.agg(min(col("cursor")), max(col("cursor"))).head() ===
       org.apache.spark.sql.Row(0L, 249L))
     // deterministic content: cursor k -> tickers[k % 3], dates advance
-    val r7 = got.filter(col("cursor") === 7).head
+    val r7 = got.filter(col("cursor") === 7).head()
     assert(r7.getAs[String]("ticker") === "MSFT")
     assert(r7.getAs[java.sql.Date]("ex_date").toString === "2024-01-03")
     assert(math.abs(r7.getAs[Double]("cash_amount") - 0.12) < 1e-12)
@@ -54,7 +54,7 @@ class RefdataStreamSpec extends SparkTestBase {
     run(total = 200) // feed grew; restart must resume at 100, not 0
     val got = spark.read.parquet(out)
     assert(got.count() === 200)
-    assert(got.agg(countDistinct(col("cursor"))).head.getLong(0) === 200)
+    assert(got.agg(countDistinct(col("cursor"))).head().getLong(0) === 200)
   }
 
   test("streamed feed aggregates like its batch twin") {

@@ -25,7 +25,7 @@ class ChunksPropertySpec extends SparkTestBase {
       val stride = chunkSize - overlap
       val out = Seq(toks.mkString(" ")).toDF("text")
         .select(TextOps.chunks(col("text"), chunkSize, overlap).as("c"))
-        .head.getSeq[String](0)
+        .head().getSeq[String](0)
       // expected chunk count
       val expected =
         if (n <= chunkSize) 1
