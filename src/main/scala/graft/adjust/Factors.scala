@@ -66,6 +66,18 @@ object Factors {
     * event_day >= the event date (exact match allowed); events landing
     * after the last trading day are dropped (factor_builder.py:261-267).
     * Returns the event rows + (event_day, id) of the snap target.
+    *
+    * Keying note: alignment is by TICKER against the (id, ticker, day)
+    * grid, so an event lands on whichever id owns the snap day — the
+    * point-in-time assignment. The reference instead selects events by
+    * event_id (FIGI, NOFIGI__ticker fallback) per id group and falls
+    * back to ticker-keyed events when the id has none
+    * (factor_builder.py:247-251, 307-311). The two agree except for an
+    * event whose FIGI belongs to a listing with no trading day left at
+    * its execution date (id retired, split recorded against it): the
+    * reference drops it, this engine applies it to the successor
+    * listing of the same ticker — deliberate, since the corporate
+    * action still affects the continuing price series.
     */
   def alignEvents(events: DataFrame, days: DataFrame, dateCol: String): DataFrame = {
     val right = days
