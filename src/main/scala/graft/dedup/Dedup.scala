@@ -51,7 +51,10 @@ object Dedup {
 
   /** MinHash signature: k independent 60-bit hash functions
     * h_i(t) = hash60(i || ":" || t), minimum over the doc's distinct
-    * tokens. Pure array expressions — no explode, no shuffle.
+    * tokens. Pure array expressions — no explode, no shuffle. Kept as
+    * the readable reference form; the pair pipeline uses the
+    * bit-identical codegen [[graft.functions.MinhashBands]] (this HOF
+    * chain evaluates k·|tokens| interpreted md5 lambdas per row).
     */
   def minhashSignature(tokens: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
@@ -79,7 +82,6 @@ object Dedup {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(trailing signature values would be silently excluded from every band)")
-    val rows = k / bands
     val withSets = spread(docs)
       .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
       // intersections run on sorted 60-bit hashes: fixed 8-byte compares
@@ -96,10 +98,8 @@ object Dedup {
     // strings. Token sets are re-attached afterwards via two broadcast
     // joins against the (small) per-doc set table.
     val banded = withSets.select(col("doc"),
-      explode(transform(
-        lshBandKeys(minhashSignature(col("toks"), k), bands, rows),
-        (b, i) => TextOps.hash60(
-          concat(i.cast("string"), lit(":"), b)))).as("band"))
+      explode(graft.functions.MinhashBands
+        .minhash_bands(col("toks"), k, bands)).as("band"))
     val cands = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.doc") < col("b.doc"))
