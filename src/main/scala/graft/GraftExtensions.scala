@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSim, HyperplanePack, RollingMinHash, Simhash60, SortedIntersectCount, WordNgramHashes}
+import graft.functions.{CosineSim, HyperplanePack, MinhashBands, RollingMinHash, Simhash60, SortedIntersectCount, TokenHashes60, WordNgramHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -45,6 +45,14 @@ object GraftExtensions {
       "graft_word_ngram_hashes(text, n) - distinct 60-bit hashes of word n-grams",
       (children: Seq[Expression]) => WordNgramHashes(children.head,
         children(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_minhash_bands",
+      "graft_minhash_bands(tokens, k, bands) - MinHash-LSH band keys of a token array",
+      (children: Seq[Expression]) => MinhashBands(children.head,
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())),
+    ("graft_token_hashes60",
+      "graft_token_hashes60(tokens) - 60-bit md5 hash of every array element",
+      (children: Seq[Expression]) => TokenHashes60(children.head)),
     ("graft_cosine_sim",
       "graft_cosine_sim(a, b) - exact cosine of two float/double arrays",
       (children: Seq[Expression]) => CosineSim(children.head, children(1))),

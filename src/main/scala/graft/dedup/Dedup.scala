@@ -132,9 +132,12 @@ object Dedup {
   def simhash60(tokenHashesCol: String): Column =
     graft.functions.Simhash60.simhash60(col(tokenHashesCol))
 
-  /** hash60 of every token in an array column. */
+  /** hash60 of every token in an array column — codegen
+    * ([[graft.functions.TokenHashes60]]); the HOF form walks one
+    * interpreted md5 expression per element.
+    */
   def tokenHashes(tokens: Column): Column =
-    transform(tokens, t => TextOps.hash60(t))
+    graft.functions.TokenHashes60.token_hashes60(tokens)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidates come from 4 bands of 15 bits (pigeonhole: any pair with

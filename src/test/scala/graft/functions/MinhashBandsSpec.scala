@@ -24,6 +24,17 @@ class MinhashBandsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("token_hashes60 matches the HOF hash60 map bit-for-bit") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Dedup.tokenSet(col("text")).as("toks"))
+    val bad = docs.select(
+        TokenHashes60.token_hashes60(col("toks")).as("fast"),
+        transform(col("toks"), t => TextOps.hash60(t)).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+  }
+
   test("odd shapes: single token, empty-string token, k=bands") {
     import spark.implicits._
     val df = Seq(Seq("solo"), Seq(""), Seq("a", "b", "c")).toDF("toks")
