@@ -32,7 +32,9 @@ class SortedIntersectCountSpec extends SparkTestBase {
         |       graft_simhash60(array(7L)) sh,
         |       graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) cs,
         |       graft_hyperplane_pack(array(1.0F, 0.5F), 8) hp,
-        |       graft_hyperplane_pack(array(1.0F, 0.5F), 8, 1) hp1""".stripMargin)
+        |       graft_hyperplane_pack(array(1.0F, 0.5F), 8, 1) hp1,
+        |       graft_minhash_bands(array('a','b'), 16, 4) mb,
+        |       graft_token_hashes60(array('a','b')) th""".stripMargin)
       .collect()(0)
     assert(r.getInt(0) == 2)
     assert(!r.isNullAt(1))
@@ -40,5 +42,7 @@ class SortedIntersectCountSpec extends SparkTestBase {
     assert(r.getDouble(3) == 1.0)
     assert(!r.isNullAt(4) && !r.isNullAt(5))
     assert(r.getLong(4) != r.getLong(5)) // independent table families
+    assert(r.getSeq[Long](6).length == 4)
+    assert(r.getSeq[Long](7).length == 2)
   }
 }
