@@ -110,7 +110,9 @@ class DedupSpec extends SparkTestBase {
     // stay a few nodes over a LogicalRDD leaf. persist() alone leaves
     // the logical tree self-referential 3× per round (~3^rounds nodes,
     // measured 2.1e9-char plan strings at sf0.1) — only a per-round
-    // lineage cut (localCheckpoint) keeps it flat.
+    // lineage cut (localCheckpoint) keeps it flat. Teeth verified:
+    // reverting the loop to persist() makes this test ABORT the suite
+    // with a fatal plan-growth error before either assert is reached.
     val n = 200
     val pairs = (1 to n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     val maxIter = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2
