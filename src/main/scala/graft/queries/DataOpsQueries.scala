@@ -257,6 +257,31 @@ object DataOpsQueries {
             ELSE CAST(CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR) END), ',') AS q_csv
         FROM s ORDER BY vec_id""")),
 
+    // ---- leakage-safe corpus split: the hash split keys on the
+    // duplicate group's CANONICAL id, so copies of one document can
+    // never straddle train/eval (the classic benchmark-leakage guard).
+    // Composes qd1's group annotation with qt6's deterministic split;
+    // the same pattern applies over dupClusters' cluster_id for
+    // near-dup-safe splits. ----
+    QueryDef("qt11_cluster_split",
+      (s, dir) => {
+        val ann = Dedup.exactDupAnnotate(
+          t(s, dir, "documents"), "text", "doc_id")
+        ann.select(col("doc_id"), col("canonical_id"),
+            TextOps.hashSplit(col("canonical_id"), Seq(90, 95),
+              Seq("train", "val", "test")).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, md5($normSql) AS content_hash FROM documents),
+        a AS (SELECT doc_id,
+            MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id
+          FROM d)
+        SELECT doc_id, canonical_id,
+          CASE WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM a ORDER BY doc_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")

@@ -26,6 +26,22 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out(1L) == 1L)
   }
 
+  test("leakage-safe split: every member of a dup group lands in one split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ann = graft.dedup.Dedup.exactDupAnnotate(docs, "text", "doc_id")
+      .select($"doc_id", $"canonical_id",
+        TextOps.hashSplit(col("canonical_id"), Seq(80), Seq("train", "eval"))
+          .as("split"))
+    // groups are split atomically
+    val mixed = ann.groupBy($"canonical_id")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count()
+    assert(mixed == 0)
+    // and the split is genuinely two-sided on this corpus
+    val sides = ann.select($"split").distinct().as[String].collect().toSet
+    assert(sides == Set("train", "eval"))
+  }
+
   test("lake path (no broadcast) is result-identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("split",
