@@ -23,7 +23,11 @@ object Bench {
     }
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=qd6_dup_clusters); driver runs unfiltered.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Trim entries and drop blanks so "a, b" matches b and an empty or
+    // all-comma value means "no filter" rather than "run nothing".
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

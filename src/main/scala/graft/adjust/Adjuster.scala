@@ -118,11 +118,15 @@ object Adjuster {
     * ALIGNED to (the forward-snap audit trail), dividend day count and
     * total cash — and the reference's `used_fallback` flag.
     *
-    * `used_fallback` is constant false here by construction: the
-    * reference sets it when an event only matched through its ±1-day
-    * calendar fallback map (J8); this engine's exact as-of alignment
-    * (AsOf.joinForward) supersedes that path entirely, so no event can
-    * align via fallback. The column is kept for report parity.
+    * `used_fallback` mirrors the reference exactly
+    * (factor_builder.py:248-250,308-310,596): per family it is true
+    * when the id group had NO event_id-keyed events and so selected by
+    * ticker instead — including groups with no events at all (the
+    * reference flags those too: the fallback branch runs and also comes
+    * up empty); the summary column ORs the two families (:596).
+    * `last_*_raw_date` is the max date over the id's SELECTED events
+    * (direct or fallback, factor_builder.py:282,343) — before
+    * alignment, so a post-last-day event still counts.
     */
   def auditSummary(adjusted: DataFrame, splits: DataFrame,
       dividends: DataFrame): DataFrame = {
@@ -142,7 +146,7 @@ object Adjuster {
     // (factor_builder.py:280), dividend_event_days = aligned days with
     // positive cash, total_cash = aligned cash only (:341-342)
     val splitPerDay = Factors.alignEvents(
-        splits.select(col("ticker"), col("execution_date"), col("ratio")),
+        Factors.eventCols(splits, "execution_date", "ratio"),
         days, "execution_date")
       .groupBy(col("snap_id").as("id"), col("snap_day"))
       .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
@@ -153,7 +157,7 @@ object Adjuster {
           .as("split_cum_ratio"),
         max(col("snap_day")).as("last_split_aligned_day"))
     val divPerDay = Factors.alignEvents(
-        dividends.select(col("ticker"), col("ex_date"), col("cash_amount")),
+        Factors.eventCols(dividends, "ex_date", "cash_amount"),
         days, "ex_date")
       .groupBy(col("snap_id").as("id"), col("snap_day"))
       .agg(sum(col("cash_amount")).as("amount"))
@@ -162,20 +166,27 @@ object Adjuster {
           .as("dividend_event_days"),
         sum(col("amount")).as("total_cash"),
         max(col("snap_day")).as("last_dividend_aligned_day"))
-    // last RAW event dates are over all events of the ticker, including
-    // ones that never aligned (factor_builder.py:282,343 take ev.max()
-    // before the dropna on alignment)
-    val rawSplitMax = splits.na.drop(Seq("execution_date", "ratio"))
-      .groupBy(col("ticker"))
-      .agg(max(col("execution_date")).as("last_split_raw_date"))
-    val rawDivMax = dividends.na.drop(Seq("ex_date", "cash_amount"))
-      .groupBy(col("ticker"))
-      .agg(max(col("ex_date")).as("last_dividend_raw_date"))
+    // last RAW event dates + fallback flags are over each id's SELECTED
+    // events — including ones that never aligned (factor_builder.py:
+    // 282,343 take ev.max() before the alignment dropna). An id absent
+    // from a family's selection has no events at all: its raw date is
+    // null and its fallback flag true (the reference's empty-fallback
+    // branch).
+    val rawSplitMax = Factors
+      .selectEvents(Factors.eventCols(splits, "execution_date", "ratio"), days)
+      .groupBy(col("snap_id").as("id"))
+      .agg(max(col("execution_date")).as("last_split_raw_date"),
+        max(col("used_fallback")).as("__split_fb"))
+    val rawDivMax = Factors
+      .selectEvents(Factors.eventCols(dividends, "ex_date", "cash_amount"), days)
+      .groupBy(col("snap_id").as("id"))
+      .agg(max(col("ex_date")).as("last_dividend_raw_date"),
+        max(col("used_fallback")).as("__div_fb"))
     perId
       .join(broadcast(splitStats), Seq("id"), "left")
       .join(broadcast(divStats), Seq("id"), "left")
-      .join(broadcast(rawSplitMax), Seq("ticker"), "left")
-      .join(broadcast(rawDivMax), Seq("ticker"), "left")
+      .join(broadcast(rawSplitMax), Seq("id"), "left")
+      .join(broadcast(rawDivMax), Seq("id"), "left")
       .withColumn("cum_split_ratio", col("first_svf") / col("last_svf"))
       .withColumn("split_events_aligned",
         coalesce(col("split_events_aligned"), lit(0L)))
@@ -183,7 +194,9 @@ object Adjuster {
       .withColumn("dividend_event_days",
         coalesce(col("dividend_event_days"), lit(0L)))
       .withColumn("total_cash", coalesce(col("total_cash"), lit(0.0)))
-      .withColumn("used_fallback", lit(false))
-      .drop("first_svf", "last_svf")
+      .withColumn("used_fallback",
+        coalesce(col("__split_fb"), lit(true)) ||
+          coalesce(col("__div_fb"), lit(true)))
+      .drop("first_svf", "last_svf", "__split_fb", "__div_fb")
   }
 }

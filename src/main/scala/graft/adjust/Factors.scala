@@ -30,6 +30,16 @@ object Factors {
 
   val NoFigiPrefix = "NOFIGI__"
 
+  /** Event-table projection for [[selectEvents]]: ticker + the named
+    * payload columns, carrying composite_figi through when the refdata
+    * has it (factor_builder.py:204-208 tolerates its absence).
+    */
+  def eventCols(events: DataFrame, payload: String*): DataFrame = {
+    val keep = Seq("ticker") ++ payload ++
+      (if (events.columns.contains("composite_figi")) Seq("composite_figi") else Nil)
+    events.select(keep.map(col): _*)
+  }
+
   /** Point-in-time identity attach (factor_builder.py:148-180): for each
     * bar pick the security-master row whose validity window
     * [effective_start, effective_end] contains the bar's day — NULL end
@@ -62,34 +72,69 @@ object Factors {
   def idDays(barsWithId: DataFrame): DataFrame =
     barsWithId.select(col("id"), col("ticker"), col("event_day")).distinct()
 
-  /** Forward-snap events to each security's trading days: first
-    * event_day >= the event date (exact match allowed); events landing
-    * after the last trading day are dropped (factor_builder.py:261-267).
-    * Returns the event rows + (event_day, id) of the snap target.
+  /** Per-id-group event selection — exact reference parity with
+    * factor_builder.py:247-251 (splits) / 307-311 (dividends). Events
+    * carry `event_id` = composite_figi when present, else
+    * NOFIGI__ticker (factor_builder.py:208,230). An id group takes the
+    * events whose event_id equals its id; only when the id has NONE
+    * does it fall back to ALL events of the group's ticker
+    * (all-or-nothing per group, decided BEFORE alignment — a direct
+    * event that later fails to snap does not re-trigger the fallback).
+    * The same physical event can therefore serve several groups: its
+    * own id's, plus any same-ticker group with no direct events — e.g.
+    * a figi-less split dated in a NOFIGI__ prefix window applies to the
+    * NOFIGI group directly AND to the FIGI suffix group via fallback.
     *
-    * Keying note: alignment is by TICKER against the (id, ticker, day)
-    * grid, so an event lands on whichever id owns the snap day — the
-    * point-in-time assignment. The reference instead selects events by
-    * event_id (FIGI, NOFIGI__ticker fallback) per id group and falls
-    * back to ticker-keyed events when the id has none
-    * (factor_builder.py:247-251, 307-311). The two agree except for an
-    * event whose FIGI belongs to a listing with no trading day left at
-    * its execution date (id retired, split recorded against it): the
-    * reference drops it, this engine applies it to the successor
-    * listing of the same ticker — deliberate, since the corporate
-    * action still affects the continuing price series.
+    * `days` is the (id, ticker, event_day) grid; the group ticker is
+    * the FIRST trading day's ticker (`gpx["ticker"].iloc[0]` in the
+    * reference workers). Null event dates/payloads are dropped like the
+    * reference's post-selection `.dropna()`.
+    *
+    * Scale shape: events are refdata-dim-sized and ride broadcast
+    * joins; the group table is one row per security id. Returns one row
+    * per (group, event): `snap_id` (the group id), the event payload
+    * columns, and `used_fallback`.
+    */
+  def selectEvents(events: DataFrame, days: DataFrame): DataFrame = {
+    val ev0 =
+      if (events.columns.contains("composite_figi")) events
+      else events.withColumn("composite_figi", lit(null).cast("string"))
+    val payload = ev0.columns.toSeq.filterNot(Seq("ticker", "composite_figi").contains)
+    val ev = ev0
+      .na.drop("any", payload)
+      .withColumn("__event_id",
+        coalesce(col("composite_figi"), concat(lit(NoFigiPrefix), col("ticker"))))
+      .select(col("ticker").as("__ev_ticker") +: col("__event_id") +: payload.map(col): _*)
+    val groups = days.groupBy(col("id"))
+      .agg(min(struct(col("event_day"), col("ticker"))).as("__first"))
+      .select(col("id"), col("__first").getField("ticker").as("__g_ticker"))
+    val evB = broadcast(ev)
+    val direct = groups.join(evB, col("__event_id") === col("id"))
+    val fallback = groups
+      .join(broadcast(direct.select(col("id")).distinct()), Seq("id"), "left_anti")
+      .join(evB, col("__ev_ticker") === col("__g_ticker"))
+    direct.withColumn("used_fallback", lit(false))
+      .unionByName(fallback.withColumn("used_fallback", lit(true)))
+      .select(col("id").as("snap_id") +: payload.map(col) :+ col("used_fallback"): _*)
+  }
+
+  /** Forward-snap each group's selected events ([[selectEvents]]) onto
+    * that group's own trading days: first event_day >= the event date
+    * (exact match allowed); events landing after the group's last
+    * trading day are dropped (factor_builder.py:261-267,320-326 —
+    * merge_asof forward + dropna). Returns the selected event rows +
+    * `snap_day` and `snap_id`.
     */
   def alignEvents(events: DataFrame, days: DataFrame, dateCol: String): DataFrame = {
-    val right = days
-      .select(col("ticker"), col("event_day"), col("id").as("snap_id"))
+    val selected = selectEvents(events, days)
+      .withColumn(dateCol, to_date(col(dateCol)))
+      .withColumnRenamed("snap_id", "id")
+    val grid = days.select(col("id"), col("event_day")).distinct()
       .withColumn("snap_day", col("event_day"))
-      .select(col("ticker"), col("event_day"), col("snap_day"), col("snap_id"))
-    AsOf.joinForward(
-        events.withColumn(dateCol, to_date(col(dateCol))),
-        right,
-        keys = Seq("ticker"), lTime = dateCol, rTime = "event_day",
-        valueCols = Seq("snap_day", "snap_id"))
+    AsOf.joinForward(selected, grid, keys = Seq("id"), lTime = dateCol,
+        rTime = "event_day", valueCols = Seq("snap_day"))
       .filter(col("snap_day").isNotNull)
+      .withColumnRenamed("id", "snap_id")
   }
 
   /** Day-edge extraction for gap detection (factor_builder.py:727-744
@@ -149,8 +194,7 @@ object Factors {
       exact: Boolean = false,
       edges: Option[DataFrame] = None): DataFrame = {
     val aligned = alignEvents(
-      splits.select(col("ticker"), col("execution_date"), col("ratio")),
-      days, "execution_date")
+      eventCols(splits, "execution_date", "ratio"), days, "execution_date")
     val refRatio = aligned
       .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))
       .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
@@ -190,6 +234,15 @@ object Factors {
     * require costs O(events) memory per group while staying fully
     * distributed across ids — the Spark-native shape of the reference's
     * per-ticker pandas loop.
+    *
+    * Tie-order note: same-day guesses sort by (day, guess value) — a
+    * deterministic order. The reference applies them in its per-ticker
+    * file SCAN order, which is filesystem-listing-dependent; when one
+    * id carries two tickers gapping on the SAME day with different
+    * guesses, the last-write-wins outcome can therefore differ from a
+    * given reference run. Divergence accepted: the reference's own
+    * order is not reproducible across machines, so this engine pins a
+    * deterministic one instead.
     */
   private def gapOverride(refRatio: DataFrame, edges: DataFrame): DataFrame = {
     val spark = refRatio.sparkSession
@@ -246,7 +299,7 @@ object Factors {
     val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
     val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val aligned = alignEvents(
-      dividends.select(col("ticker"), col("ex_date"), col("cash_amount")),
+      eventCols(dividends, "ex_date", "cash_amount"),
       dayBase.select(col("id"), col("ticker"), col("event_day")), "ex_date")
     val dayCash = aligned
       .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))

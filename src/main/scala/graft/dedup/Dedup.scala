@@ -238,15 +238,20 @@ object Dedup {
     * iterative batch job.
     */
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idBCol: String = "id_b", maxIter: Int = 20,
+      pairsMaterialized: Boolean = false): DataFrame = {
     // Materialize the (possibly expensive) upstream pair pipeline ONCE,
     // as the slim directed list — 16 bytes/pair. The symmetric view is
     // derived lazily per scan (explode from the local RDD is cheap);
     // checkpointing the exploded form would double the write volume.
-    val p = pairs
+    // `pairsMaterialized = true` says the CALLER already cut the pair
+    // lineage (localCheckpoint() / a lake read): skip the internal
+    // checkpoint so a pipeline sharing the pair list across consumers
+    // pays pair generation exactly once (the qx3 curation shape).
+    val p0 = pairs
       .select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
-      .localCheckpoint()
+    val p = if (pairsMaterialized) p0 else p0.localCheckpoint()
     // Contraction labels: min(self, min neighbor), from TWO
     // half-aggregates over the directed list merged full-outer —
     // cheaper than symmetrizing first (that doubles every contraction

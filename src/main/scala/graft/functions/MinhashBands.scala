@@ -99,6 +99,9 @@ object MinhashBands {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var t = 0
     while (t < n) {
+      if (tokens.isNullAt(t))
+        throw new IllegalArgumentException(
+          s"minhash_bands: null token element at index $t — filter upstream")
       val tok = tokens.getUTF8String(t).toString
       var i = 0
       while (i < k) {

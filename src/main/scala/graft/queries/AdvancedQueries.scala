@@ -239,8 +239,12 @@ object AdvancedQueries {
         FROM m ORDER BY media_id""")),
 
     // ---- The reference's analytic core, end-to-end (factor_builder.py
-    // batch path, SURVEY.md §3.2): PIT identity attach → forward as-of
-    // event alignment → same-day ratio product → grouped cumprod →
+    // batch path, SURVEY.md §3.2): PIT identity attach → per-event-id
+    // event selection with all-or-nothing ticker fallback (these
+    // figi-less splits key to NOFIGI__ticker, so a FIGI suffix group
+    // picks the same events up via fallback — encoded in the oracle's
+    // spsel/dvsel CTEs) → forward as-of alignment onto each group's own
+    // days → same-day ratio product → grouped cumprod →
     // anchor-to-last → split application → dividend/TR factors on the
     // split base. Bars/SM/splits/dividends are all derived
     // deterministically from the events table; every float op is either
@@ -302,12 +306,19 @@ object AdvancedQueries {
           FROM bars b LEFT JOIN sm s ON s.ticker = b.ticker),
         sp AS (SELECT ticker, CAST(ts AS DATE) AS execution_date, 2.0 + CAST(event_id % 3 AS DOUBLE) AS ratio
           FROM ev WHERE event_type = 'purchase' AND event_id % 29 = 0),
-        spsnap AS (SELECT sp.ticker, sp.ratio,
-            (SELECT MIN(w.event_day) FROM wid w WHERE w.ticker = sp.ticker AND w.event_day >= sp.execution_date) AS snap_day
-          FROM sp),
-        spday AS (SELECT w.id, s.snap_day AS event_day, product(s.ratio ORDER BY s.ratio) AS day_ratio
-          FROM spsnap s JOIN wid w ON w.ticker = s.ticker AND w.event_day = s.snap_day
-          WHERE s.snap_day IS NOT NULL GROUP BY w.id, s.snap_day),
+        groups AS (SELECT id, MIN(ticker) AS g_ticker FROM wid GROUP BY id),
+        spdir AS (SELECT g.id, sp.execution_date, sp.ratio
+          FROM sp JOIN groups g ON g.id = 'NOFIGI__' || sp.ticker),
+        spsel AS (SELECT * FROM spdir
+          UNION ALL
+          SELECT g.id, sp.execution_date, sp.ratio
+          FROM groups g JOIN sp ON sp.ticker = g.g_ticker
+          WHERE g.id NOT IN (SELECT id FROM spdir)),
+        spsnap AS (SELECT s.id, s.ratio,
+            (SELECT MIN(w.event_day) FROM wid w WHERE w.id = s.id AND w.event_day >= s.execution_date) AS snap_day
+          FROM spsel s),
+        spday AS (SELECT id, snap_day AS event_day, product(ratio ORDER BY ratio) AS day_ratio
+          FROM spsnap WHERE snap_day IS NOT NULL GROUP BY id, snap_day),
         grid AS (SELECT w.id, w.ticker, w.event_day, w.close, COALESCE(d.day_ratio, 1.0) AS r
           FROM wid w LEFT JOIN spday d ON d.id = w.id AND d.event_day = w.event_day),
         fgrid AS (SELECT *, PRODUCT(r) OVER (PARTITION BY id ORDER BY event_day
@@ -317,12 +328,18 @@ object AdvancedQueries {
         sbase AS (SELECT id, ticker, event_day, close, close * (F / F_last) AS close_split FROM f2),
         dv AS (SELECT ticker, CAST(ts AS DATE) AS ex_date, CAST(value AS DECIMAL(18,4)) AS cash_amount
           FROM ev WHERE event_type = 'click' AND event_id % 31 = 0),
-        dvsnap AS (SELECT dv.ticker, dv.cash_amount,
-            (SELECT MIN(b.event_day) FROM sbase b WHERE b.ticker = dv.ticker AND b.event_day >= dv.ex_date) AS snap_day
-          FROM dv),
-        dvday AS (SELECT b.id, d.snap_day AS event_day, SUM(d.cash_amount) AS amount
-          FROM dvsnap d JOIN sbase b ON b.ticker = d.ticker AND b.event_day = d.snap_day
-          WHERE d.snap_day IS NOT NULL GROUP BY b.id, d.snap_day),
+        dvdir AS (SELECT g.id, dv.ex_date, dv.cash_amount
+          FROM dv JOIN groups g ON g.id = 'NOFIGI__' || dv.ticker),
+        dvsel AS (SELECT * FROM dvdir
+          UNION ALL
+          SELECT g.id, dv.ex_date, dv.cash_amount
+          FROM groups g JOIN dv ON dv.ticker = g.g_ticker
+          WHERE g.id NOT IN (SELECT id FROM dvdir)),
+        dvsnap AS (SELECT d.id, d.cash_amount,
+            (SELECT MIN(b.event_day) FROM sbase b WHERE b.id = d.id AND b.event_day >= d.ex_date) AS snap_day
+          FROM dvsel d),
+        dvday AS (SELECT id, snap_day AS event_day, SUM(cash_amount) AS amount
+          FROM dvsnap WHERE snap_day IS NOT NULL GROUP BY id, snap_day),
         gginp AS (SELECT b.id, b.ticker, b.event_day, b.close, b.close_split,
             LAG(b.close_split) OVER (PARTITION BY b.id ORDER BY b.event_day) AS prior_base, a.amount
           FROM sbase b LEFT JOIN dvday a ON a.id = b.id AND a.event_day = b.event_day),

@@ -294,6 +294,42 @@ object DataOpsQueries {
           COUNT(*) OVER (PARTITION BY content_hash) AS group_size
         FROM d ORDER BY doc_id""")),
 
+    // ---- Streaming dedup-on-ingest, oracled against batch semantics
+    // (St4 + the streaming arm of qd1): replay `documents` through the
+    // file source under Trigger.AvailableNow, drop duplicate
+    // fingerprints within the watermark horizon
+    // (dropDuplicatesWithinWatermark state machine), land survivors in
+    // a memory sink. One replay inside one horizon leaves exactly ONE
+    // row per content_hash; WHICH row survives is arrival-order
+    // dependent, so the query emits only group-invariant columns (the
+    // fingerprint and the normalized length — identical across every
+    // member of a hash group by construction), making the streaming
+    // path's semantics exactly equal to batch DISTINCT and hash-
+    // checkable by the oracle. ----
+    QueryDef("qst1_stream_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .parquet(s"$dir/documents.parquet")
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        val name = "qst1_out_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("qst1_ckpt").toString
+        val q = graft.streaming.StreamDedup
+          .exactDedupStream(stream, "text", "ts", watermark = "1 hour")
+          .select(col("content_hash"),
+            length(TextOps.norm(col("text"))).cast("int").as("norm_len"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("content_hash"))
+      },
+      Some(s"""SELECT DISTINCT md5($normSql) AS content_hash,
+          CAST(length($normSql) AS INT) AS norm_len
+        FROM documents ORDER BY content_hash""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -345,9 +381,13 @@ object DataOpsQueries {
     QueryDef("qx3_curate",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val clusters = Dedup.dupClusters(
-          Dedup.minhashPairs(docs, "text", "doc_id",
-            k = 16, bands = 4, threshold = 0.6))
+        // the pair pipeline (the qd6 cost floor) materializes exactly
+        // once; dupClusters is told so and skips its own checkpoint
+        val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+            k = 16, bands = 4, threshold = 0.6)
+          .select(col("id_a"), col("id_b")) // slim before materializing
+          .localCheckpoint()
+        val clusters = Dedup.dupClusters(pairs, pairsMaterialized = true)
         val dropIds = clusters.filter(!col("is_canonical"))
           .select(col("doc_id"))
         val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")

@@ -137,6 +137,14 @@ object Similarity {
     * curve 1-(1-p^planes)^tables — but DETERMINISTIC: the md5-parity
     * hyperplanes replay in any engine, so the result is exactly
     * oracle-able. [[brutePairs]] is the exact (non-lake) baseline.
+    *
+    * Cache lifecycle (caller-owned, like `Dedup.minhashPairs` —
+    * SCALING.md): the slim (id, vec) table is persisted and the
+    * returned plan references it, so the CacheManager entry lives until
+    * the caller clears it — `spark.catalog.clearCache()` between
+    * queries (the Bench/Verify harness policy) or an unpersist once the
+    * result is consumed. Long-lived sessions that skip both will
+    * accumulate one entry per call.
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
@@ -172,6 +180,9 @@ object Similarity {
     * stays an equi-join. Candidates are deduped per (query, neighbor)
     * before exact scoring, so a pair colliding in several tables is
     * scored once.
+    *
+    * Cache lifecycle: caller-owned, exactly as [[lshNearDupPairs]]
+    * documents — clear or unpersist after consuming the result.
     */
   def lshTopKMulti(
       corpus: DataFrame, queries: DataFrame,

@@ -39,15 +39,18 @@ class AdjusterSpec extends SparkTestBase {
     ("CCC", "FIGI_CCC", Some(d("2023-01-01")), Some(d("2023-12-31")))) // expired
     .toDF("ticker", "composite_figi", "effective_start", "effective_end")
 
+  // Both event families carry composite_figi, so AAA's id group keys
+  // them DIRECTLY (event_id = FIGI_AAA) — no ticker fallback.
   private lazy val splits = Seq(
     // Saturday 2024-01-06 -> snaps forward to Monday 01-08
-    ("AAA", d("2024-01-06"), 1.0, 10.0, 10.0))
-    .toDF("ticker", "execution_date", "split_from", "split_to", "ratio")
+    ("AAA", d("2024-01-06"), 1.0, 10.0, 10.0, "FIGI_AAA"))
+    .toDF("ticker", "execution_date", "split_from", "split_to", "ratio",
+      "composite_figi")
 
   private lazy val dividends = Seq(
-    ("AAA", d("2024-01-10"), 0.5),
-    ("AAA", d("2024-01-15"), 9.9)) // after last bar -> dropped
-    .toDF("ticker", "ex_date", "cash_amount")
+    ("AAA", d("2024-01-10"), 0.5, "FIGI_AAA"),
+    ("AAA", d("2024-01-15"), 9.9, "FIGI_AAA")) // after last bar -> dropped
+    .toDF("ticker", "ex_date", "cash_amount", "composite_figi")
 
   private lazy val adjusted = Adjuster.buildAdjusted(
     bars, sm, splits, dividends, Adjuster.MaterializeClose).cache()
@@ -139,13 +142,87 @@ class AdjusterSpec extends SparkTestBase {
     assert(row._6 == "2024-01-15")            // raw max INCLUDES the dropped one
     assert(row._7 == "2024-01-10")            // last aligned dividend day
     assert(row._8 == "2024-01-12 21:00:00")   // last bar timestamp
-    assert(!row._9)                           // exact as-of: never fallback
-    // no-event ticker: zero counts, null dates, neutral ratio
+    assert(!row._9)                           // both families keyed by FIGI
+    // no-event ticker: zero counts, null dates, neutral ratio — and the
+    // reference's fallback flag is TRUE (its empty event_id selection
+    // takes the fallback branch even when that is empty too)
     val bbb = a.filter($"ticker" === "BBB")
       .select($"split_events_aligned", $"split_cum_ratio",
         $"dividend_event_days", $"total_cash",
-        $"last_split_aligned_day".isNull, $"last_dividend_raw_date".isNull)
-      .as[(Long, Double, Long, Double, Boolean, Boolean)].head()
-    assert(bbb == ((0L, 1.0, 0L, 0.0, true, true)))
+        $"last_split_aligned_day".isNull, $"last_dividend_raw_date".isNull,
+        $"used_fallback")
+      .as[(Long, Double, Long, Double, Boolean, Boolean, Boolean)].head()
+    assert(bbb == ((0L, 1.0, 0L, 0.0, true, true, true)))
+  }
+
+  test("event keyed to a retired FIGI with no trading day left is dropped") {
+    // Reference parity (factor_builder.py:247-251): DDD trades as
+    // FIGI_OLD through 01-02, FIGI_NEW from 01-03. A 2:1 split keyed to
+    // FIGI_OLD but executing 01-03 belongs to the OLD id group — which
+    // has no trading day >= 01-03 — so it aligns nowhere. FIGI_NEW does
+    // NOT inherit it: that group holds its own direct event (the 3:1 on
+    // 01-04), so the ticker fallback never triggers. A ticker-keyed
+    // snap would have applied the 2:1 to FIGI_NEW's 01-03 — the last
+    // semantic divergence the r5 verdict asked to close.
+    val bars2 = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+      .zipWithIndex.map { case (day, i) => (ts(day), "DDD", 100.0f + i, 10L) }
+      .toDF("datetime", "ticker", "close", "volume")
+    val sm2 = Seq(
+      ("DDD", "FIGI_OLD", Some(d("2023-01-01")), Some(d("2024-01-02"))),
+      ("DDD", "FIGI_NEW", Some(d("2024-01-03")), None: Option[Date]))
+      .toDF("ticker", "composite_figi", "effective_start", "effective_end")
+    val splits2 = Seq(
+      ("DDD", d("2024-01-03"), 2.0, "FIGI_OLD"),
+      ("DDD", d("2024-01-04"), 3.0, "FIGI_NEW"))
+      .toDF("ticker", "execution_date", "ratio", "composite_figi")
+    val noDiv = Seq.empty[(String, Date, Double)]
+      .toDF("ticker", "ex_date", "cash_amount")
+    val adj = Adjuster.buildAdjusted(bars2, sm2, splits2, noDiv,
+      Adjuster.MaterializeClose)
+    val m = adj.select(date_format($"event_day", "yyyy-MM-dd"), $"id", $"close_split")
+      .as[(String, String, Double)].collect()
+      .map { case (day, id, cs) => day -> ((id, cs)) }.toMap
+    assert(m("2024-01-01") == (("FIGI_OLD", 100.0)))  // 2:1 dropped entirely
+    assert(m("2024-01-02") == (("FIGI_OLD", 101.0)))
+    assert(m("2024-01-03")._1 == "FIGI_NEW")
+    assert(approx(m("2024-01-03")._2, 102.0 / 3.0))   // only the 3:1 applies
+    assert(approx(m("2024-01-04")._2, 103.0))
+  }
+
+  test("figi-less event reaches a FIGI suffix group via the ticker fallback") {
+    // EEE trades NOFIGI__EEE through 01-02 (figi window opens 01-03). A
+    // figi-less 2:1 split executing 01-04 keys to event_id NOFIGI__EEE:
+    // the prefix group selects it DIRECTLY but cannot align it (no
+    // prefix day >= 01-04 — and a failed alignment does not re-trigger
+    // fallback), while FIGI_EEE, holding no direct events, falls back
+    // to ticker EEE and applies it at 01-04. Reference behavior: the
+    // same event row can serve several id groups
+    // (factor_builder.py:247-251).
+    val bars2 = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+      .map { day => (ts(day), "EEE", 100.0f, 10L) }
+      .toDF("datetime", "ticker", "close", "volume")
+    val sm2 = Seq(("EEE", "FIGI_EEE", Some(d("2024-01-03")), None: Option[Date]))
+      .toDF("ticker", "composite_figi", "effective_start", "effective_end")
+    val splits2 = Seq(("EEE", d("2024-01-04"), 2.0))
+      .toDF("ticker", "execution_date", "ratio")
+    val noDiv = Seq.empty[(String, Date, Double)]
+      .toDF("ticker", "ex_date", "cash_amount")
+    val adj = Adjuster.buildAdjusted(bars2, sm2, splits2, noDiv,
+      Adjuster.MaterializeClose)
+    val m = adj.select(date_format($"event_day", "yyyy-MM-dd"), $"id", $"close_split")
+      .as[(String, String, Double)].collect()
+      .map { case (day, id, cs) => day -> ((id, cs)) }.toMap
+    assert(m("2024-01-01") == (("NOFIGI__EEE", 100.0)))  // prefix unadjusted
+    assert(m("2024-01-02") == (("NOFIGI__EEE", 100.0)))
+    assert(m("2024-01-03")._1 == "FIGI_EEE")
+    assert(approx(m("2024-01-03")._2, 50.0))             // fallback split applies
+    assert(approx(m("2024-01-04")._2, 100.0))
+    // selection flags: prefix keyed directly, suffix via fallback
+    val sel = Factors.selectEvents(
+        Factors.eventCols(splits2, "execution_date", "ratio"),
+        Factors.idDays(Factors.attachId(bars2, sm2)))
+      .select($"snap_id", $"used_fallback").as[(String, Boolean)]
+      .collect().toMap
+    assert(sel == Map("NOFIGI__EEE" -> false, "FIGI_EEE" -> true))
   }
 }

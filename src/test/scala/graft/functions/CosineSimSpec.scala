@@ -53,6 +53,11 @@ class CosineSimSpec extends SparkTestBase {
       out.select(HyperplanePack.hyperplane_pack(col("a"), 8)).collect()
     }
     assert(rootMessages(ex2).exists(_.contains("null vector element")), ex2.getMessage)
+    val cells = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val ex3 = intercept[Exception] {
+      out.select(NearestCell.nearest_cell(col("a"), cells)).collect()
+    }
+    assert(rootMessages(ex3).exists(_.contains("null vector element")), ex3.getMessage)
   }
 
   test("nearest_cell matches Model.nearest for every corpus vector") {

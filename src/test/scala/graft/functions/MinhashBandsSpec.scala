@@ -35,6 +35,25 @@ class MinhashBandsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("null token elements are rejected loudly (SQL-exposed surface)") {
+    // graft_minhash_bands / graft_token_hashes60 are SQL-registered, so
+    // arbitrary user arrays reach them — a null element must fail with
+    // a pointed message, not an opaque NPE (same contract as the
+    // vector kernels, CosineSimSpec)
+    val out = spark.sql("SELECT array('a', cast(null as string)) AS toks")
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        Option(e.getCause).toSeq.flatMap(rootMessages))
+    val ex = intercept[Exception] {
+      out.select(MinhashBands.minhash_bands(col("toks"), 16, 4)).collect()
+    }
+    assert(rootMessages(ex).exists(_.contains("null token element")), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      out.select(TokenHashes60.token_hashes60(col("toks"))).collect()
+    }
+    assert(rootMessages(ex2).exists(_.contains("null element")), ex2.getMessage)
+  }
+
   test("odd shapes: single token, empty-string token, k=bands") {
     import spark.implicits._
     val df = Seq(Seq("solo"), Seq(""), Seq("a", "b", "c")).toDF("toks")
