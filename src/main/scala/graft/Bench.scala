@@ -28,11 +28,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    val results = SparkEntry.queries
+    // A query that throws is recorded by NAME in "failed", never as a
+    // time: a time-to-crash entry would make a broken build look FASTER
+    // than a working one, and the driver bench could not tell the two
+    // apart.
+    val timed = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Cache lifecycle: each query persists its own intermediates
       // (MEMORY_AND_DISK); without an unpersist they accumulate across
@@ -41,12 +49,15 @@ object Bench {
       // Dropping the previous query's caches (outside its timed window)
       // gives every query a clean storage pool.
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, ok)
     }
+    val results = timed.collect { case (name, dt, true) => name -> dt }
+    val failed = timed.collect { case (name, _, false) => name }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,46 @@ object DataOpsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Streaming replay of one testdata table. Spark's file streaming
+    * source requires a DIRECTORY, and every table under the sf dirs is
+    * a single flat parquet FILE — so stream the parent dir with a glob
+    * pinned to exactly that file. Goes through [[Tables.load]] first so
+    * session-level read confs (e.g. nanos-as-long for `events`) are set
+    * and the schema matches the batch path bit-for-bit.
+    */
+  private def replayTable(s: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = Tables.load(s, dir, table).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
+  /** Drive an AvailableNow streaming plan to completion through a
+    * memory sink and hand back its rows as a local DataFrame, then drop
+    * the sink table and delete the checkpoint dir so repeated
+    * verify/bench runs in one session leak neither temp dirs nor
+    * driver-memory catalog entries. The memory sink already buffers the
+    * full result on the driver, so the collect adds no new scale
+    * hazard — this is the test-harness sink; a production stream writes
+    * to a durable parquet/kafka sink with a persistent checkpoint.
+    */
+  private def runAvailableNow(s: SparkSession, out: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val name = "stq_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("stq_ckpt")
+    val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = s.table(name)
+    val local = s.createDataFrame(sink.collect().toSeq.asJava, sink.schema)
+    s.catalog.dropTempView(name)
+    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    local
+  }
+
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -308,23 +348,13 @@ object DataOpsQueries {
     // checkable by the oracle. ----
     QueryDef("qst1_stream_dedup",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .parquet(s"$dir/documents.parquet")
+        val stream = replayTable(s, dir, "documents")
           .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
-        val name = "qst1_out_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val ckpt = java.nio.file.Files.createTempDirectory("qst1_ckpt").toString
-        val q = graft.streaming.StreamDedup
+        val out = graft.streaming.StreamDedup
           .exactDedupStream(stream, "text", "ts", watermark = "1 hour")
           .select(col("content_hash"),
             length(TextOps.norm(col("text"))).cast("int").as("norm_len"))
-          .writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.table(name).orderBy(col("content_hash"))
+        runAvailableNow(s, out).orderBy(col("content_hash"))
       },
       Some(s"""SELECT DISTINCT md5($normSql) AS content_hash,
           CAST(length($normSql) AS INT) AS norm_len

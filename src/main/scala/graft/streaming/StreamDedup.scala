@@ -25,6 +25,13 @@ object StreamDedup {
   /** Add a `content_hash` fingerprint and keep the first document per
     * fingerprint within the watermark horizon. `docs` must be a
     * streaming DataFrame carrying an event-time column `tsCol`.
+    *
+    * `tsCol` must be the record's REAL event (or arrival) time: state
+    * eviction happens only when the watermark ADVANCES past a key's
+    * event time, so a constant-literal event time (fine for a bounded
+    * AvailableNow replay like the qst1 harness) never advances the
+    * watermark and the dedup state grows without bound on a genuinely
+    * unbounded stream.
     */
   def exactDedupStream(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
