@@ -47,14 +47,19 @@ object Adjuster {
     val withId = Factors.attachId(bars, securityMaster)
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val days = Factors.idDays(withId)
+    // the day grid feeds the group-ticker aggregate, the event-selection
+    // joins, and the as-of grid — day-level (tiny next to the bar lake),
+    // so persist rather than re-distinct the lake per consumer; groups
+    // is id-dim-sized and shared by both event families
+    val days = Factors.idDays(withId).persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = Some(Factors.idGroups(days).persist(StorageLevel.MEMORY_AND_DISK))
     dump(days, "_id_days")
     // detectGaps (reference CLI default for minute streaming, disabled
     // by --no-detect-split-gaps): overnight price gaps that round to a
     // clean split ratio recover splits missing/mis-dated in refdata
     val edges = if (detectGaps) Some(Factors.dayEdges(withId)) else None
     edges.foreach(dump(_, "_edges"))
-    val sf = Factors.splitFactorGrid(days, splits, edges = edges)
+    val sf = Factors.splitFactorGrid(days, splits, edges = edges, groups = groups)
     dump(sf, "_split_F")
 
     val withSplit = withId
@@ -73,7 +78,7 @@ object Adjuster {
       .groupBy(col("id"), col("ticker"), col("event_day"))
       .agg(max_by(col("close_split"), col("datetime")).as("close_split"))
 
-    val gf = Factors.dividendFactorGrid(dayBase, dividends)
+    val gf = Factors.dividendFactorGrid(dayBase, dividends, groups = groups)
     dump(gf, "_div_G")
     val adjusted = withSplit
       .join(gf, Seq("id", "event_day"), "left")
@@ -139,15 +144,25 @@ object Adjuster {
       min_by(col("split_volume_factor"), col("datetime")).as("first_svf"))
     val days = adjusted
       .select(col("id"), col("ticker"), col("event_day")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = Some(Factors.idGroups(days).persist(StorageLevel.MEMORY_AND_DISK))
+    // ONE event selection per family (event×group-sized, persisted):
+    // the aligned stats and the raw-date/fallback stats below are two
+    // consumers of the same selection — re-selecting would re-run the
+    // group aggregate and selection joins per consumer
+    val splitSel = Factors.selectEvents(
+        Factors.eventCols(splits, "execution_date", "ratio"), days, groups)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val divSel = Factors.selectEvents(
+        Factors.eventCols(dividends, "ex_date", "cash_amount"), days, groups)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // same forward-snap the factor grids use — aligned stats count
     // exactly the events the factors consumed (post-last-day events
     // excluded), matching the reference's per-day semantics:
     // events_aligned = aligned DAYS whose ratio product != 1
     // (factor_builder.py:280), dividend_event_days = aligned days with
     // positive cash, total_cash = aligned cash only (:341-342)
-    val splitPerDay = Factors.alignEvents(
-        Factors.eventCols(splits, "execution_date", "ratio"),
-        days, "execution_date")
+    val splitPerDay = Factors.alignSelected(splitSel, days, "execution_date")
       .groupBy(col("snap_id").as("id"), col("snap_day"))
       .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
     val splitStats = splitPerDay.groupBy(col("id"))
@@ -156,9 +171,7 @@ object Adjuster {
         Cumulative.productAgg(col("day_ratio"), col("day_ratio"))
           .as("split_cum_ratio"),
         max(col("snap_day")).as("last_split_aligned_day"))
-    val divPerDay = Factors.alignEvents(
-        Factors.eventCols(dividends, "ex_date", "cash_amount"),
-        days, "ex_date")
+    val divPerDay = Factors.alignSelected(divSel, days, "ex_date")
       .groupBy(col("snap_id").as("id"), col("snap_day"))
       .agg(sum(col("cash_amount")).as("amount"))
     val divStats = divPerDay.groupBy(col("id"))
@@ -172,13 +185,11 @@ object Adjuster {
     // from a family's selection has no events at all: its raw date is
     // null and its fallback flag true (the reference's empty-fallback
     // branch).
-    val rawSplitMax = Factors
-      .selectEvents(Factors.eventCols(splits, "execution_date", "ratio"), days)
+    val rawSplitMax = splitSel
       .groupBy(col("snap_id").as("id"))
       .agg(max(col("execution_date")).as("last_split_raw_date"),
         max(col("used_fallback")).as("__split_fb"))
-    val rawDivMax = Factors
-      .selectEvents(Factors.eventCols(dividends, "ex_date", "cash_amount"), days)
+    val rawDivMax = divSel
       .groupBy(col("snap_id").as("id"))
       .agg(max(col("ex_date")).as("last_dividend_raw_date"),
         max(col("used_fallback")).as("__div_fb"))

@@ -33,6 +33,13 @@ object Factors {
   /** Event-table projection for [[selectEvents]]: ticker + the named
     * payload columns, carrying composite_figi through when the refdata
     * has it (factor_builder.py:204-208 tolerates its absence).
+    *
+    * Input contract (same philosophy as [[attachId]]): `ticker` must
+    * already be canonical — the reference normalizes every ticker with
+    * strip().upper() on load (factor_builder.py:203,225); this engine
+    * does that once at ingest ([[graft.source.Normalize]]), not per
+    * event selection, so case- or whitespace-divergent refdata must go
+    * through Normalize first or its events select nothing.
     */
   def eventCols(events: DataFrame, payload: String*): DataFrame = {
     val keep = Seq("ticker") ++ payload ++
@@ -72,6 +79,21 @@ object Factors {
   def idDays(barsWithId: DataFrame): DataFrame =
     barsWithId.select(col("id"), col("ticker"), col("event_day")).distinct()
 
+  /** One row per id group: the group's ticker = the FIRST trading day's
+    * ticker (`gpx["ticker"].iloc[0]` in the reference workers,
+    * factor_builder.py:247,307). [[selectEvents]] computes this from
+    * `days` when not given; a caller running several selections over
+    * the SAME day grid (split + dividend families, audit raw stats)
+    * should compute it once, persist it (it is id-dim-sized), and pass
+    * it down — the aggregate over the full day grid is the only
+    * non-dim-sized work in event selection, and without reuse it runs
+    * once per family per consumer.
+    */
+  def idGroups(days: DataFrame): DataFrame =
+    days.groupBy(col("id"))
+      .agg(min(struct(col("event_day"), col("ticker"))).as("__first"))
+      .select(col("id"), col("__first").getField("ticker").as("__g_ticker"))
+
   /** Per-id-group event selection — exact reference parity with
     * factor_builder.py:247-251 (splits) / 307-311 (dividends). Events
     * carry `event_id` = composite_figi when present, else
@@ -95,7 +117,8 @@ object Factors {
     * per (group, event): `snap_id` (the group id), the event payload
     * columns, and `used_fallback`.
     */
-  def selectEvents(events: DataFrame, days: DataFrame): DataFrame = {
+  def selectEvents(events: DataFrame, days: DataFrame,
+      groups: Option[DataFrame] = None): DataFrame = {
     val ev0 =
       if (events.columns.contains("composite_figi")) events
       else events.withColumn("composite_figi", lit(null).cast("string"))
@@ -105,16 +128,22 @@ object Factors {
       .withColumn("__event_id",
         coalesce(col("composite_figi"), concat(lit(NoFigiPrefix), col("ticker"))))
       .select(col("ticker").as("__ev_ticker") +: col("__event_id") +: payload.map(col): _*)
-    val groups = days.groupBy(col("id"))
-      .agg(min(struct(col("event_day"), col("ticker"))).as("__first"))
-      .select(col("id"), col("__first").getField("ticker").as("__g_ticker"))
+    val grp = groups.getOrElse(idGroups(days))
     val evB = broadcast(ev)
-    val direct = groups.join(evB, col("__event_id") === col("id"))
-    val fallback = groups
-      .join(broadcast(direct.select(col("id")).distinct()), Seq("id"), "left_anti")
-      .join(evB, col("__ev_ticker") === col("__g_ticker"))
-    direct.withColumn("used_fallback", lit(false))
-      .unionByName(fallback.withColumn("used_fallback", lit(true)))
+    // all-or-nothing per group: union both match arms, then keep the
+    // fallback arm only for groups with zero direct matches — a window
+    // over the event×group-sized union instead of an anti-join, which
+    // would need an extra broadcast wave (materialize direct ids) per
+    // event family
+    val direct = grp.join(evB, col("__event_id") === col("id"))
+      .withColumn("used_fallback", lit(false))
+    val fallback = grp.join(evB, col("__ev_ticker") === col("__g_ticker"))
+      .withColumn("used_fallback", lit(true))
+    val w = Window.partitionBy(col("id"))
+    direct.unionByName(fallback)
+      .withColumn("__has_direct",
+        max(when(!col("used_fallback"), 1).otherwise(0)).over(w))
+      .filter(!col("used_fallback") || col("__has_direct") === 0)
       .select(col("id").as("snap_id") +: payload.map(col) :+ col("used_fallback"): _*)
   }
 
@@ -125,13 +154,23 @@ object Factors {
     * merge_asof forward + dropna). Returns the selected event rows +
     * `snap_day` and `snap_id`.
     */
-  def alignEvents(events: DataFrame, days: DataFrame, dateCol: String): DataFrame = {
-    val selected = selectEvents(events, days)
+  def alignEvents(events: DataFrame, days: DataFrame, dateCol: String,
+      groups: Option[DataFrame] = None): DataFrame =
+    alignSelected(selectEvents(events, days, groups), days, dateCol)
+
+  /** The alignment half of [[alignEvents]], for callers that already
+    * hold the [[selectEvents]] result (e.g. an audit computing both
+    * raw-date stats over the selection and aligned stats — one
+    * selection, two consumers).
+    */
+  def alignSelected(selected: DataFrame, days: DataFrame,
+      dateCol: String): DataFrame = {
+    val sel = selected
       .withColumn(dateCol, to_date(col(dateCol)))
       .withColumnRenamed("snap_id", "id")
     val grid = days.select(col("id"), col("event_day")).distinct()
       .withColumn("snap_day", col("event_day"))
-    AsOf.joinForward(selected, grid, keys = Seq("id"), lTime = dateCol,
+    AsOf.joinForward(sel, grid, keys = Seq("id"), lTime = dateCol,
         rTime = "event_day", valueCols = Seq("snap_day"))
       .filter(col("snap_day").isNotNull)
       .withColumnRenamed("id", "snap_id")
@@ -192,9 +231,10 @@ object Factors {
     */
   def splitFactorGrid(days: DataFrame, splits: DataFrame,
       exact: Boolean = false,
-      edges: Option[DataFrame] = None): DataFrame = {
+      edges: Option[DataFrame] = None,
+      groups: Option[DataFrame] = None): DataFrame = {
     val aligned = alignEvents(
-      eventCols(splits, "execution_date", "ratio"), days, "execution_date")
+      eventCols(splits, "execution_date", "ratio"), days, "execution_date", groups)
     val refRatio = aligned
       .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))
       .agg(Cumulative.productAgg(col("ratio"), col("ratio")).as("day_ratio"))
@@ -295,12 +335,13 @@ object Factors {
     * product of g (sign-safe), anchored to last.
     */
   def dividendFactorGrid(dayBase: DataFrame, dividends: DataFrame,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      groups: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("event_day"))
     val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val aligned = alignEvents(
       eventCols(dividends, "ex_date", "cash_amount"),
-      dayBase.select(col("id"), col("ticker"), col("event_day")), "ex_date")
+      dayBase.select(col("id"), col("ticker"), col("event_day")), "ex_date", groups)
     val dayCash = aligned
       .groupBy(col("snap_id").as("id"), col("snap_day").as("event_day"))
       .agg(sum(col("cash_amount")).as("amount"))

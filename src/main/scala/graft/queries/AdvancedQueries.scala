@@ -280,15 +280,24 @@ object AdvancedQueries {
         val withId = Factors.attachId(bars, sm)
           .repartition(col("id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // day grid + group tickers are shared by BOTH event families
+        // (selection joins, as-of grid): one groups subtree in the plan
+        // lets runtime exchange reuse dedupe it. Deliberately NOT
+        // persisted/checkpointed here — measured at bench scale, the
+        // extra materialization barriers cost ~2.5 s on this tiny-data
+        // query while every duplicated subtree sits above the already-
+        // persisted withId (BENCH_LOCAL.md round 7 note).
         val days = Factors.idDays(withId)
-        val sgrid = Factors.splitFactorGrid(days, splits, exact = true)
+        val groups = Some(Factors.idGroups(days))
+        val sgrid = Factors.splitFactorGrid(days, splits, exact = true,
+          groups = groups)
         val dayBase = withId.join(sgrid, Seq("id", "event_day"), "left")
           .withColumn("close_split",
             col("close") * coalesce(col("split_price_factor"), lit(1.0)))
         val dgrid = Factors.dividendFactorGrid(
           dayBase.select(col("id"), col("ticker"), col("event_day"),
             col("close_split")),
-          dividends, exact = true)
+          dividends, exact = true, groups = groups)
         dayBase.join(dgrid, Seq("id", "event_day"), "left")
           .withColumn("close_tr",
             col("close_split") * coalesce(col("tr_price_factor"), lit(1.0)))
