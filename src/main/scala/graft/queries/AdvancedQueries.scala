@@ -208,6 +208,102 @@ object AdvancedQueries {
         ORDER BY id_a, id_b"""
       }),
 
+    // ---- ANN recall measurement: recall@5 of each approximate arm
+    // (single-table LSH, OR-amplified multi-table LSH, full-probe IVF)
+    // against the exact brute-force ranking, per query — the number a
+    // user tuning planes/tables/nprobe reads. Everything is
+    // deterministic (md5-parity hyperplanes; IVF at full probe ≡ brute
+    // by the qs3 contract), so the oracle recomputes each arm's top-5
+    // set in SQL and counts the overlap bit-for-bit. Partial-probe IVF
+    // recall (not SQL-expressible — kmeans centroids live in the fitted
+    // model) is measured with the same recallAtK kernel in
+    // SimilaritySpec. ----
+    QueryDef("qs8_ann_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        // result-sized (queries × k); every arm joins against it
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val model = Ivf.fit(e, "vec_id", "embedding", k = 8)
+        val arms = Seq(
+          "brute" -> brute,
+          "ivf_full" -> Ivf.topK(e, q, "vec_id", "embedding", "query_id",
+            "qe", model, k = 5, nprobe = 8),
+          "lsh_p4x8" -> Similarity.lshTopKMulti(e, q, "vec_id", "embedding",
+            "query_id", "qe", k = 5, planes = 4, tables = 8),
+          "lsh_p6" -> Similarity.lshTopK(e, q, "vec_id", "embedding",
+            "query_id", "qe", k = 5, planes = 6))
+        arms.map { case (m, ann) =>
+          Similarity.recallAtK(ann, brute, k = 5).withColumn("method", lit(m))
+        }.reduce(_ unionByName _)
+          .select(col("method"), col("query_id"),
+            col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("method"), col("query_id"))
+      },
+      Some {
+        val nTables = 8
+        val mBucketCols = (0 until nTables).map(tb =>
+          s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
+        val mAliases = (0 until nTables).map(tb => s"b$tb AS qb$tb").mkString(", ")
+        val mAnyMatch = (0 until nTables).map(tb => s"c.b$tb = mq.qb$tb").mkString(" OR ")
+        s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            ${cosineSql("e.embedding", "qv.qe")} AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        sb AS (SELECT vec_id, embedding,
+          ${lshBucketSql("embedding", planes = 6, table = 0)} AS bucket
+          FROM embeddings),
+        sq AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+          FROM sb WHERE vec_id < 8),
+        ls0 AS (SELECT sq.query_id, c.vec_id AS neighbor_id,
+            ${cosineSql("c.embedding", "sq.qe")} AS cosine
+          FROM sb c JOIN sq ON c.bucket = sq.qb AND c.vec_id <> sq.query_id),
+        ls AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM ls0) WHERE rk <= 5),
+        mb AS (SELECT vec_id, embedding,
+          $mBucketCols
+          FROM embeddings),
+        mq AS (SELECT vec_id AS query_id, embedding AS qe, $mAliases
+          FROM mb WHERE vec_id < 8),
+        mc AS (SELECT DISTINCT mq.query_id, c.vec_id AS neighbor_id
+          FROM mb c JOIN mq ON ($mAnyMatch) AND c.vec_id <> mq.query_id),
+        ms0 AS (SELECT mc.query_id, mc.neighbor_id,
+            ${cosineSql("cv.embedding", "qv2.embedding")} AS cosine
+          FROM mc
+          JOIN mb cv ON cv.vec_id = mc.neighbor_id
+          JOIN mb qv2 ON qv2.vec_id = mc.query_id),
+        ms AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM ms0) WHERE rk <= 5),
+        allarms AS (
+          SELECT 'brute' AS method, query_id, neighbor_id FROM br
+          UNION ALL SELECT 'ivf_full', query_id, neighbor_id FROM br
+          UNION ALL SELECT 'lsh_p4x8', query_id, neighbor_id FROM ms
+          UNION ALL SELECT 'lsh_p6', query_id, neighbor_id FROM ls),
+        hit AS (SELECT a.method, a.query_id, COUNT(*) AS n_hit
+          FROM allarms a JOIN br ON br.query_id = a.query_id
+            AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.method, a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id),
+        grid AS (SELECT m.method, ex.query_id, ex.n_exact FROM ex
+          CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('lsh_p4x8'), ('lsh_p6')) m(method))
+        SELECT grid.method, grid.query_id,
+          CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(grid.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / grid.n_exact AS recall
+        FROM grid LEFT JOIN hit ON hit.method = grid.method
+          AND hit.query_id = grid.query_id
+        ORDER BY grid.method, grid.query_id"""
+      }),
+
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
     QueryDef("qm1_media_sniff",

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -359,6 +360,75 @@ object DataOpsQueries {
       Some(s"""SELECT DISTINCT md5($normSql) AS content_hash,
           CAST(length($normSql) AS INT) AS norm_len
         FROM documents ORDER BY content_hash""")),
+
+    // ---- Streaming sessionization ≡ batch (W7's streaming twin,
+    // oracled): replay `events` through the file source plus a
+    // far-future sentinel stream, run the flatMapGroupsWithState
+    // session fold under Trigger.AvailableNow, and check the emitted
+    // sessions against the SAME oracle as batch q30. The sentinel (one
+    // event from a fake user, past every real session's gap horizon +
+    // the watermark delay) advances the final watermark far enough that
+    // the trailing no-data batch fires the event-time timeout for every
+    // real open session — so the streaming path emits exactly the batch
+    // session set, deterministically, with no reliance on which session
+    // a closing event happens to share a micro-batch with. session_id
+    // (the batch ordinal) is assigned post-collect by start time. ----
+    QueryDef("qst2_stream_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val gapUs = 1800000000L
+        val maxUs = t(s, dir, "events")
+          .agg(max(unix_micros(col("ts")))).head.getLong(0)
+        // sentinel past (max last session horizon) + watermark delay
+        val sentinelUs = maxUs + gapUs + 3600000000L + 86400000000L
+        val sentDir = java.nio.file.Files.createTempDirectory("stq_sent")
+        try {
+          Seq((-1L, sentinelUs)).toDF("user_id", "us")
+            .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+          // events.ts is TIMESTAMP(NANOS): stream it the same way the
+          // batch loader reads it (nanos-as-long + µs reconstruction)
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+          val evArm = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+          val sentArm = s.readStream
+            .schema("user_id LONG, ts TIMESTAMP").parquet(sentDir.toString)
+          val stream = evArm.unionByName(sentArm)
+            .withColumn("value", lit(0.0))
+            .as[graft.streaming.Sessionize.Event]
+          val sessions = graft.streaming.Sessionize
+            .sessionsStream(stream, gapSeconds = 1800, watermark = "1 hour")
+          val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+          runAvailableNow(s, sessions.toDF())
+            .filter(col("user_id") >= 0)
+            .withColumn("session_id", row_number().over(w).cast("long"))
+            .select(col("user_id"), col("session_id"),
+              col("n_events").cast("long").as("n_events"),
+              col("start_us"), col("end_us"))
+            .orderBy(col("user_id"), col("session_id"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(sentDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, ts,
+            epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        m AS (
+          SELECT user_id, ts,
+            CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        FROM m GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
 
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",

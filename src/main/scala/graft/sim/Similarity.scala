@@ -214,4 +214,27 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Recall@k of an ANN result against the exact ranking — the one
+    * number a user tuning planes/tables/nprobe needs. Both inputs are
+    * rank tables shaped like [[bruteTopK]]/[[lshTopK]] output
+    * (query_id, neighbor_id, rank); only rows with rank <= k count.
+    * Returns one row per query in `exact`: (query_id, n_hit, n_exact,
+    * recall) with recall = n_hit / n_exact, 0 for queries the ANN arm
+    * missed entirely. Result-sized inputs (queries × k) — the joins
+    * broadcast; nothing here touches the corpus.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    def top(df: DataFrame) = df.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = top(ann).join(top(exact), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    top(exact).groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact")).as("recall"))
+  }
 }

@@ -19,6 +19,13 @@ object Sessionize {
   case class OpenSession(startUs: Long, lastUs: Long, n: Int)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
+  /** Exact epoch-µs of a Timestamp. `getTime * 1000` would truncate to
+    * ms — the testdata events are µs-precision, and the batch twin
+    * (q30) compares `unix_micros`, so the sub-ms part is load-bearing.
+    */
+  private def usOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def sessionsStream(
       events: Dataset[Event],
       gapSeconds: Long = 1800,
@@ -39,7 +46,7 @@ object Sessionize {
             state.remove()
             Iterator.single(Session(user, s.startUs, s.lastUs, s.n))
           } else {
-            val sorted = rows.map(e => e.ts.getTime * 1000L).toSeq.sorted
+            val sorted = rows.map(e => usOf(e.ts)).toSeq.sorted
             var closed = List.empty[Session]
             var open = state.getOption
             sorted.foreach { us =>
@@ -74,7 +81,7 @@ object Sessionize {
     import spark.implicits._
     // batch path: same fold, executed per user via groupByKey
     events.groupByKey(_.user_id).flatMapGroups { (user, rows) =>
-      val sorted = rows.map(e => e.ts.getTime * 1000L).toSeq.sorted
+      val sorted = rows.map(e => usOf(e.ts)).toSeq.sorted
       val gapUs = gapSeconds * 1000000L
       val out = scala.collection.mutable.ListBuffer.empty[Session]
       var open: Option[OpenSession] = None

@@ -55,6 +55,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(rMulti >= 0.4, s"multi-table recall too low: $rMulti")
   }
 
+  test("recallAtK: exact arm scores 1.0, partial-probe IVF in (0, 1]") {
+    val brute = Similarity.bruteTopK(
+      e, q, "vec_id", "embedding", "query_id", "qe", k = 5)
+    // self-recall: every query exactly 1.0, n_hit == n_exact
+    val self = Similarity.recallAtK(brute, brute, k = 5).collect()
+    assert(self.length == 8)
+    assert(self.forall(r => r.getAs[Double]("recall") == 1.0 &&
+      r.getAs[Long]("n_hit") == r.getAs[Long]("n_exact")), self.mkString(","))
+    // partial probe (the arm the SQL oracle can't express): recall is
+    // measurable and the mean stays useful at nprobe=2 of 8 cells
+    val model = Ivf.fit(e, "vec_id", "embedding", k = 8)
+    val ivf2 = Ivf.topK(e, q, "vec_id", "embedding", "query_id", "qe",
+      model, k = 5, nprobe = 2)
+    val rec = Similarity.recallAtK(ivf2, brute, k = 5)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(rec > 0.0 && rec <= 1.0, s"ivf nprobe=2 mean recall $rec")
+    // a missing-query arm scores 0, not a dropped row
+    val empty = Similarity.recallAtK(brute.filter(col("query_id") < 4),
+      brute, k = 5)
+    assert(empty.count() == 8 &&
+      empty.filter(col("query_id") >= 4)
+        .collect().forall(_.getAs[Double]("recall") == 0.0))
+  }
+
   test("LSH near-dup pairs: subset of brute pairs, identical cosines, decent recall") {
     val brute = Similarity.brutePairs(e, "vec_id", "embedding", threshold = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
