@@ -42,6 +42,8 @@ object Multimodal {
         hex(substring(bytes, 9, 4)) === "57415645", "wav")
       .when(hex(substring(bytes, 5, 4)) === "66747970", "mp4")
       .when(hexPrefix(3) === "494433", "mp3")
+      .when(hexPrefix(2) === "5036", "ppm")   // "P6" binary PPM
+      .when(hexPrefix(2) === "424D", "bmp")   // "BM"
       .otherwise("unknown")
   }
 
@@ -63,11 +65,52 @@ object Multimodal {
       (((conv(substring(md5(concat(i.cast("string"), lit(":"), base64(bytes))), 1, 15),
         16, 10).cast("long") % 2000000L) / lit(1000000.0)) - 1.0).cast("float"))
 
-  /** Decode-stage STUB, shaped like the real thing: batched
-    * per-partition iteration over (id, bytes) producing fixed-schema
-    * decoded features. A real implementation would call a codec/model
-    * on each batch; this one emits deterministic fakes derived from the
-    * payload header so tests can assert the plumbing.
+  /** Real parse of a binary PPM (P6) payload — the one container a
+    * codec-free environment can genuinely decode: ASCII header
+    * `P6 <w> <h> <maxval>` (any whitespace runs, `#` comments legal
+    * per the netpbm spec), one whitespace byte, then w*h*3 raw pixel
+    * bytes. Returns (width, height, pixelBytesPresent, pixelByteSum) —
+    * the sum touches every decoded byte, so a green oracle row is
+    * evidence of real pixel data flowing, not header echo.
+    */
+  private[multimodal] def parsePpm(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (p == null || p.length < 2 || p(0) != 'P' || p(1) != '6') None
+    else {
+      var pos = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < p.length) p(pos) match {
+          case ' ' | '\n' | '\r' | '\t' => pos += 1
+          case '#' => while (pos < p.length && p(pos) != '\n') pos += 1
+          case _ => go = false
+        }
+      }
+      def int(): Int = {
+        skipWs(); var v = 0
+        while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
+          v = v * 10 + (p(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); int() // maxval read but not kept
+      pos += 1 // exactly one whitespace byte separates header and raster
+      if (w <= 0 || h <= 0 || pos > p.length) None
+      else {
+        val n = math.min(w.toLong * h * 3, (p.length - pos).toLong).toInt
+        var sum = 0L; var i = 0
+        while (i < n) { sum += (p(pos + i) & 0xFF); i += 1 }
+        Some((w, h, n.toLong, sum))
+      }
+    }
+  }
+
+  /** Decode stage: batched per-partition iteration over (id, bytes)
+    * producing fixed-schema decoded features. PPM (P6) payloads are
+    * decoded for REAL ([[parsePpm]] — header dims + a sum over every
+    * raster byte, `codec = "ppm"`); everything else falls back to the
+    * deterministic STUB a codec/model call would replace (`codec =
+    * "stub"`, `pix_sum` null). The batch shape is the real part either
+    * way: one decoder invocation per `batchSize` rows, not per row.
     */
   def decodeStub(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -76,16 +119,23 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // <-- real decoder would process `batch` here (one codec/model
-          //     call per batch, not per row)
+          // <-- a codec/model decoder would process `batch` here (one
+          //     call per batch, not per row); the PPM arm IS that
+          //     decoder for the container this environment can parse
           batch.iterator.map { case (id, payload) =>
-            val len = if (payload == null) 0 else payload.length
-            val fakeW = 16 + (math.abs(len) % 64)
-            (id, fakeW, fakeW / 2, len.toLong)
+            parsePpm(payload) match {
+              case Some((w, h, nPix, sum)) =>
+                (id, w, h, nPix, Some(sum), "ppm")
+              case None =>
+                val len = if (payload == null) 0 else payload.length
+                val fakeW = 16 + (math.abs(len) % 64)
+                (id, fakeW, fakeW / 2, len.toLong, None: Option[Long], "stub")
+            }
           }
         }
       }
-      .toDF("media_id", "decoded_width", "decoded_height", "decoded_bytes")
+      .toDF("media_id", "decoded_width", "decoded_height", "decoded_bytes",
+        "pix_sum", "codec")
     media.join(out, "media_id")
   }
 

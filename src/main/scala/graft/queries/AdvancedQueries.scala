@@ -77,6 +77,24 @@ object AdvancedQueries {
       concat(magic, encode(col("text"), "UTF-8")).as("bytes"))
   }
 
+  /** Genuine binary-PPM media table: one well-formed P6 image per
+    * document — `4 + id%13 × 3 + id%7` pixels, byte i of the raster =
+    * `(id*31 + i*7) mod 256`. Every byte is recomputable in SQL, so the
+    * oracle can check a REAL decode (header parse + full raster sum)
+    * bit-for-bit without any codec on either side.
+    */
+  private def ppmFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate[Byte](w * h * 3)(i =>
+        ((id * 31 + i.toLong * 7) % 256).toByte)
+      (id, header ++ px)
+    }.toDF("media_id", "bytes")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- IVF ANN at full probe: partition-then-search machinery must
@@ -317,21 +335,26 @@ object AdvancedQueries {
           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 ELSE 3 END + octet_length(encode(text)) AS n_bytes
           FROM documents ORDER BY media_id""")),
 
-    // ---- Multimodal decode-stage plumbing: batched mapPartitions over
-    // (id, bytes) with a deterministic stub decoder. The oracle mirrors
-    // the stub's arithmetic, hash-checking the batch iteration path. ----
+    // ---- Multimodal decode: batched mapPartitions over (id, bytes)
+    // REALLY decoding a codec-free container — each payload is a
+    // well-formed binary PPM (ppmFromDocs) whose header the decoder
+    // parses and whose full raster it sums, so the oracle's closed-form
+    // recomputation of every pixel byte hash-checks genuine decoded
+    // data, not header echo. ----
     QueryDef("qm2_decode_batch",
-      (s, dir) => Multimodal.decodeStub(mediaFromDocs(s, dir))
-        .select(col("media_id"), col("decoded_width"),
-          col("decoded_height"), col("decoded_bytes"))
+      (s, dir) => Multimodal.decodeStub(ppmFromDocs(s, dir))
+        .select(col("media_id"), col("codec"), col("decoded_width"),
+          col("decoded_height"), col("decoded_bytes"), col("pix_sum"))
         .orderBy(col("media_id")),
       Some("""WITH m AS (SELECT doc_id AS media_id,
-          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 ELSE 3 END + octet_length(encode(text)) AS len
+          CAST(4 + doc_id % 13 AS INT) AS w,
+          CAST(3 + doc_id % 7 AS INT) AS h
           FROM documents)
-        SELECT media_id,
-          CAST(16 + (len % 64) AS INT) AS decoded_width,
-          CAST((16 + (len % 64)) // 2 AS INT) AS decoded_height,
-          CAST(len AS BIGINT) AS decoded_bytes
+        SELECT media_id, 'ppm' AS codec,
+          w AS decoded_width, h AS decoded_height,
+          CAST(w*h*3 AS BIGINT) AS decoded_bytes,
+          CAST(list_sum(list_transform(range(0, w*h*3),
+            i -> (media_id*31 + i*7) % 256)) AS BIGINT) AS pix_sum
         FROM m ORDER BY media_id""")),
 
     // ---- The reference's analytic core, end-to-end (factor_builder.py

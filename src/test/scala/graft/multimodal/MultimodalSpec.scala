@@ -48,6 +48,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(r == 16L)
   }
 
+  test("decodeStub really decodes P6 PPM: header dims + full raster sum") {
+    val px = Array.tabulate[Byte](12)(_.toByte) // 2x2 RGB, bytes 0..11
+    val ppm = "P6\n# a netpbm comment\n2 2\n255\n".getBytes("ASCII") ++ px
+    val df = Seq((10L, ppm), (11L, "nope".getBytes("ASCII")))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeStub(df)
+      .select($"media_id", $"codec", $"decoded_width", $"decoded_height",
+        $"decoded_bytes", $"pix_sum")
+      .as[(Long, String, Int, Int, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, "ppm", 2, 2, 12L, Some(66L))), out(10L))
+    // non-PPM payloads keep the deterministic stub shape
+    assert(out(11L)._2 == "stub" && out(11L)._6.isEmpty)
+  }
+
   test("resize stub fits within the box, preserves aspect, keeps ids") {
     val decoded = Multimodal.decodeStub(media)
     val out = Multimodal.resizeStub(decoded, maxW = 20, maxH = 12)
