@@ -51,9 +51,19 @@ object DataOpsQueries {
     import scala.jdk.CollectionConverters._
     val name = "stq_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("stq_ckpt")
-    val q = out.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // Stateful operators create one state-store instance per shuffle
+    // partition, each paying a per-batch commit+fsync — on a bounded
+    // replay of a dim-sized table that fixed cost dominates the run, so
+    // pin the STREAM's state partitioning low (it is captured at query
+    // start; the session conf is restored right after). A production
+    // stream over real volume would keep the session default.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     val sink = s.table(name)
     val local = s.createDataFrame(sink.collect().toSeq.asJava, sink.schema)
