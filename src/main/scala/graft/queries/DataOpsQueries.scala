@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.dedup.Dedup
 import graft.model.Tables
@@ -386,11 +387,10 @@ object DataOpsQueries {
     QueryDef("qst2_stream_sessionize",
       (s, dir) => {
         import s.implicits._
-        val gapUs = 1800000000L
-        val maxUs = t(s, dir, "events")
-          .agg(max(unix_micros(col("ts")))).head.getLong(0)
-        // sentinel past (max last session horizon) + watermark delay
-        val sentinelUs = maxUs + gapUs + 3600000000L + 86400000000L
+        // any instant whose watermark (sentinel - delay) clears every
+        // real session's gap horizon works; 2100-01-01 is beyond the
+        // testdata horizon and saves a full pre-scan for max(ts)
+        val sentinelUs = 4102444800000000L
         val sentDir = java.nio.file.Files.createTempDirectory("stq_sent")
         try {
           Seq((-1L, sentinelUs)).toDF("user_id", "us")
@@ -439,6 +439,60 @@ object DataOpsQueries {
           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
         FROM m GROUP BY user_id, session_id
         ORDER BY user_id, session_id""")),
+
+    // ---- Streaming tumbling-window resample ≡ batch (the W7 windowed
+    // aggregation under watermark + append mode, oracled against the
+    // SAME SQL as batch q15): replay `events` plus a far-future
+    // sentinel; once the final watermark passes every real window's
+    // end, append mode has emitted each finalized (hour, event_type)
+    // row exactly once — the sentinel's own window never finalizes, so
+    // it drops out by construction. The sum aggregates DECIMAL(18,4)
+    // (exact, order-free) and casts to double only at the end, same as
+    // the batch twin. ----
+    QueryDef("qst3_stream_resample",
+      (s, dir) => {
+        import s.implicits._
+        // any instant whose watermark (sentinel - delay) clears every
+        // real window's end works; 2100-01-01 is beyond the testdata
+        // horizon and saves a full pre-scan for max(ts)
+        val sentinelUs = 4102444800000000L
+        val sentDir = java.nio.file.Files.createTempDirectory("stq_sent3")
+        try {
+          Seq(("__sentinel__", sentinelUs, 0.0)).toDF("event_type", "us", "value")
+            .select(col("event_type"), timestamp_micros(col("us")).as("ts"),
+              col("value"))
+            .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+          val evArm = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .select(col("event_type"),
+              expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+          val sentArm = s.readStream
+            .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+            .parquet(sentDir.toString)
+          val agg = evArm.unionByName(sentArm)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(18, 4)))
+                .cast("double").as("sum_value"))
+            .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+          runAvailableNow(s, agg)
+            .filter(col("event_type") =!= "__sentinel__")
+            .orderBy(col("hour"), col("event_type"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(sentDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
