@@ -104,10 +104,47 @@ object Multimodal {
     }
   }
 
+  /** Real parse of an uncompressed 24-bit BMP payload — the second
+    * codec-free container: "BM" magic, little-endian pixel-data offset
+    * at byte 10, width/height in the BITMAPINFOHEADER at 18/22 (height
+    * may be negative for top-down images), bpp at 28 must be 24 and
+    * compression at 30 must be 0 (BI_RGB). Rows are padded to 4-byte
+    * stride; the sum walks each row's w*3 pixel bytes and skips the
+    * padding, so the result is invariant to row order and stride.
+    */
+  private[multimodal] def parseBmp(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    def u16(at: Int): Int = (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8)
+    def i32(at: Int): Int = (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8) |
+      ((p(at + 2) & 0xFF) << 16) | ((p(at + 3) & 0xFF) << 24)
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') None
+    else {
+      val off = i32(10)
+      val w = i32(18)
+      val h = math.abs(i32(22))
+      if (u16(28) != 24 || i32(30) != 0 || w <= 0 || h <= 0 ||
+        off < 54 || off > p.length) None
+      else {
+        val stride = ((w * 3 + 3) / 4) * 4
+        var sum = 0L; var nPix = 0L
+        var r = 0
+        while (r < h) {
+          val rowStart = off + r.toLong * stride
+          var c = 0
+          while (c < w * 3 && rowStart + c < p.length) {
+            sum += (p((rowStart + c).toInt) & 0xFF); nPix += 1; c += 1
+          }
+          r += 1
+        }
+        Some((w, h, nPix, sum))
+      }
+    }
+  }
+
   /** Decode stage: batched per-partition iteration over (id, bytes)
-    * producing fixed-schema decoded features. PPM (P6) payloads are
-    * decoded for REAL ([[parsePpm]] — header dims + a sum over every
-    * raster byte, `codec = "ppm"`); everything else falls back to the
+    * producing fixed-schema decoded features. PPM (P6) and uncompressed
+    * 24-bit BMP payloads are decoded for REAL ([[parsePpm]] /
+    * [[parseBmp]] — header dims + a sum over every raster byte,
+    * `codec = "ppm"`/`"bmp"`); everything else falls back to the
     * deterministic STUB a codec/model call would replace (`codec =
     * "stub"`, `pix_sum` null). The batch shape is the real part either
     * way: one decoder invocation per `batchSize` rows, not per row.
@@ -123,9 +160,10 @@ object Multimodal {
           //     call per batch, not per row); the PPM arm IS that
           //     decoder for the container this environment can parse
           batch.iterator.map { case (id, payload) =>
-            parsePpm(payload) match {
-              case Some((w, h, nPix, sum)) =>
-                (id, w, h, nPix, Some(sum), "ppm")
+            parsePpm(payload).map(d => (d, "ppm"))
+              .orElse(parseBmp(payload).map(d => (d, "bmp"))) match {
+              case Some(((w, h, nPix, sum), codec)) =>
+                (id, w, h, nPix, Some(sum), codec)
               case None =>
                 val len = if (payload == null) 0 else payload.length
                 val fakeW = 16 + (math.abs(len) % 64)

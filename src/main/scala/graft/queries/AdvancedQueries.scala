@@ -77,21 +77,54 @@ object AdvancedQueries {
       concat(magic, encode(col("text"), "UTF-8")).as("bytes"))
   }
 
-  /** Genuine binary-PPM media table: one well-formed P6 image per
-    * document — `4 + id%13 × 3 + id%7` pixels, byte i of the raster =
-    * `(id*31 + i*7) mod 256`. Every byte is recomputable in SQL, so the
-    * oracle can check a REAL decode (header parse + full raster sum)
-    * bit-for-bit without any codec on either side.
+  /** Genuine decodable media table: one well-formed image per document
+    * — binary PPM (P6) for even ids (`4 + id%13 × 3 + id%7`),
+    * uncompressed 24-bit BMP for odd ids (`4*(1 + (id/2)%4) ×
+    * 2 + id%5`, width a multiple of 4 so the raster is stride-exact).
+    * Raster byte i = `(id*31 + i*7) mod 256` in both containers, so
+    * every decoded byte is recomputable in SQL and the oracle checks a
+    * REAL decode (header parse + full raster sum) bit-for-bit without
+    * any codec on either side.
     */
-  private def ppmFromDocs(s: SparkSession, dir: String): DataFrame = {
+  private def pixmapsFromDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
-      val w = (4 + id % 13).toInt
-      val h = (3 + id % 7).toInt
-      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
-      val px = Array.tabulate[Byte](w * h * 3)(i =>
-        ((id * 31 + i.toLong * 7) % 256).toByte)
-      (id, header ++ px)
+      if (id % 2 == 0) {
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 7).toInt
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate[Byte](w * h * 3)(i =>
+          ((id * 31 + i.toLong * 7) % 256).toByte)
+        (id, header ++ px)
+      } else {
+        val w = (4 * (1 + (id / 2) % 4)).toInt
+        val h = (2 + id % 5).toInt
+        val n = w * h * 3
+        val bmp = new Array[Byte](54 + n)
+        def putU16(at: Int, v: Int): Unit = {
+          bmp(at) = (v & 0xFF).toByte; bmp(at + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        def putI32(at: Int, v: Int): Unit = {
+          bmp(at) = (v & 0xFF).toByte
+          bmp(at + 1) = ((v >> 8) & 0xFF).toByte
+          bmp(at + 2) = ((v >> 16) & 0xFF).toByte
+          bmp(at + 3) = ((v >> 24) & 0xFF).toByte
+        }
+        bmp(0) = 'B'; bmp(1) = 'M'
+        putI32(2, 54 + n)  // file size
+        putI32(10, 54)     // pixel-data offset
+        putI32(14, 40)     // BITMAPINFOHEADER size
+        putI32(18, w); putI32(22, h)
+        putU16(26, 1)      // planes
+        putU16(28, 24)     // bpp
+        putI32(30, 0)      // BI_RGB
+        putI32(34, n)      // image size
+        var i = 0
+        while (i < n) {
+          bmp(54 + i) = ((id * 31 + i.toLong * 7) % 256).toByte; i += 1
+        }
+        (id, bmp)
+      }
     }.toDF("media_id", "bytes")
   }
 
@@ -336,21 +369,25 @@ object AdvancedQueries {
           FROM documents ORDER BY media_id""")),
 
     // ---- Multimodal decode: batched mapPartitions over (id, bytes)
-    // REALLY decoding a codec-free container — each payload is a
-    // well-formed binary PPM (ppmFromDocs) whose header the decoder
-    // parses and whose full raster it sums, so the oracle's closed-form
-    // recomputation of every pixel byte hash-checks genuine decoded
-    // data, not header echo. ----
+    // REALLY decoding two codec-free containers — each payload is a
+    // well-formed binary PPM or uncompressed 24-bit BMP
+    // (pixmapsFromDocs) whose header the decoder parses and whose full
+    // raster it sums, so the oracle's closed-form recomputation of
+    // every pixel byte hash-checks genuine decoded data, not header
+    // echo. ----
     QueryDef("qm2_decode_batch",
-      (s, dir) => Multimodal.decodeStub(ppmFromDocs(s, dir))
+      (s, dir) => Multimodal.decodeStub(pixmapsFromDocs(s, dir))
         .select(col("media_id"), col("codec"), col("decoded_width"),
           col("decoded_height"), col("decoded_bytes"), col("pix_sum"))
         .orderBy(col("media_id")),
       Some("""WITH m AS (SELECT doc_id AS media_id,
-          CAST(4 + doc_id % 13 AS INT) AS w,
-          CAST(3 + doc_id % 7 AS INT) AS h
+          CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13
+               ELSE 4 * (1 + (doc_id // 2) % 4) END AS INT) AS w,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7
+               ELSE 2 + doc_id % 5 END AS INT) AS h
           FROM documents)
-        SELECT media_id, 'ppm' AS codec,
+        SELECT media_id, codec,
           w AS decoded_width, h AS decoded_height,
           CAST(w*h*3 AS BIGINT) AS decoded_bytes,
           CAST(list_sum(list_transform(range(0, w*h*3),

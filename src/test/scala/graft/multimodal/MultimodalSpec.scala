@@ -63,6 +63,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(11L)._2 == "stub" && out(11L)._6.isEmpty)
   }
 
+  test("decodeStub really decodes 24-bit BMP and skips the row padding") {
+    // 2x2 image: stride = 8, so each 6-byte row carries 2 pad bytes
+    // (0xEE) that must NOT enter the sum
+    val w = 2; val h = 2; val stride = 8
+    val bmp = new Array[Byte](54 + stride * h)
+    def putU16(at: Int, v: Int): Unit = {
+      bmp(at) = (v & 0xFF).toByte; bmp(at + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putI32(at: Int, v: Int): Unit = (0 until 4).foreach(b =>
+      bmp(at + b) = ((v >> (8 * b)) & 0xFF).toByte)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    putI32(2, bmp.length); putI32(10, 54); putI32(14, 40)
+    putI32(18, w); putI32(22, h); putU16(26, 1); putU16(28, 24)
+    var v = 0
+    for (r <- 0 until h; c <- 0 until stride) {
+      bmp(54 + r * stride + c) =
+        if (c < w * 3) { val x = v.toByte; v += 1; x } else 0xEE.toByte
+    }
+    val df = Seq((20L, bmp)).toDF("media_id", "bytes")
+    val out = Multimodal.decodeStub(df)
+      .select($"codec", $"decoded_width", $"decoded_height",
+        $"decoded_bytes", $"pix_sum")
+      .as[(String, Int, Int, Long, Option[Long])].head()
+    assert(out == (("bmp", 2, 2, 12L, Some(66L))), out)
+  }
+
   test("resize stub fits within the box, preserves aspect, keeps ids") {
     val decoded = Multimodal.decodeStub(media)
     val out = Multimodal.resizeStub(decoded, maxW = 20, maxH = 12)
