@@ -74,6 +74,43 @@ object DataOpsQueries {
     local
   }
 
+  /** Streaming replay of `events`, whose TIMESTAMP(NANOS) column needs
+    * the same nanos-as-long + µs reconstruction as the batch loader
+    * ([[Tables.load]]) — [[replayTable]]'s schema-passthrough would
+    * hand the converted schema to a reader seeing raw nanos.
+    */
+  private def replayEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Materialize `rows` as a one-file parquet dir, hand `f` a stream
+    * over it, and delete the dir afterwards — the far-future-sentinel
+    * arm of the streaming-equivalence queries. `f` must drain the
+    * stream before returning (runAvailableNow does).
+    */
+  private def withSentinelStream(s: SparkSession, rows: DataFrame,
+      schema: String)(f: DataFrame => DataFrame): DataFrame = {
+    val sentDir = java.nio.file.Files.createTempDirectory("stq_sent")
+    try {
+      rows.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+      f(s.readStream.schema(schema).parquet(sentDir.toString))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(sentDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** 2100-01-01 in epoch-µs: past every testdata event's watermark
+    * horizon, so a sentinel at this instant deterministically flushes
+    * all real streaming state without a max(ts) pre-scan.
+    */
+  private val SentinelUs = 4102444800000000L
+
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
@@ -387,25 +424,11 @@ object DataOpsQueries {
     QueryDef("qst2_stream_sessionize",
       (s, dir) => {
         import s.implicits._
-        // any instant whose watermark (sentinel - delay) clears every
-        // real session's gap horizon works; 2100-01-01 is beyond the
-        // testdata horizon and saves a full pre-scan for max(ts)
-        val sentinelUs = 4102444800000000L
-        val sentDir = java.nio.file.Files.createTempDirectory("stq_sent")
-        try {
-          Seq((-1L, sentinelUs)).toDF("user_id", "us")
-            .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
-            .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-          // events.ts is TIMESTAMP(NANOS): stream it the same way the
-          // batch loader reads it (nanos-as-long + µs reconstruction)
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-          val evArm = s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-            .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
-          val sentArm = s.readStream
-            .schema("user_id LONG, ts TIMESTAMP").parquet(sentDir.toString)
-          val stream = evArm.unionByName(sentArm)
+        val sent = Seq(-1L).toDF("user_id")
+          .select(col("user_id"), timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent, "user_id LONG, ts TIMESTAMP") { sentArm =>
+          val stream = replayEvents(s, dir).select(col("user_id"), col("ts"))
+            .unionByName(sentArm)
             .withColumn("value", lit(0.0))
             .as[graft.streaming.Sessionize.Event]
           val sessions = graft.streaming.Sessionize
@@ -418,10 +441,6 @@ object DataOpsQueries {
               col("n_events").cast("long").as("n_events"),
               col("start_us"), col("end_us"))
             .orderBy(col("user_id"), col("session_id"))
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(sentDir).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
       Some("""WITH g AS (
@@ -452,26 +471,14 @@ object DataOpsQueries {
     QueryDef("qst3_stream_resample",
       (s, dir) => {
         import s.implicits._
-        // any instant whose watermark (sentinel - delay) clears every
-        // real window's end works; 2100-01-01 is beyond the testdata
-        // horizon and saves a full pre-scan for max(ts)
-        val sentinelUs = 4102444800000000L
-        val sentDir = java.nio.file.Files.createTempDirectory("stq_sent3")
-        try {
-          Seq(("__sentinel__", sentinelUs, 0.0)).toDF("event_type", "us", "value")
-            .select(col("event_type"), timestamp_micros(col("us")).as("ts"),
-              col("value"))
-            .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-          val evArm = s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-            .select(col("event_type"),
-              expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
-          val sentArm = s.readStream
-            .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
-            .parquet(sentDir.toString)
-          val agg = evArm.unionByName(sentArm)
+        val sent = Seq("__sentinel__").toDF("event_type")
+          .select(col("event_type"), timestamp_micros(lit(SentinelUs)).as("ts"),
+            lit(0.0).as("value"))
+        withSentinelStream(s, sent,
+          "event_type STRING, ts TIMESTAMP, value DOUBLE") { sentArm =>
+          val agg = replayEvents(s, dir)
+            .select(col("event_type"), col("ts"), col("value"))
+            .unionByName(sentArm)
             .withWatermark("ts", "1 hour")
             .groupBy(window(col("ts"), "1 hour"), col("event_type"))
             .agg(count(lit(1)).as("n"),
@@ -483,10 +490,6 @@ object DataOpsQueries {
           runAvailableNow(s, agg)
             .filter(col("event_type") =!= "__sentinel__")
             .orderBy(col("hour"), col("event_type"))
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(sentDir).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
