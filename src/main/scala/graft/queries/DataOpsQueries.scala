@@ -371,6 +371,47 @@ object DataOpsQueries {
                ELSE 'test' END AS split
         FROM a ORDER BY doc_id""")),
 
+    // ---- PII redaction: the standard pre-training scrub pass. The
+    // synthetic docs carry no PII, so deterministic markers (an email,
+    // an IPv4, a phone-like digit run derived from doc_id) are grafted
+    // onto the text IDENTICALLY in both engines; the redaction chain
+    // (emails -> IPs -> phones, order part of the contract) and the
+    // per-category counts then hash-check byte-for-byte. Patterns stay
+    // in the Java-regex/RE2 shared subset so both engines run the same
+    // automaton. Map-only codegen — linear at any scale. ----
+    QueryDef("qt12_pii_redact",
+      (s, dir) => {
+        val pii = concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex"), (col("doc_id") % 7).cast("string"),
+          lit(".com via 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 3) % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" call 555-"), (col("doc_id") % 9000 + 1000).cast("string"))
+        t(s, dir, "documents")
+          .select(col("doc_id") +: (TextOps.piiCounts(pii) :+
+            md5(TextOps.redactPii(pii)).as("redacted_md5")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+          text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+            '.com via 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) ||
+            '.' || ((doc_id * 7) % 256) || ' call 555-' || (doc_id % 9000 + 1000)
+            AS pii
+          FROM documents),
+        r1 AS (SELECT doc_id, pii,
+          regexp_replace(pii, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS after_email
+          FROM p),
+        r2 AS (SELECT doc_id, pii, after_email,
+          regexp_replace(after_email, '${TextOps.Ipv4Re}', '<IP>', 'g') AS after_ip
+          FROM r1)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(pii, '${TextOps.EmailRe}')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(after_email, '${TextOps.Ipv4Re}')) AS INT) AS n_ip,
+          CAST(len(regexp_extract_all(after_ip, '${TextOps.PhoneRe}')) AS INT) AS n_phone,
+          md5(regexp_replace(after_ip, '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+        FROM r2 ORDER BY doc_id""")),
+
     // ---- exact dedup: hash-group annotation ----
     QueryDef("qd1_exact_dedup",
       (s, dir) => Dedup.exactDupAnnotate(t(s, dir, "documents"), "text", "doc_id")

@@ -151,4 +151,39 @@ object TextOps {
       when(bucket < cut, name).otherwise(acc)
     }
   }
+
+  /** PII patterns restricted to syntax shared verbatim by Java regex
+    * and RE2 (so the DuckDB oracle replays them byte-identically):
+    * character classes, bounded repetition, and \b word boundaries —
+    * no lookaround, no backreferences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone-like digit runs to typed
+    * placeholder tokens — the standard pre-training scrub pass, as a
+    * pure codegen column expression (linear, map-only at any scale).
+    * Order matters and is part of the contract: emails first (their
+    * local/domain parts may contain digit runs the narrower patterns
+    * would bite into), then IPs, then phones; replaced placeholders
+    * contain no digits, so later passes cannot re-match earlier ones.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-category PII match counts (audit/reporting companion of
+    * [[redactPii]] — a curation pipeline reports what it scrubbed).
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast("int").as("n_email"),
+    regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re))
+      .cast("int").as("n_ip"),
+    regexp_count(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"), lit(PhoneRe)).cast("int").as("n_phone"))
 }
