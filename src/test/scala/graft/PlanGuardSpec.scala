@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.Decontaminate
+
+/** Scale-posture guardrail: candidate generation in every lake-path
+  * dedup / ANN / decontamination operator must stay an EQUI-join on a
+  * band/bucket/prefix key — a Cartesian or broadcast-nested-loop node
+  * in these plans means someone degraded a key equality into a
+  * non-equi predicate and the operator went quadratic in the corpus.
+  * (bruteTopK / brutePairs are the documented non-lake baselines and
+  * deliberately not listed.)
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 4)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  private def assertNoQuadraticJoin(name: String, df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+      assert(!plan.contains(bad), s"$name plan contains $bad:\n$plan")
+    }
+    df.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("no lake-path operator plans a Cartesian or nested-loop join") {
+    Seq[(String, DataFrame)](
+      "minhashPairs" -> Dedup.minhashPairs(docs, "text", "doc_id",
+        k = 8, bands = 4, threshold = 0.6),
+      "simhashPairs" -> Dedup.simhashPairs(docs, "text", "doc_id"),
+      "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id"),
+      "lshTopK" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        "query_id", "qe", k = 3, planes = 4),
+      "lshTopKMulti" -> Similarity.lshTopKMulti(emb, queries, "vec_id",
+        "embedding", "query_id", "qe", k = 3, planes = 4, tables = 2),
+      "lshNearDupPairs" -> Similarity.lshNearDupPairs(emb, "vec_id",
+        "embedding", threshold = 0.45, planes = 4, tables = 2),
+      "decontaminate" -> Decontaminate.contaminated(
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id")
+    ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
+  }
+}
