@@ -20,6 +20,22 @@ object Bench {
       import spark.implicits._
       spark.range(1000).map(i => (i, Array(i.toFloat))).filter(_._1 >= 0).count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
+      // Warm the micro-batch engine + state-store code paths too, so the
+      // first streaming query's timed window doesn't carry their
+      // one-time classloading/commit setup.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[Int]
+      ms.addData(1, 2)
+      val ck = java.nio.file.Files.createTempDirectory("bench_warm")
+      ms.toDS().groupBy("value").count()
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ck).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=qd6_dup_clusters); driver runs unfiltered.
