@@ -22,20 +22,28 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet").count()
       // Warm the micro-batch engine + state-store code paths too, so the
       // first streaming query's timed window doesn't carry their
-      // one-time classloading/commit setup.
+      // one-time classloading/commit setup. A warmup failure degrades to
+      // an unwarmed run — it must never abort the bench itself — and the
+      // checkpoint dir is cleaned up even on failure.
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger
       implicit val sqlCtx = spark.sqlContext
-      val ms = MemoryStream[Int]
-      ms.addData(1, 2)
       val ck = java.nio.file.Files.createTempDirectory("bench_warm")
-      ms.toDS().groupBy("value").count()
-        .writeStream.format("noop").outputMode("update")
-        .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ck).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      try {
+        val ms = MemoryStream[Int]
+        ms.addData(1, 2)
+        ms.toDS().groupBy("value").count()
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ck.toString)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming warmup failed (continuing unwarmed): ${e.getMessage}")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ck).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=qd6_dup_clusters); driver runs unfiltered.
@@ -44,6 +52,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // Opt-in repeat count for local noise adjudication: time each query
+    // N times and report the MIN (the least box-noise-contaminated
+    // sample). Default 1 so driver totals stay comparable round-over-
+    // round.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(1)
     // A query that throws is recorded by NAME in "failed", never as a
     // time: a time-to-crash entry would make a broken build look FASTER
     // than a working one, and the driver bench could not tell the two
@@ -51,20 +65,28 @@ object Bench {
     val timed = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      val samples = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Cache lifecycle: each query persists its own intermediates
+        // (MEMORY_AND_DISK); without an unpersist they accumulate across
+        // all ~50 queries and squeeze the unified memory pool — under box
+        // pressure the dedup kernels then spill/recompute 10x slower.
+        // Dropping the previous query's caches (outside its timed window)
+        // gives every query a clean storage pool.
+        spark.catalog.clearCache()
+        (dt, ok)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Cache lifecycle: each query persists its own intermediates
-      // (MEMORY_AND_DISK); without an unpersist they accumulate across
-      // all ~50 queries and squeeze the unified memory pool — under box
-      // pressure the dedup kernels then spill/recompute 10x slower.
-      // Dropping the previous query's caches (outside its timed window)
-      // gives every query a clean storage pool.
-      spark.catalog.clearCache()
+      val ok = samples.forall(_._2)
+      val dt = samples.map(_._1).min
+      if (repeats > 1)
+        System.err.println(s"[bench] $name samples: " +
+          samples.map(s => f"${s._1}%.2f").mkString(", ") + f" -> min $dt%.2f")
       (name, dt, ok)
     }
     val results = timed.collect { case (name, dt, true) => name -> dt }

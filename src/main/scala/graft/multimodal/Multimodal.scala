@@ -124,13 +124,20 @@ object Multimodal {
       if (u16(28) != 24 || i32(30) != 0 || w <= 0 || h <= 0 ||
         off < 54 || off > p.length) None
       else {
-        val stride = ((w * 3 + 3) / 4) * 4
+        // Long arithmetic throughout: a hostile header can declare w or h
+        // near Int.MaxValue, where `w * 3` overflows Int and a row walk
+        // keyed on the declared h spins ~2^31 empty iterations. Clamp the
+        // row count to what the payload can actually contain.
+        val rowBytes = w.toLong * 3
+        val stride = ((rowBytes + 3) / 4) * 4
+        val avail = (p.length - off).toLong
+        val hEff = math.min(h.toLong, (avail + stride - 1) / stride).toInt
         var sum = 0L; var nPix = 0L
         var r = 0
-        while (r < h) {
+        while (r < hEff) {
           val rowStart = off + r.toLong * stride
-          var c = 0
-          while (c < w * 3 && rowStart + c < p.length) {
+          var c = 0L
+          while (c < rowBytes && rowStart + c < p.length) {
             sum += (p((rowStart + c).toInt) & 0xFF); nPix += 1; c += 1
           }
           r += 1

@@ -89,6 +89,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(out == (("bmp", 2, 2, 12L, Some(66L))), out)
   }
 
+  test("parseBmp clamps hostile declared dimensions to the payload") {
+    // decodeStub runs over arbitrary lake bytes: a malformed header may
+    // declare h near Int.MaxValue over a tiny payload (must not spin
+    // ~2^31 empty row iterations) or a w where w*3 overflows Int.
+    def hostile(w: Int, h: Int): Array[Byte] = {
+      val bmp = new Array[Byte](62)
+      def putU16(at: Int, v: Int): Unit = {
+        bmp(at) = (v & 0xFF).toByte; bmp(at + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def putI32(at: Int, v: Int): Unit = (0 until 4).foreach(b =>
+        bmp(at + b) = ((v >> (8 * b)) & 0xFF).toByte)
+      bmp(0) = 'B'; bmp(1) = 'M'
+      putI32(10, 54); putI32(18, w); putI32(22, h); putU16(28, 24)
+      bmp
+    }
+    val t0 = System.nanoTime()
+    val tall = Multimodal.parseBmp(hostile(2, Int.MaxValue))
+    val wide = Multimodal.parseBmp(hostile(Int.MaxValue / 2, 1))
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "hostile header must not spin")
+    // both parse (headers are structurally valid) but the walk is bounded
+    // by the 8 payload bytes past the pixel offset
+    assert(tall.exists { case (_, _, nPix, _) => nPix > 0 && nPix <= 8 }, tall)
+    assert(wide.exists { case (_, _, nPix, _) => nPix > 0 && nPix <= 8 }, wide)
+  }
+
   test("resize stub fits within the box, preserves aspect, keeps ids") {
     val decoded = Multimodal.decodeStub(media)
     val out = Multimodal.resizeStub(decoded, maxW = 20, maxH = 12)
