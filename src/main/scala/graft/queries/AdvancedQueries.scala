@@ -53,6 +53,15 @@ object AdvancedQueries {
   /** Exact cosine in DuckDB — same IEEE op sequence as
     * [[graft.sim.Similarity.cosine]] (qs3-validated form).
     */
+  /** Exact squared L2 distance in DuckDB — same IEEE op sequence as
+    * [[graft.functions.NearestCell.compute]] / [[graft.sim.Ivf.l2sq]]
+    * (sequential `(a-b)^2` accumulation over dims).
+    */
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${EmbeddingDim + 1}),
+        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"""
+
   private def cosineSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
@@ -260,15 +269,18 @@ object AdvancedQueries {
       }),
 
     // ---- ANN recall measurement: recall@5 of each approximate arm
-    // (single-table LSH, OR-amplified multi-table LSH, full-probe IVF)
-    // against the exact brute-force ranking, per query — the number a
-    // user tuning planes/tables/nprobe reads. Everything is
-    // deterministic (md5-parity hyperplanes; IVF at full probe ≡ brute
-    // by the qs3 contract), so the oracle recomputes each arm's top-5
-    // set in SQL and counts the overlap bit-for-bit. Partial-probe IVF
-    // recall (not SQL-expressible — kmeans centroids live in the fitted
-    // model) is measured with the same recallAtK kernel in
-    // SimilaritySpec. ----
+    // (single-table LSH, OR-amplified multi-table LSH, full-probe IVF,
+    // PARTIAL-probe IVF) against the exact brute-force ranking, per
+    // query — the number a user tuning planes/tables/nprobe reads.
+    // Everything is deterministic (md5-parity hyperplanes; IVF at full
+    // probe ≡ brute by the qs3 contract), so the oracle recomputes each
+    // arm's top-5 set in SQL and counts the overlap bit-for-bit. The
+    // partial-probe arm (nprobe=2 of k=8 — the real recall/cost
+    // tradeoff) uses a seeds-only model (`iters = 0`: centroids = the 8
+    // lowest-id vectors verbatim), which makes its cell assignment
+    // closed-form SQL over the embeddings table itself; Lloyd-refined
+    // partial-probe recall (centroids live in the fitted model) is
+    // measured with the same recallAtK kernel in SimilaritySpec. ----
     QueryDef("qs8_ann_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -279,10 +291,13 @@ object AdvancedQueries {
             "vec_id", "embedding", "query_id", "qe", k = 5)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val model = Ivf.fit(e, "vec_id", "embedding", k = 8)
+        val seeds = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
         val arms = Seq(
           "brute" -> brute,
           "ivf_full" -> Ivf.topK(e, q, "vec_id", "embedding", "query_id",
             "qe", model, k = 5, nprobe = 8),
+          "ivf_probe2" -> Ivf.topK(e, q, "vec_id", "embedding", "query_id",
+            "qe", seeds, k = 5, nprobe = 2),
           "lsh_p4x8" -> Similarity.lshTopKMulti(e, q, "vec_id", "embedding",
             "query_id", "qe", k = 5, planes = 4, tables = 8),
           "lsh_p6" -> Similarity.lshTopK(e, q, "vec_id", "embedding",
@@ -334,9 +349,29 @@ object AdvancedQueries {
         ms AS (SELECT query_id, neighbor_id FROM (
           SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rk FROM ms0) WHERE rk <= 5),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id
+              ORDER BY ${l2sqSql("qv.qe", "c.ce")}, c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 2),
+        iv0 AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+            ${cosineSql("ca.embedding", "qp.qe")} AS cosine
+          FROM ca JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        iv AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM iv0) WHERE rk <= 5),
         allarms AS (
           SELECT 'brute' AS method, query_id, neighbor_id FROM br
           UNION ALL SELECT 'ivf_full', query_id, neighbor_id FROM br
+          UNION ALL SELECT 'ivf_probe2', query_id, neighbor_id FROM iv
           UNION ALL SELECT 'lsh_p4x8', query_id, neighbor_id FROM ms
           UNION ALL SELECT 'lsh_p6', query_id, neighbor_id FROM ls),
         hit AS (SELECT a.method, a.query_id, COUNT(*) AS n_hit
@@ -345,7 +380,8 @@ object AdvancedQueries {
           GROUP BY a.method, a.query_id),
         ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id),
         grid AS (SELECT m.method, ex.query_id, ex.n_exact FROM ex
-          CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('lsh_p4x8'), ('lsh_p6')) m(method))
+          CROSS JOIN (VALUES ('brute'), ('ivf_full'), ('ivf_probe2'),
+            ('lsh_p4x8'), ('lsh_p6')) m(method))
         SELECT grid.method, grid.query_id,
           CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
           CAST(grid.n_exact AS INT) AS n_exact,
