@@ -144,6 +144,46 @@ object DataOpsQueries {
         FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
         WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.6"""
 
+  /** qd5's oracle body — shared verbatim by qd7_ngram_jaccard_lake: the
+    * broadcast and shuffle arms are result-identical by contract, so
+    * one oracle pins both.
+    */
+  private val ngramJaccardSql =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
+        g AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS grams
+          FROM d),
+        inv AS (SELECT doc_id,
+          ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gr FROM g),
+        pc AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        sz AS (SELECT doc_id, len(grams) AS n FROM g)
+        SELECT pc.id_a, pc.id_b,
+          pc.inter / (sa.n + sb.n - pc.inter) AS jaccard
+        FROM pc JOIN sz sa ON sa.doc_id = pc.id_a JOIN sz sb ON sb.doc_id = pc.id_b
+        WHERE pc.inter / (sa.n + sb.n - pc.inter) >= 0.5
+        ORDER BY id_a, id_b"""
+
+  /** qt9's oracle body — shared verbatim by qt13_decontaminate_lake
+    * (same broadcast/shuffle result-identity contract).
+    */
+  private val decontaminateSql =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        sp AS (SELECT doc_id, toks,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM d),
+        g8 AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
+              i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
+          FROM sp WHERE len(toks) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval')
+        SELECT t.doc_id AS train_id, COUNT(*) AS n_shared_grams
+        FROM g8 t JOIN eg ON eg.g = t.g
+        WHERE t.split = 'train'
+        GROUP BY t.doc_id ORDER BY train_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + quality scoring ----
@@ -287,19 +327,24 @@ object DataOpsQueries {
             "text", "doc_id", n = 8)
           .orderBy(col("train_id"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-        sp AS (SELECT doc_id, toks,
-          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
-            THEN 'train' ELSE 'eval' END AS split FROM d),
-        g8 AS (SELECT doc_id, split,
-            unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
-              i -> ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
-          FROM sp WHERE len(toks) >= 8),
-        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval')
-        SELECT t.doc_id AS train_id, COUNT(*) AS n_shared_grams
-        FROM g8 t JOIN eg ON eg.g = t.g
-        WHERE t.split = 'train'
-        GROUP BY t.doc_id ORDER BY train_id""")),
+      Some(decontaminateSql)),
+
+    // ---- the SAME decontamination semantics through the lake arm:
+    // eval grams shuffled on the 60-bit hash instead of broadcast —
+    // the code path when the eval slice outgrows the broadcast budget
+    // (e.g. decontaminating against another corpus shard). Oracled
+    // against the identical SQL as qt9. ----
+    QueryDef("qt13_decontaminate_lake",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("split",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        graft.text.Decontaminate.contaminated(
+            docs.filter(col("split") === "train"),
+            docs.filter(col("split") === "eval"),
+            "text", "doc_id", n = 8, broadcastEval = false)
+          .orderBy(col("train_id"))
+      },
+      Some(decontaminateSql)),
 
     // ---- sequence packing: shard-local concat-then-chop bin
     // assignment by cumulative token count (no global sort; one window
@@ -664,22 +709,20 @@ object DataOpsQueries {
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 2, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS tok FROM documents),
-        g AS (SELECT doc_id,
-          list_distinct(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS grams
-          FROM d),
-        inv AS (SELECT doc_id,
-          ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gr FROM g),
-        pc AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-          FROM inv a JOIN inv b ON a.gr = b.gr AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
-        sz AS (SELECT doc_id, len(grams) AS n FROM g)
-        SELECT pc.id_a, pc.id_b,
-          pc.inter / (sa.n + sb.n - pc.inter) AS jaccard
-        FROM pc JOIN sz sa ON sa.doc_id = pc.id_a JOIN sz sb ON sb.doc_id = pc.id_b
-        WHERE pc.inter / (sa.n + sb.n - pc.inter) >= 0.5
-        ORDER BY id_a, id_b""")),
+      Some(ngramJaccardSql)),
+
+    // ---- the SAME n-gram Jaccard semantics through the lake (shuffle)
+    // arms: doc-freq ranked by inverted-index join + window instead of
+    // a driver-broadcast vocabulary map, and gram-set verification via
+    // shuffled equi-join instead of broadcast attach. This is the code
+    // path a 100 TB corpus runs (vocabulary and set tables exceed the
+    // driver/broadcast budget); oracled against the identical SQL as
+    // qd5, so the driver gate pins arm-equivalence every round. ----
+    QueryDef("qd7_ngram_jaccard_lake",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 2, threshold = 0.5, broadcastSets = false, broadcastDocFreq = false)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(ngramJaccardSql)),
 
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
     QueryDef("qs1_cosine_topk",

@@ -39,6 +39,8 @@ class PlanGuardSpec extends SparkTestBase {
         k = 8, bands = 4, threshold = 0.6),
       "simhashPairs" -> Dedup.simhashPairs(docs, "text", "doc_id"),
       "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id"),
+      "ngramJaccardPairsLake" -> Dedup.ngramJaccardPairs(docs, "text",
+        "doc_id", broadcastSets = false, broadcastDocFreq = false),
       "lshTopK" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         "query_id", "qe", k = 3, planes = 4),
       "lshTopKMulti" -> Similarity.lshTopKMulti(emb, queries, "vec_id",
@@ -46,7 +48,10 @@ class PlanGuardSpec extends SparkTestBase {
       "lshNearDupPairs" -> Similarity.lshNearDupPairs(emb, "vec_id",
         "embedding", threshold = 0.45, planes = 4, tables = 2),
       "decontaminate" -> Decontaminate.contaminated(
-        docs, docs.filter(col("doc_id") < 5), "text", "doc_id")
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
+      "decontaminateLake" -> Decontaminate.contaminated(
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id",
+        broadcastEval = false)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 }
