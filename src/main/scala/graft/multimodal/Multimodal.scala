@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * plumbing (schema, batching, partitioning) for model-based decode
   * stages.
   *
-  * The container has no image/audio codecs, so the actual pixel/sample
+  * The environment has no compressed-media codecs, so jpeg/png/mp3
   * decode is STUBBED (see [[decodeStub]]) — deterministic fake outputs
   * behind the same schema/batch shape a real decoder (JNI codec or
-  * model server) would use. Everything around the stub — magic-number
+  * model server) would use. The codec-FREE containers decode for real:
+  * binary PPM and uncompressed 24-bit BMP ([[parsePpm]]/[[parseBmp]],
+  * full raster-byte sums) and RIFF/WAVE integer PCM ([[parseWav]],
+  * full sample-byte sum). Everything around the stub — magic-number
   * sniffing, hashing, batch iteration, salting — is real and tested.
   */
 object Multimodal {
@@ -145,6 +148,86 @@ object Multimodal {
         Some((w, h, nPix, sum))
       }
     }
+  }
+
+  /** Real parse of a RIFF/WAVE PCM payload — the codec-free AUDIO
+    * container (the audio analog of [[parsePpm]]/[[parseBmp]]): "RIFF"
+    * + "WAVE" magic, then a word-aligned chunk walk; the `fmt ` chunk
+    * must declare audio format 1 (integer PCM) and yields (channels,
+    * sample rate, bits/sample); the `data` chunk is summed byte-by-byte
+    * so a green oracle row is evidence of every PCM sample byte
+    * flowing, not header echo. Untrusted-bytes rules as parseBmp:
+    * declared chunk sizes are Long-clamped to the payload, so a hostile
+    * size can neither overflow nor walk past the buffer. Compressed
+    * audio (mp3 etc.) stays behind the decode stub.
+    */
+  private[multimodal] def parseWav(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    if (p == null || p.length < 44) return None
+    def u16(at: Int): Int = (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8)
+    def u32(at: Int): Long = (p(at) & 0xFFL) | ((p(at + 1) & 0xFFL) << 8) |
+      ((p(at + 2) & 0xFFL) << 16) | ((p(at + 3) & 0xFFL) << 24)
+    def tag(at: Int): String = new String(p, at, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var pos = 12L
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[(Long, Long)] = None
+      var nonPcm = false
+      while (pos + 8 <= p.length && (fmt.isEmpty || data.isEmpty) && !nonPcm) {
+        val id = tag(pos.toInt)
+        val body = pos + 8
+        // clamp the declared size to the payload — untrusted bytes
+        val n = math.min(u32(pos.toInt + 4), p.length - body)
+        if (id == "fmt " && n >= 16) {
+          if (u16(body.toInt) == 1)
+            fmt = Some((u16(body.toInt + 2), u32(body.toInt + 4).toInt,
+              u16(body.toInt + 14)))
+          else nonPcm = true
+        } else if (id == "data") {
+          var sum = 0L; var i = 0L
+          while (i < n) { sum += (p((body + i).toInt) & 0xFF); i += 1 }
+          data = Some((n, sum))
+        }
+        pos = body + n + (n % 2) // chunks are word-aligned
+      }
+      if (nonPcm) None
+      else for { f <- fmt; d <- data } yield (f._1, f._2, f._3, d._1, d._2)
+    }
+  }
+
+  /** Audio decode stage: the same batched per-partition shape as
+    * [[decodeStub]], but with the audio-typed output schema. RIFF/WAVE
+    * integer-PCM payloads decode for REAL ([[parseWav]] — fmt-chunk
+    * metadata + a sum over every data-chunk sample byte, `codec =
+    * "wav"`); anything else falls back to the deterministic stub a
+    * codec/model call would replace (`codec = "stub"`, `sample_sum`
+    * null).
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // <-- a codec/model decoder would process `batch` here; the
+          //     PCM arm IS that decoder for the container this
+          //     environment can parse
+          batch.iterator.map { case (id, payload) =>
+            parseWav(payload) match {
+              case Some((ch, sr, bits, nBytes, sum)) =>
+                (id, ch, sr, bits, nBytes, Some(sum), "wav")
+              case None =>
+                val len = if (payload == null) 0 else payload.length
+                (id, 1 + len % 2, 8000, 16, len.toLong,
+                  None: Option[Long], "stub")
+            }
+          }
+        }
+      }
+      .toDF("media_id", "channels", "sample_rate", "bits_per_sample",
+        "n_data_bytes", "sample_sum", "codec")
+    media.join(out, "media_id")
   }
 
   /** Decode stage: batched per-partition iteration over (id, bytes)

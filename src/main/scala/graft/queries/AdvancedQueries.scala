@@ -137,6 +137,43 @@ object AdvancedQueries {
     }.toDF("media_id", "bytes")
   }
 
+  /** Documents table dressed up as a PCM audio table: every payload is
+    * a well-formed RIFF/WAVE file with id-derived fmt metadata and
+    * sample bytes, a third of them carrying a LIST junk chunk between
+    * `fmt ` and `data` so the decoder's chunk WALK (not a fixed 44-byte
+    * offset) is what the oracle pins.
+    */
+  private def wavsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val ch = (1 + id % 2).toInt
+      val sr = (8000 + (id % 4) * 4000).toInt
+      val bits = (8 + 8 * ((id / 2) % 2)).toInt
+      val dataLen = (5 + id % 11).toInt * ch * (bits / 8)
+      val junkLen = if (id % 3 == 0) 6 else -8 // -8 = no chunk at all
+      val b = new Array[Byte](44 + 8 + junkLen + dataLen)
+      def putTag(at: Int, t: String): Unit =
+        System.arraycopy(t.getBytes("US-ASCII"), 0, b, at, 4)
+      def putU16(at: Int, v: Int): Unit = {
+        b(at) = (v & 0xFF).toByte; b(at + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def putU32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
+        b(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
+      putTag(0, "RIFF"); putU32(4, b.length - 8); putTag(8, "WAVE")
+      putTag(12, "fmt "); putU32(16, 16); putU16(20, 1); putU16(22, ch)
+      putU32(24, sr); putU32(28, sr * ch * (bits / 8))
+      putU16(32, ch * (bits / 8)); putU16(34, bits)
+      var at = 36
+      if (junkLen > 0) { putTag(at, "LIST"); putU32(at + 4, junkLen); at += 8 + junkLen }
+      putTag(at, "data"); putU32(at + 4, dataLen); at += 8
+      var i = 0
+      while (i < dataLen) {
+        b(at + i) = ((id * 17 + i.toLong * 11) % 256).toByte; i += 1
+      }
+      (id, b)
+    }.toDF("media_id", "bytes")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- IVF ANN at full probe: partition-then-search machinery must
@@ -638,6 +675,32 @@ object AdvancedQueries {
         SELECT media_id, n_frames, CAST(frame_index AS INT) AS frame_index,
           md5(text || CAST(frame_index AS VARCHAR)) AS frame_key
         FROM f ORDER BY media_id, frame_index""")),
+
+    // ---- Audio decode: batched mapPartitions REALLY decoding
+    // RIFF/WAVE integer PCM — each payload is a well-formed WAV
+    // (wavsFromDocs; a third carry a LIST junk chunk, so the chunk
+    // WALK is exercised, not a fixed 44-byte offset) whose fmt
+    // metadata the decoder parses and whose full data chunk it sums;
+    // the oracle recomputes every sample byte closed-form, so a green
+    // row is genuine PCM decode evidence — the audio analog of qm2. ----
+    QueryDef("qm4_wav_decode",
+      (s, dir) => Multimodal.decodeAudio(wavsFromDocs(s, dir))
+        .select(col("media_id"), col("codec"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("n_data_bytes"),
+          col("sample_sum"))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+          CAST(8 + 8 * ((doc_id // 2) % 2) AS INT) AS bits_per_sample,
+          CAST((5 + doc_id % 11) * (1 + doc_id % 2)
+            * ((8 + 8 * ((doc_id // 2) % 2)) // 8) AS BIGINT) AS dlen
+          FROM documents)
+        SELECT media_id, 'wav' AS codec, channels, sample_rate,
+          bits_per_sample, dlen AS n_data_bytes,
+          CAST(list_sum(list_transform(range(0, dlen),
+            i -> (media_id * 17 + i * 11) % 256)) AS BIGINT) AS sample_sum
+        FROM m ORDER BY media_id""")),
 
     // ---- Skew-salted join: must be result-identical to the plain join
     // it replaces. Oracle: the plain SQL join + aggregate. ----

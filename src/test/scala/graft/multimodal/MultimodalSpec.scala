@@ -89,6 +89,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(out == (("bmp", 2, 2, 12L, Some(66L))), out)
   }
 
+  private def wav(ch: Int, sr: Int, bits: Int, data: Array[Byte],
+      junk: Boolean = false, fmtCode: Int = 1): Array[Byte] = {
+    val junkLen = if (junk) 6 else -8
+    val b = new Array[Byte](44 + 8 + junkLen + data.length)
+    def putTag(at: Int, t: String): Unit =
+      System.arraycopy(t.getBytes("US-ASCII"), 0, b, at, 4)
+    def putU16(at: Int, v: Int): Unit = {
+      b(at) = (v & 0xFF).toByte; b(at + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putU32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      b(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
+    putTag(0, "RIFF"); putU32(4, b.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); putU32(16, 16); putU16(20, fmtCode); putU16(22, ch)
+    putU32(24, sr); putU32(28, sr * ch * (bits / 8))
+    putU16(32, ch * (bits / 8)); putU16(34, bits)
+    var at = 36
+    if (junk) { putTag(at, "LIST"); putU32(at + 4, junkLen); at += 8 + junkLen }
+    putTag(at, "data"); putU32(at + 4, data.length)
+    System.arraycopy(data, 0, b, at + 8, data.length)
+    b
+  }
+
+  test("decodeAudio really decodes RIFF PCM: fmt metadata + data-byte sum") {
+    val data = Array.tabulate[Byte](12)(i => (i * 3).toByte) // sum = 198
+    val df = Seq(
+      (30L, wav(2, 16000, 16, data)),
+      (31L, wav(1, 8000, 8, data, junk = true)), // chunk walk, not offset 44
+      (32L, wav(1, 8000, 16, data, fmtCode = 3)), // IEEE-float: not PCM
+      (33L, "not audio".getBytes("ASCII")))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeAudio(df)
+      .select($"media_id", $"codec", $"channels", $"sample_rate",
+        $"bits_per_sample", $"n_data_bytes", $"sample_sum")
+      .as[(Long, String, Int, Int, Int, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(30L) == ((30L, "wav", 2, 16000, 16, 12L, Some(198L))), out(30L))
+    assert(out(31L) == ((31L, "wav", 1, 8000, 8, 12L, Some(198L))), out(31L))
+    assert(out(32L)._2 == "stub" && out(32L)._7.isEmpty, out(32L))
+    assert(out(33L)._2 == "stub" && out(33L)._7.isEmpty, out(33L))
+  }
+
+  test("parseWav clamps hostile declared chunk sizes to the payload") {
+    val data = Array.fill[Byte](4)(1)
+    val w = wav(1, 8000, 8, data)
+    // corrupt the data chunk's declared size to u32 max — the sum must
+    // clamp to the 4 real bytes instead of walking off the buffer
+    val at = w.length - data.length - 4
+    (0 until 4).foreach(k => w(at + k) = 0xFF.toByte)
+    val r = Multimodal.parseWav(w)
+    assert(r.exists { case (_, _, _, n, sum) => n == 4L && sum == 4L }, r)
+  }
+
   test("parseBmp clamps hostile declared dimensions to the payload") {
     // decodeStub runs over arbitrary lake bytes: a malformed header may
     // declare h near Int.MaxValue over a tiny payload (must not spin
