@@ -383,7 +383,14 @@ object Dedup {
       }.toDF("doc", "g", "pos", "ng")
     } else {
       // lake scale: vocabulary exceeds the driver — rank through the
-      // inverted index (one aggregate shuffle + one window sort)
+      // inverted index (one aggregate shuffle + one window sort).
+      // Persisted because the candidate self-join consumes it TWICE
+      // (a and b sides): without materialization each side replays the
+      // inverted-index shuffle + ranking window — the two most
+      // expensive stages in the operator — and the planner does not
+      // exchange-reuse across the self-join's differing aliases. The
+      // prefix table is the SMALL end of the pipeline (≈(1-t)·|grams|
+      // slim rows), so MEMORY_AND_DISK is safe at lake scale.
       val wDoc = Window.partitionBy(col("doc"))
       inv.join(df_, "g")
         .withColumn("pos",
@@ -391,6 +398,7 @@ object Dedup {
         .withColumn("ng", count(lit(1)).over(wDoc))
         .filter(col("pos") <= col("ng") - ceil(col("ng") * threshold) + 1)
         .select(col("doc"), col("g"), col("pos"), col("ng"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val minOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("a.ng") + col("b.ng")))
