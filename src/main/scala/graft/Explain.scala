@@ -21,7 +21,11 @@ object Explain {
         // LSH candidate joins, gram-hash decontamination, shard-window
         // packing, and the curation composite
         "qs6_lsh_neardup", "qt9_decontaminate", "qt10_seq_pack",
-        "qx3_curate")
+        "qx3_curate",
+        // round-8 additions: the lake (shuffle) arms — watch that the
+        // persisted prefix table keeps the candidate self-join reading
+        // cache, and that the shuffled eval side stays an equi-join
+        "qd7_ngram_jaccard_lake", "qt13_decontaminate_lake")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

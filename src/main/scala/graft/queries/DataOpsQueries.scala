@@ -583,6 +583,50 @@ object DataOpsQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- Streaming enrichment pipeline ≡ batch: the stream-STATIC
+    // join (the most common production streaming shape — events
+    // enriched against a dimension table inside the micro-batch, no
+    // state) feeding a watermarked tumbling-window aggregate in append
+    // mode. The dim side is a plain batch DataFrame (Spark replicates
+    // it per micro-batch; broadcast-sized here, and at lake scale a
+    // stream-static join stays the right tool for slowly-changing
+    // dims). Sentinel flush as qst3; the sentinel's unmatched user
+    // lands in 'UNKNOWN' but its window never finalizes, so it drops
+    // out by construction. Oracled against the equivalent batch
+    // left-join + group-by. ----
+    QueryDef("qst4_stream_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val sent = Seq(-1L).toDF("user_id")
+          .select(col("user_id"), timestamp_micros(lit(SentinelUs)).as("ts"),
+            lit(0.0).as("value"))
+        withSentinelStream(s, sent,
+          "user_id LONG, ts TIMESTAMP, value DOUBLE") { sentArm =>
+          val dim = t(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"),
+              col("c_mktsegment").as("segment"))
+          val agg = replayEvents(s, dir)
+            .select(col("user_id"), col("ts"), col("value"))
+            .unionByName(sentArm)
+            .join(dim, Seq("user_id"), "left")
+            .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("segment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(18, 4)))
+                .cast("double").as("sum_value"))
+            .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("hour"),
+              col("segment"), col("n"), col("sum_value"))
+          runAvailableNow(s, agg).orderBy(col("hour"), col("segment"))
+        }
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY hour, segment""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")
