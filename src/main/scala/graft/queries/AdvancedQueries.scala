@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 import graft.adjust.Factors
+import graft.dedup.Dedup
 import graft.model.Tables
 import graft.multimodal.Multimodal
 import graft.ops.Skew
@@ -53,6 +54,27 @@ object AdvancedQueries {
   /** Exact cosine in DuckDB — same IEEE op sequence as
     * [[graft.sim.Similarity.cosine]] (qs3-validated form).
     */
+  /** qs6's oracle CTE fragment (`b`/`cand`/`sc`, no WITH and no final
+    * SELECT) — the multi-table LSH near-dup pair set, shared by qs6
+    * (pairs) and qs9 (connected components over those pairs).
+    */
+  private lazy val lshNearDupCtes: String = {
+    val nTables = 8
+    val bucketCols = (0 until nTables).map(tb =>
+      s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
+    val anyMatch = (0 until nTables).map(tb => s"a.b$tb = c.b$tb").mkString(" OR ")
+    s"""b AS (SELECT vec_id, embedding,
+          $bucketCols
+          FROM embeddings),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON ($anyMatch) AND a.vec_id < c.vec_id),
+        sc AS (SELECT cand.id_a, cand.id_b,
+            ${cosineSql("av.embedding", "bv.embedding")} AS cosine
+          FROM cand
+          JOIN b av ON av.vec_id = cand.id_a
+          JOIN b bv ON bv.vec_id = cand.id_b)"""
+  }
+
   /** Exact squared L2 distance in DuckDB — same IEEE op sequence as
     * [[graft.functions.NearestCell.compute]] / [[graft.sim.Ivf.l2sq]]
     * (sequential `(a-b)^2` accumulation over dims).
@@ -287,22 +309,46 @@ object AdvancedQueries {
           "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8)
         .orderBy(col("id_a"), col("id_b")),
       Some {
-        val nTables = 8
-        val bucketCols = (0 until nTables).map(tb =>
-          s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
-        val anyMatch = (0 until nTables).map(tb => s"a.b$tb = c.b$tb").mkString(" OR ")
-        s"""WITH b AS (SELECT vec_id, embedding,
-          $bucketCols
-          FROM embeddings),
-        cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-          FROM b a JOIN b c ON ($anyMatch) AND a.vec_id < c.vec_id),
-        sc AS (SELECT cand.id_a, cand.id_b,
-            ${cosineSql("av.embedding", "bv.embedding")} AS cosine
-          FROM cand
-          JOIN b av ON av.vec_id = cand.id_a
-          JOIN b bv ON bv.vec_id = cand.id_b)
+        s"""WITH $lshNearDupCtes
         SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.45
         ORDER BY id_a, id_b"""
+      }),
+
+    // ---- SemDeDup-style semantic dedup: connected components over the
+    // embedding near-dup pair graph (the qs6 LSH pair set), yielding
+    // per-vector cluster id + the canonical keep/drop flag — exact
+    // dedup's decision step lifted into embedding space, the semantic
+    // half of a curation pipeline. Same star-contraction kernel as qd6
+    // (dupClusters is id-agnostic); oracle = the qs6 pair CTEs feeding
+    // the same recursive-CTE transitive closure as qd6's. ----
+    QueryDef("qs9_semantic_dedup",
+      (s, dir) => {
+        val pairs = Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8)
+          .select(col("id_a"), col("id_b")) // slim before materializing
+          .localCheckpoint()
+        Dedup.dupClusters(pairs, pairsMaterialized = true)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            col("cluster_size"), col("is_canonical"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE $lshNearDupCtes,
+        p AS (SELECT id_a, id_b FROM sc WHERE cosine >= 0.45),
+        und AS (SELECT id_a AS na, id_b AS nb FROM p
+          UNION ALL SELECT id_b AS na, id_a AS nb FROM p),
+        reach(na, nb) AS (
+          SELECT na, nb FROM und
+          UNION
+          SELECT r.na, u.nb FROM reach r JOIN und u ON r.nb = u.na),
+        lab AS (SELECT na AS vec_id, LEAST(na, MIN(nb)) AS cluster_id
+          FROM reach GROUP BY na),
+        csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+        SELECT l.vec_id, l.cluster_id, c.cluster_size,
+          (l.vec_id = l.cluster_id) AS is_canonical
+        FROM lab l JOIN csz c ON c.cluster_id = l.cluster_id
+        ORDER BY vec_id"""
       }),
 
     // ---- ANN recall measurement: recall@5 of each approximate arm
