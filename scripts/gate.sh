@@ -23,10 +23,24 @@ fi
 for sf in 0.01 0.001; do
   out="/tmp/gate_out_sf${sf}"
   echo "== Verify + selfcheck at sf${sf} =="
+  # Stale-output hazard: selfcheck would happily validate parquet left
+  # by a PREVIOUS green run if this Verify fails to produce output —
+  # so always start from an empty dir and fail on Verify's own exit.
+  rm -rf "${out}"
+  if ! sbt -batch "runMain graft.Verify /root/testdata/sf${sf} ${out}" \
+      > "/tmp/gate_verify_sf${sf}.log" 2>&1; then
+    echo "GATE: Verify FAILED at sf${sf} (log: /tmp/gate_verify_sf${sf}.log)"
+    fail=1
+    continue
+  fi
   # sbt tags Spark INFO on stderr as [error]; only [verify] lines matter
-  sbt -batch "runMain graft.Verify /root/testdata/sf${sf} ${out}" 2>&1 \
-    | grep -E "^\[error\] \[verify\]" || true
-  if ! python3 scripts/selfcheck.py "/root/testdata/sf${sf}" "${out}" | tail -1; then
+  grep -E "^\[error\] \[verify\]" "/tmp/gate_verify_sf${sf}.log" || true
+  # run selfcheck once; show per-query FAIL lines plus the summary (the
+  # PASS lines are noise, but a tripped gate must say WHICH query failed)
+  sc_out=$(python3 scripts/selfcheck.py "/root/testdata/sf${sf}" "${out}")
+  sc_rc=$?
+  echo "${sc_out}" | grep -vE "^PASS " || true
+  if [[ ${sc_rc} -ne 0 ]]; then
     echo "GATE: selfcheck FAILED at sf${sf}"
     fail=1
   fi

@@ -40,9 +40,17 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] streaming warmup failed (continuing unwarmed): ${e.getMessage}")
       } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ck).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // cleanup must not abort the bench either: state-store
+        // maintenance can still be touching the dir after a failed
+        // warmup, making walk/delete itself throw
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ck).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup checkpoint cleanup failed (continuing): ${e.getMessage}")
+        }
       }
     }
     // Optional comma-separated query-name filter for local iteration

@@ -195,6 +195,37 @@ object Multimodal {
     }
   }
 
+  /** Serialize a RIFF/WAVE integer-PCM payload: 44-byte header (RIFF +
+    * fmt + data chunk headers), optionally a 6-byte LIST junk chunk
+    * between `fmt ` and `data` (so consumers must chunk-WALK, not
+    * assume a fixed 44-byte data offset), then the raw sample bytes.
+    * The single source of truth for the qm4 fixture generator and the
+    * MultimodalSpec fixtures — one byte layout, one writer.
+    * `fmtCode` other than 1 produces a non-PCM file [[parseWav]]
+    * rejects (spec uses 3 = IEEE float).
+    */
+  private[graft] def buildPcmWav(ch: Int, sr: Int, bits: Int,
+      data: Array[Byte], junk: Boolean = false, fmtCode: Int = 1): Array[Byte] = {
+    val junkLen = if (junk) 6 else -8 // -8 = no LIST chunk at all
+    val b = new Array[Byte](44 + 8 + junkLen + data.length)
+    def putTag(at: Int, t: String): Unit =
+      System.arraycopy(t.getBytes("US-ASCII"), 0, b, at, 4)
+    def putU16(at: Int, v: Int): Unit = {
+      b(at) = (v & 0xFF).toByte; b(at + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putU32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      b(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
+    putTag(0, "RIFF"); putU32(4, b.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); putU32(16, 16); putU16(20, fmtCode); putU16(22, ch)
+    putU32(24, sr); putU32(28, sr * ch * (bits / 8))
+    putU16(32, ch * (bits / 8)); putU16(34, bits)
+    var at = 36
+    if (junk) { putTag(at, "LIST"); putU32(at + 4, junkLen); at += 8 + junkLen }
+    putTag(at, "data"); putU32(at + 4, data.length)
+    System.arraycopy(data, 0, b, at + 8, data.length)
+    b
+  }
+
   /** Audio decode stage: the same batched per-partition shape as
     * [[decodeStub]], but with the audio-typed output schema. RIFF/WAVE
     * integer-PCM payloads decode for REAL ([[parseWav]] — fmt-chunk

@@ -171,28 +171,9 @@ object AdvancedQueries {
       val ch = (1 + id % 2).toInt
       val sr = (8000 + (id % 4) * 4000).toInt
       val bits = (8 + 8 * ((id / 2) % 2)).toInt
-      val dataLen = (5 + id % 11).toInt * ch * (bits / 8)
-      val junkLen = if (id % 3 == 0) 6 else -8 // -8 = no chunk at all
-      val b = new Array[Byte](44 + 8 + junkLen + dataLen)
-      def putTag(at: Int, t: String): Unit =
-        System.arraycopy(t.getBytes("US-ASCII"), 0, b, at, 4)
-      def putU16(at: Int, v: Int): Unit = {
-        b(at) = (v & 0xFF).toByte; b(at + 1) = ((v >> 8) & 0xFF).toByte
-      }
-      def putU32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
-        b(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
-      putTag(0, "RIFF"); putU32(4, b.length - 8); putTag(8, "WAVE")
-      putTag(12, "fmt "); putU32(16, 16); putU16(20, 1); putU16(22, ch)
-      putU32(24, sr); putU32(28, sr * ch * (bits / 8))
-      putU16(32, ch * (bits / 8)); putU16(34, bits)
-      var at = 36
-      if (junkLen > 0) { putTag(at, "LIST"); putU32(at + 4, junkLen); at += 8 + junkLen }
-      putTag(at, "data"); putU32(at + 4, dataLen); at += 8
-      var i = 0
-      while (i < dataLen) {
-        b(at + i) = ((id * 17 + i.toLong * 11) % 256).toByte; i += 1
-      }
-      (id, b)
+      val data = Array.tabulate[Byte]((5 + id % 11).toInt * ch * (bits / 8))(
+        i => ((id * 17 + i.toLong * 11) % 256).toByte)
+      (id, Multimodal.buildPcmWav(ch, sr, bits, data, junk = id % 3 == 0))
     }.toDF("media_id", "bytes")
   }
 

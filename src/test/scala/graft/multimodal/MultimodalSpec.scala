@@ -89,27 +89,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(out == (("bmp", 2, 2, 12L, Some(66L))), out)
   }
 
+  // one WAV writer for spec fixtures AND the qm4 fixture generator —
+  // one byte layout, one source of truth
   private def wav(ch: Int, sr: Int, bits: Int, data: Array[Byte],
-      junk: Boolean = false, fmtCode: Int = 1): Array[Byte] = {
-    val junkLen = if (junk) 6 else -8
-    val b = new Array[Byte](44 + 8 + junkLen + data.length)
-    def putTag(at: Int, t: String): Unit =
-      System.arraycopy(t.getBytes("US-ASCII"), 0, b, at, 4)
-    def putU16(at: Int, v: Int): Unit = {
-      b(at) = (v & 0xFF).toByte; b(at + 1) = ((v >> 8) & 0xFF).toByte
-    }
-    def putU32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
-      b(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
-    putTag(0, "RIFF"); putU32(4, b.length - 8); putTag(8, "WAVE")
-    putTag(12, "fmt "); putU32(16, 16); putU16(20, fmtCode); putU16(22, ch)
-    putU32(24, sr); putU32(28, sr * ch * (bits / 8))
-    putU16(32, ch * (bits / 8)); putU16(34, bits)
-    var at = 36
-    if (junk) { putTag(at, "LIST"); putU32(at + 4, junkLen); at += 8 + junkLen }
-    putTag(at, "data"); putU32(at + 4, data.length)
-    System.arraycopy(data, 0, b, at + 8, data.length)
-    b
-  }
+      junk: Boolean = false, fmtCode: Int = 1): Array[Byte] =
+    Multimodal.buildPcmWav(ch, sr, bits, data, junk, fmtCode)
 
   test("decodeAudio really decodes RIFF PCM: fmt metadata + data-byte sum") {
     val data = Array.tabulate[Byte](12)(i => (i * 3).toByte) // sum = 198
