@@ -123,6 +123,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental dedup: flag each BATCH doc against an EXISTING corpus
+    * — the daily production shape at lake scale (dedup today's crawl
+    * against the accumulated lake, never re-pairing the corpus with
+    * itself). Two independent boolean flags per batch doc:
+    * `dup_exact` (normalized-text md5 match — the qd1/qst1 key) and
+    * `dup_near` (MinHash band candidate verified at exact Jaccard >=
+    * threshold — the qd3 kernel, asymmetric batch×corpus instead of
+    * self-join). The corpus side is touched ONLY through hash/band-key
+    * equi-joins, so corpus cost is one scan + one band explode
+    * regardless of history size; candidate volume is bounded by band
+    * collisions exactly as in [[minhashPairs]].
+    */
+  def incrementalDupFlags(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6, broadcastSets: Boolean = true): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    def prep(df: DataFrame) = spread(df)
+      .select(col(idCol).as("doc"),
+        md5(TextOps.norm(col(textCol))).as("content_hash"),
+        tokenSet(col(textCol)).as("toks"))
+      .withColumn("toks_h", array_sort(tokenHashes(col("toks"))))
+    val c = prep(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val b = prep(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = b.join(c.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_semi")
+      .select(col("doc")).withColumn("dup_exact", lit(true))
+    // slim band join: only (doc, folded 8-byte band key) rides it
+    def banded(df: DataFrame) = df.select(col("doc"),
+      explode(graft.functions.MinhashBands
+        .minhash_bands(col("toks"), k, bands)).as("band"))
+    val cands = banded(b).as("nb")
+      .join(banded(c).as("oc"), col("nb.band") === col("oc.band"))
+      .select(col("nb.doc").as("batch_doc"), col("oc.doc").as("corpus_doc"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+    def maybeBc(df: DataFrame) = if (broadcastSets) broadcast(df) else df
+    val near = cands
+      .join(maybeBc(b.select(col("doc").as("batch_doc"),
+        col("toks_h").as("th_b"))), "batch_doc")
+      .join(maybeBc(c.select(col("doc").as("corpus_doc"),
+        col("toks_h").as("th_c"))), "corpus_doc")
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("th_b"), col("th_c")))
+      .withColumn("jaccard", col("inter") /
+        (size(col("th_b")) + size(col("th_c")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc").as("doc")).distinct()
+      .withColumn("dup_near", lit(true))
+    b.select(col("doc"))
+      .join(exact, Seq("doc"), "left")
+      .join(near, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+  }
+
   /** 60-bit SimHash over a column of PRE-HASHED token values (bigint
     * array): bit j of the fingerprint is the sign of sum over tokens of
     * ±1 on that hash bit. Delegates to the native codegen Expression

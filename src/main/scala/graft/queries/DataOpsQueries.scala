@@ -768,6 +768,55 @@ object DataOpsQueries {
         .orderBy(col("id_a"), col("id_b")),
       Some(ngramJaccardSql)),
 
+    // ---- incremental dedup: flag a NEW batch (hash-split 10%) against
+    // the EXISTING corpus (90%) — exact normalized-hash match plus
+    // MinHash-band candidates verified at exact Jaccard >= 0.6. The
+    // daily production shape: the corpus is touched only through
+    // hash/band equi-joins, never re-paired with itself. ----
+    QueryDef("qd8_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("part",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("corpus", "batch")))
+        Dedup.incrementalDupFlags(
+            docs.filter(col("part") === "corpus"),
+            docs.filter(col("part") === "batch"),
+            "text", "doc_id", k = 16, bands = 4, threshold = 0.6)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normSql AS norm,
+          list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
+        sp AS (SELECT doc_id, norm, toks,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'corpus' ELSE 'batch' END AS part FROM d),
+        dh AS (SELECT doc_id, toks,
+          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
+          FROM sp),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM sp),
+        mh AS (SELECT doc_id, i,
+            MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT) AS v
+          FROM tok CROSS JOIN generate_series(0, 15) g(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 4 AS bnd,
+            md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM mh GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+          FROM band bb
+          JOIN sp s1 ON s1.doc_id = bb.doc_id AND s1.part = 'batch'
+          JOIN band cb ON bb.bnd = cb.bnd AND bb.bk = cb.bk
+          JOIN sp s2 ON s2.doc_id = cb.doc_id AND s2.part = 'corpus'),
+        nr AS (SELECT DISTINCT cd.batch_id FROM cand cd
+          JOIN dh da ON da.doc_id = cd.batch_id
+          JOIN dh db ON db.doc_id = cd.corpus_id
+          WHERE len(list_intersect(da.toks_h, db.toks_h))
+            / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks_h, db.toks_h)))
+            >= 0.6),
+        ex AS (SELECT DISTINCT bq.doc_id FROM sp bq
+          WHERE bq.part = 'batch' AND EXISTS (
+            SELECT 1 FROM sp cq WHERE cq.part = 'corpus' AND cq.norm = bq.norm))
+        SELECT s.doc_id,
+          (s.doc_id IN (SELECT doc_id FROM ex)) AS dup_exact,
+          (s.doc_id IN (SELECT batch_id FROM nr)) AS dup_near
+        FROM sp s WHERE s.part = 'batch' ORDER BY s.doc_id""")),
+
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
     QueryDef("qs1_cosine_topk",
       (s, dir) => {

@@ -41,6 +41,9 @@ class PlanGuardSpec extends SparkTestBase {
       "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id"),
       "ngramJaccardPairsLake" -> Dedup.ngramJaccardPairs(docs, "text",
         "doc_id", broadcastSets = false, broadcastDocFreq = false),
+      "incrementalDupFlags" -> Dedup.incrementalDupFlags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id"),
       "lshTopK" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         "query_id", "qe", k = 3, planes = 4),
       "lshTopKMulti" -> Similarity.lshTopKMulti(emb, queries, "vec_id",

@@ -179,6 +179,34 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalDupFlags: batch flagged against corpus, both flag kinds") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "The quick brown  fox jumps over the lazy DOG"), // exact (normalized)
+      // permutation: token SET equals corpus 10's (identical minhash
+      // signature -> guaranteed band collision, jaccard 1.0) but the
+      // normalized text differs -> near-dup only, deterministically
+      (21L, "dog lazy the over jumps fox brown quick the"),
+      (22L, "unrelated text with no counterpart anywhere"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDupFlags(corpus, batch, "text", "doc_id",
+        k = 16, bands = 4, threshold = 0.6)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(20L) == ((true, true)), out(20L))  // exact implies near too
+    assert(out(21L) == ((false, true)), out(21L))
+    assert(out(22L) == ((false, false)), out(22L))
+    // corpus docs never appear in the output — only the batch is flagged
+    assert(out.keySet == Set(20L, 21L, 22L))
+    // shuffle (lake) arm is result-identical
+    val lake = Dedup.incrementalDupFlags(corpus, batch, "text", "doc_id",
+        k = 16, bands = 4, threshold = 0.6, broadcastSets = false)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lake == out)
+  }
+
   test("embedding cosine: brute top-k exact, LSH candidates agree where bucketed") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
