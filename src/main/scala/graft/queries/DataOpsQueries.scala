@@ -346,6 +346,22 @@ object DataOpsQueries {
       },
       Some(decontaminateSql)),
 
+    // ---- deterministic stratified sampling (data mixing): per-lang
+    // keep rates via a salted id-hash bucket — map-only, no RNG, no
+    // shuffle; reproducible across runs and engines, decorrelated from
+    // hashSplit buckets by the salt. ----
+    QueryDef("qt14_stratified_sample",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.stratifiedKeep(col("doc_id"), col("lang"),
+            Map("en" -> 40, "zh" -> 80, "de" -> 60), defaultRate = 25)
+            .as("keep"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang,
+          ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+            < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 80 WHEN 'de' THEN 60 ELSE 25 END AS keep
+        FROM documents ORDER BY doc_id""")),
+
     // ---- sequence packing: shard-local concat-then-chop bin
     // assignment by cumulative token count (no global sort; one window
     // per hash shard; deterministic (hash, id) order) ----

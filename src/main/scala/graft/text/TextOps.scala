@@ -152,6 +152,25 @@ object TextOps {
     }
   }
 
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * training build: keep each row iff its salted id-hash bucket falls
+    * under the group's per-cent rate (`rates`, with `defaultRate` for
+    * unlisted groups). Pure map-only column expression (no shuffle, no
+    * RNG): reproducible across runs/engines, and the salt decorrelates
+    * the sample from [[hashSplit]] buckets so sampling never biases a
+    * train/eval split made from the same ids.
+    */
+  def stratifiedKeep(id: Column, group: Column, rates: Map[String, Int],
+      defaultRate: Int): Column = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val bucket = hash60(concat(lit("sample:"), id.cast("string"))) % 100
+    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (g, r)) =>
+      when(group === g, r).otherwise(acc)
+    }
+    bucket < rate
+  }
+
   /** PII patterns restricted to syntax shared verbatim by Java regex
     * and RE2 (so the DuckDB oracle replays them byte-identically):
     * character classes, bounded repetition, and \b word boundaries —
