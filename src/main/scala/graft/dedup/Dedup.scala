@@ -105,20 +105,34 @@ object Dedup {
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // broadcastSets: right for corpora whose per-doc set table fits an
-    // executor (bench scale). At lake scale pass false — the candidate
-    // pairs shuffle-join the set table on id instead (AQE plans it).
+    verifyJaccard(cands,
+      withSets.select(col("doc").as("id_a"), col("toks_h").as("set_a")),
+      withSets.select(col("doc").as("id_b"), col("toks_h").as("set_b")),
+      threshold, broadcastSets)
+  }
+
+  /** Exact-Jaccard verification kernel shared by every candidate
+    * generator (minhash / n-gram / incremental): attach each side's
+    * SORTED 60-bit hash set, intersect with the codegen merge-walk
+    * ([[graft.functions.SortedIntersectCount]] — array_intersect hashes
+    * per row), and keep pairs at `inter / (|A| + |B| - inter) >=
+    * threshold`. That ratio is the engine-portability contract with the
+    * DuckDB oracles — ONE copy serves every operator. `broadcastSets`:
+    * right when the per-doc set table fits an executor (bench scale);
+    * at lake scale pass false and the candidate pairs shuffle-join the
+    * set tables on id instead (AQE plans it).
+    */
+  private def verifyJaccard(cands: DataFrame,
+      setsA: DataFrame, setsB: DataFrame,
+      threshold: Double, broadcastSets: Boolean): DataFrame = {
     def maybeBc(df: DataFrame) = if (broadcastSets) broadcast(df) else df
-    val setsA = withSets.select(col("doc").as("id_a"), col("toks_h").as("toks_a"))
-    val setsB = withSets.select(col("doc").as("id_b"), col("toks_h").as("toks_b"))
     cands
       .join(maybeBc(setsA), "id_a")
       .join(maybeBc(setsB), "id_b")
-      // merge-walk intersect (codegen) — array_intersect hashes per row
       .withColumn("inter", graft.functions.SortedIntersectCount
-        .sorted_intersect_count(col("toks_a"), col("toks_b")))
+        .sorted_intersect_count(col("set_a"), col("set_b")))
       .withColumn("jaccard", col("inter") /
-        (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+        (size(col("set_a")) + size(col("set_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -142,12 +156,13 @@ object Dedup {
       s"signature length k=$k must be divisible by bands=$bands")
     def prep(df: DataFrame) = spread(df)
       .select(col(idCol).as("doc"),
-        md5(TextOps.norm(col(textCol))).as("content_hash"),
+        TextOps.fingerprintMd5(col(textCol)).as("content_hash"),
         tokenSet(col(textCol)).as("toks"))
       .withColumn("toks_h", array_sort(tokenHashes(col("toks"))))
     val c = prep(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val b = prep(batch).persist(StorageLevel.MEMORY_AND_DISK)
-    val exact = b.join(c.select(col("content_hash")).distinct(),
+    // left_semi already has set semantics — no distinct on the right
+    val exact = b.join(c.select(col("content_hash")),
         Seq("content_hash"), "left_semi")
       .select(col("doc")).withColumn("dup_exact", lit(true))
     // slim band join: only (doc, folded 8-byte band key) rides it
@@ -158,18 +173,12 @@ object Dedup {
       .join(banded(c).as("oc"), col("nb.band") === col("oc.band"))
       .select(col("nb.doc").as("batch_doc"), col("oc.doc").as("corpus_doc"))
       .dropDuplicates("batch_doc", "corpus_doc")
-    def maybeBc(df: DataFrame) = if (broadcastSets) broadcast(df) else df
-    val near = cands
-      .join(maybeBc(b.select(col("doc").as("batch_doc"),
-        col("toks_h").as("th_b"))), "batch_doc")
-      .join(maybeBc(c.select(col("doc").as("corpus_doc"),
-        col("toks_h").as("th_c"))), "corpus_doc")
-      .withColumn("inter", graft.functions.SortedIntersectCount
-        .sorted_intersect_count(col("th_b"), col("th_c")))
-      .withColumn("jaccard", col("inter") /
-        (size(col("th_b")) + size(col("th_c")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("batch_doc").as("doc")).distinct()
+    val near = verifyJaccard(
+        cands.select(col("batch_doc").as("id_a"), col("corpus_doc").as("id_b")),
+        b.select(col("doc").as("id_a"), col("toks_h").as("set_a")),
+        c.select(col("doc").as("id_b"), col("toks_h").as("set_b")),
+        threshold, broadcastSets)
+      .select(col("id_a").as("doc")).distinct()
       .withColumn("dup_near", lit(true))
     b.select(col("doc"))
       .join(exact, Seq("doc"), "left")
@@ -466,15 +475,9 @@ object Dedup {
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sortedSets = grams.select(col("doc"), array_sort(col("gh")).as("sh"))
-    def maybeBc(df: DataFrame) = if (broadcastSets) broadcast(df) else df
-    cands
-      .join(maybeBc(sortedSets.select(col("doc").as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(maybeBc(sortedSets.select(col("doc").as("id_b"), col("sh").as("sh_b"))), "id_b")
-      .withColumn("inter", graft.functions.SortedIntersectCount
-        .sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard", col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(cands,
+      sortedSets.select(col("doc").as("id_a"), col("sh").as("set_a")),
+      sortedSets.select(col("doc").as("id_b"), col("sh").as("set_b")),
+      threshold, broadcastSets)
   }
 }
