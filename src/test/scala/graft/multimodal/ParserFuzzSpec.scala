@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzz guardrail for the binary container parsers: [[Multimodal]]'s
+  * decode stage runs them over arbitrary LAKE bytes, so on ANY input —
+  * random noise, truncated real files, bit-flipped headers — they must
+  * return (never throw), terminate promptly (no declared-size spins),
+  * and never claim more decoded bytes than the payload holds. Pure
+  * JVM-side (no SparkSession needed): seeds are fixed, runs are
+  * deterministic.
+  */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new Random(90210L)
+
+  private def randomBytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); rnd.nextBytes(b); b
+  }
+
+  private def validSamples(): Seq[Array[Byte]] = {
+    val px = Array.tabulate[Byte](12)(_.toByte)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val wav = Multimodal.buildPcmWav(2, 16000, 16,
+      Array.tabulate[Byte](12)(i => (i * 3).toByte), junk = true)
+    val bmp = new Array[Byte](54 + 16)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putI32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      bmp(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
+    putI32(10, 54); putI32(18, 2); putI32(22, 2)
+    bmp(28) = 24
+    Seq(ppm, wav, bmp)
+  }
+
+  test("parsers never throw, spin, or over-claim on arbitrary bytes") {
+    val cases: Seq[Array[Byte]] =
+      // pure noise at assorted sizes (incl. the header-boundary sizes)
+      Seq(0, 1, 2, 11, 12, 43, 44, 53, 54, 55, 200, 4096).map(randomBytes) ++
+      // valid files truncated at every prefix length
+      validSamples().flatMap(v => (0 to v.length).map(v.take)) ++
+      // valid files with 200 random single-byte corruptions each
+      validSamples().flatMap { v =>
+        (1 to 200).map { _ =>
+          val m = v.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        }
+      }
+    val t0 = System.nanoTime()
+    cases.foreach { p =>
+      Multimodal.parsePpm(p).foreach { case (_, _, n, _) =>
+        assert(n >= 0 && n <= p.length, s"ppm over-claims: $n of ${p.length}")
+      }
+      Multimodal.parseBmp(p).foreach { case (_, _, n, _) =>
+        assert(n >= 0 && n <= p.length, s"bmp over-claims: $n of ${p.length}")
+      }
+      Multimodal.parseWav(p).foreach { case (_, _, _, n, _) =>
+        assert(n >= 0 && n <= p.length, s"wav over-claims: $n of ${p.length}")
+      }
+    }
+    // ~900 payloads: a declared-size spin (the pre-r8 parseBmp bug ran
+    // ~2^31 iterations on ONE hostile header) would blow far past this
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "parser fuzz too slow")
+  }
+}
