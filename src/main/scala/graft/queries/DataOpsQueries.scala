@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.Dedup
 import graft.model.Tables
@@ -406,6 +407,72 @@ object DataOpsQueries {
           array_to_string(list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN '0'
             ELSE CAST(CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR) END), ',') AS q_csv
         FROM s ORDER BY vec_id""")),
+
+    // ---- int8-serving ANN agreement: top-k searched over the
+    // QUANTIZED corpus (qs7's codes — the 4x-smaller representation an
+    // ANN service actually holds in memory) vs the float top-k, as a
+    // per-query overlap table. Cosine is scale-invariant, so the only
+    // divergence is rounding — measured, not assumed. Quantization,
+    // both rankings, and the overlap are all closed-form SQL. ----
+    QueryDef("qs10_int8_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val corpusI8 = e.select(col("vec_id"),
+          transform(Similarity.int8Quantize(col("embedding")),
+            c => c.cast("float")).as("embedding"))
+        val annI8 = Similarity.bruteTopK(corpusI8, q,
+          "vec_id", "embedding", "query_id", "qe", k = 5)
+        Similarity.recallAtK(annI8, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        qz AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127.0 AS DOUBLE) AS scale
+          FROM embeddings),
+        zc AS (SELECT vec_id,
+            list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+              ELSE CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END) AS codes
+          FROM qz),
+        i0 AS (SELECT qv.query_id, z.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(z.codes) + 1),
+              i -> CAST(z.codes[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(z.codes) + 1),
+                i -> CAST(z.codes[i] AS DOUBLE) * CAST(z.codes[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM zc z, qv WHERE z.vec_id <> qv.query_id),
+        i5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM i5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
 
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
