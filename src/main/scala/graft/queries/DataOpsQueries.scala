@@ -710,6 +710,38 @@ object DataOpsQueries {
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2 ORDER BY hour, segment""")),
 
+    // ---- Streaming STREAM-STREAM join ≡ batch: the remaining
+    // streaming join class — both sides are unbounded, state on each
+    // side evicted by watermark + the event-time range bound. Signup →
+    // purchase conversion within 30 minutes per user: equi-join on
+    // user_id with a two-sided time-range condition, exactly the shape
+    // Spark requires for bounded-state stream-stream joins. Inner join
+    // results emit as matches arrive (no sentinel needed); the oracle
+    // is the equivalent batch self-join. ----
+    QueryDef("qst5_stream_join",
+      (s, dir) => {
+        def arm(tpe: String, pfx: String) = replayEvents(s, dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts").as(s"${pfx}_ts"),
+            col("event_id").as(s"${pfx}_id"))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+        runAvailableNow(s,
+            arm("signup", "s").as("l")
+              .join(arm("purchase", "p").as("r"),
+                expr("l.user_id = r.user_id AND " +
+                  "s_ts <= p_ts AND p_ts <= s_ts + interval 30 minutes"))
+              .select(col("l.user_id").as("user_id"), col("s_id"), col("p_id"),
+                unix_micros(col("s_ts")).as("s_us"),
+                unix_micros(col("p_ts")).as("p_us")))
+          .orderBy(col("s_id"), col("p_id"))
+      },
+      Some("""SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id,
+          epoch_us(s.ts) AS s_us, epoch_us(p.ts) AS p_us
+        FROM events s JOIN events p ON p.user_id = s.user_id
+          AND s.event_type = 'signup' AND p.event_type = 'purchase'
+          AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        ORDER BY s_id, p_id""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")
