@@ -34,6 +34,16 @@ class ParserFuzzSpec extends AnyFunSuite {
     Seq(ppm, wav, bmp)
   }
 
+  test("the seed samples are genuinely valid (fuzz arms are non-vacuous)") {
+    // if a future edit breaks a hand-built sample, every derived
+    // truncation/corruption case silently degrades to noise-only
+    // coverage — so pin that each sample parses in full
+    val Seq(ppm, wavB, bmp) = validSamples()
+    assert(Multimodal.parsePpm(ppm).exists(_._3 == 12L), "ppm sample invalid")
+    assert(Multimodal.parseWav(wavB).exists(_._4 == 12L), "wav sample invalid")
+    assert(Multimodal.parseBmp(bmp).exists(_._3 == 12L), "bmp sample invalid")
+  }
+
   test("parsers never throw, spin, or over-claim on arbitrary bytes") {
     val cases: Seq[Array[Byte]] =
       // pure noise at assorted sizes (incl. the header-boundary sizes)
