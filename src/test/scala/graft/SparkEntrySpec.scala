@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guard for the driver surface: `SparkEntry.queries` is
+  * built with `.toMap`, which silently DROPS duplicates — a
+  * copy-pasted query name would hide one query from the correctness
+  * gate while everything stays green. Pure JVM-side, no SparkSession.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("query names are unique — toMap cannot silently drop one") {
+    val names = Seq(
+      queries.CoreQueries.defs, queries.DataOpsQueries.defs,
+      queries.ExtraQueries.defs, queries.AdvancedQueries.defs)
+      .flatten.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
+  test("every oracle belongs to a registered query; flagship is registered") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.contains("q32_adjusted_close"))
+  }
+}
