@@ -10,14 +10,16 @@ import org.apache.spark.sql.types._
   * plumbing (schema, batching, partitioning) for model-based decode
   * stages.
   *
-  * The environment has no compressed-media codecs, so jpeg/png/mp3
-  * decode is STUBBED (see [[decodeStub]]) — deterministic fake outputs
-  * behind the same schema/batch shape a real decoder (JNI codec or
-  * model server) would use. The codec-FREE containers decode for real:
+  * The environment has no external media codecs, so jpeg/mp3 decode is
+  * STUBBED (see [[decodeStub]]) — deterministic fake outputs behind the
+  * same schema/batch shape a real decoder (JNI codec or model server)
+  * would use. Everything the JDK alone can decode is decoded for REAL:
   * binary PPM and uncompressed 24-bit BMP ([[parsePpm]]/[[parseBmp]],
-  * full raster-byte sums) and RIFF/WAVE integer PCM ([[parseWav]],
-  * full sample-byte sum). Everything around the stub — magic-number
-  * sniffing, hashing, batch iteration, salting — is real and tested.
+  * full raster-byte sums), RIFF/WAVE integer PCM ([[parseWav]], full
+  * sample-byte sum), and PNG ([[parsePng]] — zlib inflate via
+  * `java.util.zip` plus full five-filter scanline reconstruction).
+  * Everything around the stub — magic-number sniffing, hashing, batch
+  * iteration, salting — is real and tested.
   */
 object Multimodal {
 
@@ -195,6 +197,173 @@ object Multimodal {
     }
   }
 
+  /** Real parse of a PNG payload — the COMPRESSED image container a
+    * codec-free environment can still genuinely decode, because zlib
+    * inflate ships in the JDK (`java.util.zip.Inflater`): signature +
+    * chunk walk (IHDR dims/depth/color, IDAT concatenation, stop at
+    * IEND), zlib-inflate of the filtered scanline stream, then the full
+    * per-row filter RECONSTRUCTION (all five PNG filter types — None /
+    * Sub / Up / Average / Paeth) and a sum over every reconstructed
+    * pixel byte. Supports 8-bit greyscale (color 0) and RGB (color 2),
+    * non-interlaced — the fixture shapes; anything else returns None to
+    * the stub. Untrusted-bytes rules: chunk lengths are Long-clamped to
+    * the payload, the inflate output is allocated from the DECLARED
+    * dims and capped (64 MiB) so a zip bomb cannot balloon memory, and
+    * a truncated stream decodes however many complete rows arrived.
+    */
+  private[multimodal] def parsePng(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (p == null || p.length < 45) return None
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    var i = 0
+    while (i < 8) { if ((p(i) & 0xFF) != sig(i)) return None; i += 1 }
+    def u32(at: Int): Long = ((p(at) & 0xFFL) << 24) | ((p(at + 1) & 0xFFL) << 16) |
+      ((p(at + 2) & 0xFFL) << 8) | (p(at + 3) & 0xFFL)
+    def tag(at: Int): String = new String(p, at, 4, "US-ASCII")
+    var pos = 8L
+    var w = 0; var h = 0; var bpp = 0
+    var headerOk = false; var stop = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!stop && pos + 8 <= p.length) {
+      val id = tag(pos.toInt + 4)
+      val body = pos + 8
+      val n = math.min(u32(pos.toInt), p.length - body) // clamp, untrusted
+      if (id == "IHDR" && n >= 13) {
+        w = u32(body.toInt).toInt; h = u32(body.toInt + 4).toInt
+        val depth = p(body.toInt + 8) & 0xFF
+        bpp = (p(body.toInt + 9) & 0xFF) match { case 0 => 1; case 2 => 3; case _ => 0 }
+        headerOk = depth == 8 && bpp > 0 && (p(body.toInt + 10) & 0xFF) == 0 &&
+          (p(body.toInt + 11) & 0xFF) == 0 && (p(body.toInt + 12) & 0xFF) == 0 &&
+          w > 0 && h > 0
+        if (!headerOk) stop = true
+      } else if (id == "IDAT") idat.write(p, body.toInt, n.toInt)
+      else if (id == "IEND") stop = true
+      pos = body + n + 4 // skip CRC
+    }
+    val rowBytes = w.toLong * bpp
+    val expect = h.toLong * (rowBytes + 1)
+    if (!headerOk || idat.size == 0 || expect > (64L << 20)) return None
+    val out = new Array[Byte](expect.toInt)
+    val inf = new java.util.zip.Inflater()
+    var got = 0; var bad = false
+    try {
+      inf.setInput(idat.toByteArray)
+      var go = true
+      while (go && got < out.length && !inf.finished()) {
+        val k = inf.inflate(out, got, out.length - got)
+        if (k == 0 && inf.needsInput()) go = false // truncated stream
+        else got += k
+      }
+    } catch { case _: java.util.zip.DataFormatException => bad = true }
+    finally inf.end()
+    if (bad) return None
+    val stride = rowBytes.toInt + 1
+    val rows = got / stride // decode only the COMPLETE rows that arrived
+    val prev = new Array[Int](rowBytes.toInt)
+    val cur = new Array[Int](rowBytes.toInt)
+    var sum = 0L; var nPix = 0L
+    var r = 0
+    while (r < rows) {
+      val f = out(r * stride) & 0xFF
+      if (f > 4) return None // invalid filter type byte
+      var c = 0
+      while (c < rowBytes) {
+        val raw = out(r * stride + 1 + c) & 0xFF
+        val a = if (c >= bpp) cur(c - bpp) else 0  // left (recon)
+        val b = prev(c)                            // up (recon)
+        val ul = if (c >= bpp) prev(c - bpp) else 0 // upper-left (recon)
+        val recon = f match {
+          case 0 => raw
+          case 1 => (raw + a) & 0xFF
+          case 2 => (raw + b) & 0xFF
+          case 3 => (raw + (a + b) / 2) & 0xFF
+          case 4 =>
+            val pp = a + b - ul
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - ul)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else ul
+            (raw + pred) & 0xFF
+        }
+        cur(c) = recon; sum += recon; nPix += 1; c += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      r += 1
+    }
+    Some((w, h, nPix, sum))
+  }
+
+  /** Serialize an 8-bit RGB non-interlaced PNG: signature, IHDR, one
+    * IDAT (zlib-deflated filtered scanlines), IEND — with real CRCs.
+    * `filterOf(row)` picks each row's filter type (0-4), so fixtures
+    * can force the decoder through every reconstruction path. Single
+    * source of truth for the qm5 fixture generator and the spec
+    * fixtures, like [[buildPcmWav]].
+    */
+  private[graft] def buildPng(w: Int, h: Int, pix: Int => Int,
+      filterOf: Int => Int): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val raw = Array.tabulate(h * stride)(i => pix(i) & 0xFF)
+    val filtered = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < h) {
+      val f = filterOf(r)
+      require(f >= 0 && f <= 4, s"invalid PNG filter type $f")
+      filtered.write(f)
+      var c = 0
+      while (c < stride) {
+        val x = raw(r * stride + c)
+        val a = if (c >= bpp) raw(r * stride + c - bpp) else 0
+        val b = if (r > 0) raw((r - 1) * stride + c) else 0
+        val ul = if (r > 0 && c >= bpp) raw((r - 1) * stride + c - bpp) else 0
+        val v = f match {
+          case 0 => x
+          case 1 => (x - a) & 0xFF
+          case 2 => (x - b) & 0xFF
+          case 3 => (x - (a + b) / 2) & 0xFF
+          case 4 =>
+            val pp = a + b - ul
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - ul)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else ul
+            (x - pred) & 0xFF
+        }
+        filtered.write(v)
+        c += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      out.write(be32(body.length), 0, 4)
+      val idb = id.getBytes("US-ASCII")
+      out.write(idb, 0, 4)
+      out.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(idb); crc.update(body)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def putBe32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      ihdr(at + k) = ((v >> (8 * (3 - k))) & 0xFF).toByte)
+    putBe32(0, w); putBe32(4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit RGB
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Serialize a RIFF/WAVE integer-PCM payload: 44-byte header (RIFF +
     * fmt + data chunk headers), optionally a 6-byte LIST junk chunk
     * between `fmt ` and `data` (so consumers must chunk-WALK, not
@@ -262,10 +431,11 @@ object Multimodal {
   }
 
   /** Decode stage: batched per-partition iteration over (id, bytes)
-    * producing fixed-schema decoded features. PPM (P6) and uncompressed
-    * 24-bit BMP payloads are decoded for REAL ([[parsePpm]] /
-    * [[parseBmp]] — header dims + a sum over every raster byte,
-    * `codec = "ppm"`/`"bmp"`); everything else falls back to the
+    * producing fixed-schema decoded features. PPM (P6), uncompressed
+    * 24-bit BMP, and PNG payloads are decoded for REAL ([[parsePpm]] /
+    * [[parseBmp]] / [[parsePng]] — header dims + a sum over every
+    * raster (PNG: filter-reconstructed) byte,
+    * `codec = "ppm"`/`"bmp"`/`"png"`); everything else falls back to the
     * deterministic STUB a codec/model call would replace (`codec =
     * "stub"`, `pix_sum` null). The batch shape is the real part either
     * way: one decoder invocation per `batchSize` rows, not per row.
@@ -282,7 +452,8 @@ object Multimodal {
           //     decoder for the container this environment can parse
           batch.iterator.map { case (id, payload) =>
             parsePpm(payload).map(d => (d, "ppm"))
-              .orElse(parseBmp(payload).map(d => (d, "bmp"))) match {
+              .orElse(parseBmp(payload).map(d => (d, "bmp")))
+              .orElse(parsePng(payload).map(d => (d, "png"))) match {
               case Some(((w, h, nPix, sum), codec)) =>
                 (id, w, h, nPix, Some(sum), codec)
               case None =>

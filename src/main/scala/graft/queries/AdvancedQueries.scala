@@ -177,6 +177,22 @@ object AdvancedQueries {
     }.toDF("media_id", "bytes")
   }
 
+  /** Documents table dressed up as PNG media: each payload is a real
+    * 8-bit RGB PNG (zlib-deflated scanlines, CRC'd chunks) with
+    * id-derived pixels and rows CYCLING all five PNG filter types —
+    * the decoder must inflate and reverse every filter to reproduce
+    * the oracle's closed-form pixel sum.
+    */
+  private def pngsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (3 + id % 8).toInt
+      val h = (2 + id % 5).toInt
+      (id, Multimodal.buildPng(w, h,
+        i => ((id * 31 + i.toLong * 7) % 256).toInt, r => r % 5))
+    }.toDF("media_id", "bytes")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- IVF ANN at full probe: partition-then-search machinery must
@@ -727,6 +743,27 @@ object AdvancedQueries {
           bits_per_sample, dlen AS n_data_bytes,
           CAST(list_sum(list_transform(range(0, dlen),
             i -> (media_id * 17 + i * 11) % 256)) AS BIGINT) AS sample_sum
+        FROM m ORDER BY media_id""")),
+
+    // ---- COMPRESSED image decode, for real: every payload is a
+    // genuine PNG (pngsFromDocs — zlib-deflated scanlines, rows cycling
+    // all five filter types), decoded by parsePng via the JDK's
+    // Inflater + full filter reconstruction; the oracle recomputes
+    // every reconstructed pixel byte closed-form, so a green row proves
+    // inflate AND all five filter paths reproduce the raw raster.
+    // jpeg/mp3 (no JDK codec) remain the documented stub. ----
+    QueryDef("qm5_png_decode",
+      (s, dir) => Multimodal.decodeStub(pngsFromDocs(s, dir))
+        .select(col("media_id"), col("codec"), col("decoded_width"),
+          col("decoded_height"), col("decoded_bytes"), col("pix_sum"))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+          CAST(3 + doc_id % 8 AS INT) AS w, CAST(2 + doc_id % 5 AS INT) AS h
+          FROM documents)
+        SELECT media_id, 'png' AS codec, w AS decoded_width, h AS decoded_height,
+          CAST(w*h*3 AS BIGINT) AS decoded_bytes,
+          CAST(list_sum(list_transform(range(0, w*h*3),
+            i -> (media_id*31 + i*7) % 256)) AS BIGINT) AS pix_sum
         FROM m ORDER BY media_id""")),
 
     // ---- Skew-salted join: must be result-identical to the plain join

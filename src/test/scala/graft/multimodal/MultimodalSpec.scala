@@ -125,6 +125,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.exists { case (_, _, _, n, sum) => n == 4L && sum == 4L }, r)
   }
 
+  test("decodeStub really decodes PNG: inflate + all five filter types") {
+    // 3x5 RGB: rows cycle filters None/Sub/Up/Average/Paeth, so every
+    // reconstruction path must be exercised to recover the raw pixels
+    val w = 3; val h = 5
+    def pix(i: Int): Int = (7 + i * 13) % 256
+    val png = Multimodal.buildPng(w, h, pix, r => r % 5)
+    val expectSum = (0 until w * h * 3).map(pix(_).toLong).sum
+    val df = Seq((40L, png)).toDF("media_id", "bytes")
+    val out = Multimodal.decodeStub(df)
+      .select($"codec", $"decoded_width", $"decoded_height",
+        $"decoded_bytes", $"pix_sum")
+      .as[(String, Int, Int, Long, Option[Long])].head()
+    assert(out == (("png", w, h, (w * h * 3).toLong, Some(expectSum))), out)
+    // sanity: the payload carries the real PNG signature (sniffable)
+    val sniffed = df.select(Multimodal.sniffFormat($"bytes")).as[String].head()
+    assert(sniffed == "png", sniffed)
+  }
+
+  test("parsePng survives truncated and hostile payloads") {
+    val png = Multimodal.buildPng(4, 4, i => i % 256, _ => 4)
+    // truncated mid-IDAT: decodes only the complete rows that arrived
+    val cut = png.take(png.length - 20)
+    Multimodal.parsePng(cut).foreach { case (_, _, n, _) =>
+      assert(n <= 4L * 4 * 3, n)
+    }
+    // hostile declared dims: IHDR says 1e9x1e9 -> expected size cap
+    // rejects instead of allocating
+    val huge = png.clone()
+    def putBe32(at: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      huge(at + k) = ((v >> (8 * (3 - k))) & 0xFF).toByte)
+    putBe32(16, 1000000000); putBe32(20, 1000000000) // IHDR w/h at offset 16/20
+    assert(Multimodal.parsePng(huge).isEmpty)
+  }
+
   test("parseBmp clamps hostile declared dimensions to the payload") {
     // decodeStub runs over arbitrary lake bytes: a malformed header may
     // declare h near Int.MaxValue over a tiny payload (must not spin

@@ -31,17 +31,19 @@ class ParserFuzzSpec extends AnyFunSuite {
       bmp(at + k) = ((v >> (8 * k)) & 0xFF).toByte)
     putI32(10, 54); putI32(18, 2); putI32(22, 2)
     bmp(28) = 24
-    Seq(ppm, wav, bmp)
+    val png = Multimodal.buildPng(2, 2, i => i * 11, r => r % 5)
+    Seq(ppm, wav, bmp, png)
   }
 
   test("the seed samples are genuinely valid (fuzz arms are non-vacuous)") {
     // if a future edit breaks a hand-built sample, every derived
     // truncation/corruption case silently degrades to noise-only
     // coverage — so pin that each sample parses in full
-    val Seq(ppm, wavB, bmp) = validSamples()
+    val Seq(ppm, wavB, bmp, png) = validSamples()
     assert(Multimodal.parsePpm(ppm).exists(_._3 == 12L), "ppm sample invalid")
     assert(Multimodal.parseWav(wavB).exists(_._4 == 12L), "wav sample invalid")
     assert(Multimodal.parseBmp(bmp).exists(_._3 == 12L), "bmp sample invalid")
+    assert(Multimodal.parsePng(png).exists(_._3 == 12L), "png sample invalid")
   }
 
   test("parsers never throw, spin, or over-claim on arbitrary bytes") {
@@ -68,6 +70,11 @@ class ParserFuzzSpec extends AnyFunSuite {
       }
       Multimodal.parseWav(p).foreach { case (_, _, _, n, _) =>
         assert(n >= 0 && n <= p.length, s"wav over-claims: $n of ${p.length}")
+      }
+      // png decodes COMPRESSED data, so the bound is the declared
+      // raster size, not the payload length
+      Multimodal.parsePng(p).foreach { case (w, h, n, _) =>
+        assert(n >= 0 && n <= w.toLong * h * 3, s"png over-claims: $n of ${w}x$h")
       }
     }
     // ~900 payloads: a declared-size spin (the pre-r8 parseBmp bug ran
