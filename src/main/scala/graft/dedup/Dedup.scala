@@ -15,6 +15,19 @@ import graft.text.TextOps
   * O(n²) cross join — so the shuffle volume is bounded by bucket sizes,
   * not corpus size. The quadratic work happens only within candidate
   * groups, which LSH keeps small.
+  *
+  * == Cache lifecycle contract ==
+  * [[minhashPairs]], [[simhashPairs]], [[ngramJaccardPairs]] and
+  * [[incrementalDupFlags]] persist() slim intermediate tables (token
+  * sets / fingerprints / prefix postings) that feed 2-3 consumers in
+  * the returned LAZY plan, so the operator cannot unpersist them itself
+  * — they must stay cached until the caller has run its action(s).
+  * After consuming the result, the caller releases them with
+  * `spark.catalog.clearCache()` (what Bench does between queries) or by
+  * unpersisting via `spark.sharedState.cacheManager`. A long-lived
+  * session that skips this accumulates MEMORY_AND_DISK blocks — a slow
+  * memory leak, not a correctness issue (Spark evicts LRU under
+  * pressure, at recompute cost).
   */
 object Dedup {
 
@@ -74,6 +87,8 @@ object Dedup {
   /** MinHash/LSH candidate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
     * Jaccard is an exact integer ratio — engine-portable bit-for-bit.
+    * Persists the token-set table (see the cache lifecycle contract on
+    * [[Dedup]]).
     */
   def minhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -147,7 +162,8 @@ object Dedup {
     * self-join). The corpus side is touched ONLY through hash/band-key
     * equi-joins, so corpus cost is one scan + one band explode
     * regardless of history size; candidate volume is bounded by band
-    * collisions exactly as in [[minhashPairs]].
+    * collisions exactly as in [[minhashPairs]]. Persists both prepped
+    * sides (see the cache lifecycle contract on [[Dedup]]).
     */
   def incrementalDupFlags(corpus: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, k: Int = 16, bands: Int = 4,
@@ -208,7 +224,8 @@ object Dedup {
     * Candidates come from 4 bands of 15 bits (pigeonhole: any pair with
     * Hamming <= 3 shares at least one exact band), then the exact
     * bit_count(xor) filter — LSH-complete for maxHamming <= 3, never a
-    * cross join.
+    * cross join. Persists the fingerprint table (see the cache
+    * lifecycle contract on [[Dedup]]).
     */
   def simhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -414,7 +431,8 @@ object Dedup {
     * Verification is the exact merge-walk intersect over sorted hash
     * arrays (broadcast-attached). The gram table is persisted: it feeds
     * the inverted index, the prefix ranking, and the verification sets,
-    * and the tokenize→ngram→hash chain is the per-row hot path.
+    * and the tokenize→ngram→hash chain is the per-row hot path (see the
+    * cache lifecycle contract on [[Dedup]]).
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,

@@ -240,8 +240,12 @@ object Multimodal {
       pos = body + n + 4 // skip CRC
     }
     val rowBytes = w.toLong * bpp
+    // Overflow-safe 64 MiB cap: h * (rowBytes+1) can exceed Long for
+    // hostile IHDR dims (w,h near 2^31), wrapping negative and slipping
+    // past a direct `expect > cap` compare — so bound h by division
+    // first, then the multiply below cannot overflow.
+    if (!headerOk || idat.size == 0 || h > (64L << 20) / (rowBytes + 1)) return None
     val expect = h.toLong * (rowBytes + 1)
-    if (!headerOk || idat.size == 0 || expect > (64L << 20)) return None
     val out = new Array[Byte](expect.toInt)
     val inf = new java.util.zip.Inflater()
     var got = 0; var bad = false
@@ -250,8 +254,15 @@ object Multimodal {
       var go = true
       while (go && got < out.length && !inf.finished()) {
         val k = inf.inflate(out, got, out.length - got)
-        if (k == 0 && inf.needsInput()) go = false // truncated stream
-        else got += k
+        if (k == 0) {
+          // Zero progress and not finished: either a truncated stream
+          // (needsInput — decode the rows that arrived) or a zlib FDICT
+          // preset-dictionary stream (needsDictionary — unsupported in
+          // PNG, reject). Bailing on ANY zero-progress call also stops
+          // a crafted stream from spinning this loop forever.
+          if (inf.needsDictionary()) bad = true
+          go = false
+        } else got += k
       }
     } catch { case _: java.util.zip.DataFormatException => bad = true }
     finally inf.end()

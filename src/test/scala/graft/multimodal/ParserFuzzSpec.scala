@@ -81,4 +81,53 @@ class ParserFuzzSpec extends AnyFunSuite {
     // ~2^31 iterations on ONE hostile header) would blow far past this
     assert((System.nanoTime() - t0) / 1e9 < 10.0, "parser fuzz too slow")
   }
+
+  /** Hand-build a PNG from raw chunks (CRCs zeroed — parsePng skips
+    * them), so hostile-header cases can set fields fuzzing can't reach:
+    * random corruption of a valid file breaks the zlib FCHECK or the
+    * IHDR validity gate long before these paths.
+    */
+  private def pngOf(chunks: (String, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    chunks.foreach { case (id, body) =>
+      (24 to 0 by -8).foreach(s => out.write((body.length >> s) & 0xFF))
+      out.write(id.getBytes("US-ASCII"))
+      out.write(body)
+      out.write(Array[Byte](0, 0, 0, 0)) // CRC, unchecked
+    }
+    out.toByteArray
+  }
+
+  private def ihdr(w: Long, h: Long): Array[Byte] = {
+    val b = new Array[Byte](13)
+    (0 until 4).foreach(k => b(k) = ((w >> (24 - 8 * k)) & 0xFF).toByte)
+    (0 until 4).foreach(k => b(4 + k) = ((h >> (24 - 8 * k)) & 0xFF).toByte)
+    b(8) = 8; b(9) = 2 // depth 8, color RGB; compress/filter/interlace 0
+    b
+  }
+
+  test("parsePng rejects a zlib FDICT (preset-dictionary) stream without spinning") {
+    // zlib header 0x78 0x20: FDICT bit set, (0x78*256 + 0x20) % 31 == 0
+    // so FCHECK passes; Inflater then returns 0 with needsDictionary()
+    // and neither needsInput() nor finished() — a naive k==0 loop spins
+    // forever on this single payload
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x42, 0x42)
+    val png = pngOf("IHDR" -> ihdr(2, 2), "IDAT" -> fdict, "IEND" -> Array.empty)
+    val t0 = System.nanoTime()
+    assert(Multimodal.parsePng(png).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "FDICT stream spun the inflate loop")
+  }
+
+  test("parsePng rejects hostile IHDR dims whose raster size overflows Long") {
+    // w = h = 2^31 - 1, bpp 3: h * (rowBytes + 1) ≈ 1.38e19 > Long.Max,
+    // wrapping negative — a direct `expect > cap` compare passes and the
+    // wrapped .toInt allocation throws NegativeArraySizeException
+    val big = (1L << 31) - 1
+    val deflated = Array[Byte](0x78, 0x01, 1, 4, 0, (0xFB).toByte, (0xFF).toByte, 9, 9, 9, 9)
+    for ((w, h) <- Seq((big, big), (big, 3L), (3L, big), (1L << 30, 1L << 30))) {
+      val png = pngOf("IHDR" -> ihdr(w, h), "IDAT" -> deflated, "IEND" -> Array.empty)
+      assert(Multimodal.parsePng(png).isEmpty, s"${w}x$h must be rejected")
+    }
+  }
 }
