@@ -760,6 +760,19 @@ object DataOpsQueries {
         .orderBy(col("id_a"), col("id_b")),
       Some(s"$minhashPairsSql\n        ORDER BY id_a, id_b")),
 
+    // ---- the SAME MinHash/LSH semantics through the lake (shuffle)
+    // verification arm: candidate pairs shuffle-join the per-doc token
+    // set tables on id instead of broadcast-attaching them — the code
+    // path a 100 TB corpus must run (the set table exceeds the
+    // broadcast budget). Oracled against the identical SQL as qd3, so
+    // the driver gate pins arm-equivalence every round — the same
+    // treatment qd7/qt13 give their broadcast twins. ----
+    QueryDef("qd9_minhash_lake",
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.6, broadcastSets = false)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"$minhashPairsSql\n        ORDER BY id_a, id_b")),
+
     // ---- Duplicate clusters: connected components over the qd3 pair
     // graph (min-label propagation on the Spark side, recursive-CTE
     // transitive closure in the oracle), with the canonical keep/drop

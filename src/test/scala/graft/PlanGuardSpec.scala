@@ -37,6 +37,8 @@ class PlanGuardSpec extends SparkTestBase {
     Seq[(String, DataFrame)](
       "minhashPairs" -> Dedup.minhashPairs(docs, "text", "doc_id",
         k = 8, bands = 4, threshold = 0.6),
+      "minhashPairsLake" -> Dedup.minhashPairs(docs, "text", "doc_id",
+        k = 8, bands = 4, threshold = 0.6, broadcastSets = false),
       "simhashPairs" -> Dedup.simhashPairs(docs, "text", "doc_id"),
       "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id"),
       "ngramJaccardPairsLake" -> Dedup.ngramJaccardPairs(docs, "text",
