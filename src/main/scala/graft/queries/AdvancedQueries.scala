@@ -358,9 +358,10 @@ object AdvancedQueries {
     // partial-probe arm (nprobe=2 of k=8 — the real recall/cost
     // tradeoff) uses a seeds-only model (`iters = 0`: centroids = the 8
     // lowest-id vectors verbatim), which makes its cell assignment
-    // closed-form SQL over the embeddings table itself; Lloyd-refined
-    // partial-probe recall (centroids live in the fitted model) is
-    // measured with the same recallAtK kernel in SimilaritySpec. ----
+    // closed-form SQL over the embeddings table itself; the
+    // Lloyd-refined partial probe has its own oracled row (qs11, which
+    // unrolls the Lloyd step in SQL) plus the multi-iteration
+    // SimilaritySpec measurement. ----
     QueryDef("qs8_ann_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -469,6 +470,97 @@ object AdvancedQueries {
         FROM grid LEFT JOIN hit ON hit.method = grid.method
           AND hit.query_id = grid.query_id
         ORDER BY grid.method, grid.query_id"""
+      }),
+
+    // ---- ANN recall of a LLOYD-FITTED partial-probe IVF — the fit
+    // users actually deploy (qs8's partial-probe arm is seeds-only so
+    // its assignment is closed-form; this one runs a real Lloyd step).
+    // The oracle cannot inline fitted centroids as literals (they are
+    // data-dependent, and the gate runs two scale factors), so it
+    // UNROLLS the single Lloyd iteration in SQL instead: seeds = the 8
+    // lowest-id vectors; each sample vector (lowest 4096 ids — the
+    // whole table at test SFs, [[graft.sim.Ivf.fit]]'s maxSample)
+    // assigned to its nearest seed under the same (distance, index)
+    // tie rule; per-cell per-dim mean computed as a SEQUENTIAL
+    // ascending-vec_id float sum (list(... ORDER BY vec_id) +
+    // list_reduce) divided by the member count — bit-for-bit the
+    // accumulation order of fit's `sums(c)(i) += v(i)` loop over the
+    // id-sorted sample. Every cell is non-empty by construction (each
+    // seed is its own nearest at distance 0), so fit's empty-cell
+    // branch never fires. Downstream (corpus assignment, 2-cell probe,
+    // top-5, recall-vs-brute) is the qs8 ivf_probe2 pattern, whose
+    // NearestCell ≡ l2sqSql equivalence the qs8 row already pins. ----
+    QueryDef("qs11_ann_recall_lloyd",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lloyd = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 1)
+        val ann = Ivf.topK(e, q, "vec_id", "embedding", "query_id", "qe",
+          lloyd, k = 5, nprobe = 2)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .withColumn("method", lit("ivf_lloyd1_probe2"))
+          .select(col("method"), col("query_id"),
+            col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            ${cosineSql("e.embedding", "qv.qe")} AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        samp AS (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 4096),
+        a1 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN seeds c) WHERE rk = 1),
+        a1d AS (SELECT a1.cell, a1.vec_id, t.i,
+            CAST(a1.embedding[t.i] AS DOUBLE) AS v
+          FROM a1, range(1, $EmbeddingDim + 1) t(i)),
+        cent1 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a1d GROUP BY cell, i),
+        cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM cent1 GROUP BY cell),
+        ca AS (SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id
+              ORDER BY ${l2sqSql("qv.qe", "c.ce")}, c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 2),
+        iv0 AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+            ${cosineSql("ca.embedding", "qp.qe")} AS cosine
+          FROM ca JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        iv AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM iv0) WHERE rk <= 5),
+        hit AS (SELECT iv.query_id, COUNT(*) AS n_hit
+          FROM iv JOIN br ON br.query_id = iv.query_id
+            AND br.neighbor_id = iv.neighbor_id
+          GROUP BY iv.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT 'ivf_lloyd1_probe2' AS method, ex.query_id,
+          CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id"""
       }),
 
     // ---- Multimodal: container-format sniffing over binary payloads
