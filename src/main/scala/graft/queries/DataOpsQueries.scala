@@ -742,6 +742,61 @@ object DataOpsQueries {
           AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
         ORDER BY s_id, p_id""")),
 
+    // ---- Streaming LEFT-OUTER stream-stream join ≡ batch: the
+    // remaining stream-stream semantics class — unmatched signups must
+    // be EMITTED (with null purchase), which the engine can only do
+    // once the watermark proves no matching purchase can still arrive,
+    // i.e. at left-side state eviction. Spark's global watermark is the
+    // MIN across inputs, so the far-future sentinel rides BOTH arms
+    // (one signup row, one purchase row, user_id = -1): each arm's
+    // watermark jumps past every real signup's s_ts + 30min bound and
+    // the no-data final batch flushes all unmatched state. The two
+    // sentinel rows join each other and are dropped by the user_id >= 0
+    // filter. A null p_id occurs only on a signup with zero matches —
+    // then it is that s_id's only row — so ORDER BY (s_id, p_id) stays
+    // total despite engines disagreeing on null sort order. The batch
+    // oracle filters each side in a subquery, NOT the ON clause (an
+    // ON-clause predicate on the left table would not restrict left
+    // rows under LEFT JOIN). ----
+    QueryDef("qst6_stream_join_outer",
+      (s, dir) => {
+        import s.implicits._
+        val sent = Seq((-1L, -1L, "signup"), (-1L, -2L, "purchase"))
+          .toDF("user_id", "event_id", "event_type")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP") { sentArm =>
+          val base = replayEvents(s, dir)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"))
+            .unionByName(sentArm)
+          def arm(tpe: String, pfx: String) = base
+            .filter(col("event_type") === tpe)
+            .select(col("user_id"), col("ts").as(s"${pfx}_ts"),
+              col("event_id").as(s"${pfx}_id"))
+            .withWatermark(s"${pfx}_ts", "1 hour")
+          runAvailableNow(s,
+              arm("signup", "s").as("l")
+                .join(arm("purchase", "p").as("r"),
+                  expr("l.user_id = r.user_id AND " +
+                    "s_ts <= p_ts AND p_ts <= s_ts + interval 30 minutes"),
+                  "left_outer")
+                .select(col("l.user_id").as("user_id"), col("s_id"),
+                  col("p_id"), unix_micros(col("s_ts")).as("s_us"),
+                  unix_micros(col("p_ts")).as("p_us")))
+            .filter(col("user_id") >= 0)
+            .orderBy(col("s_id"), col("p_id"))
+        }
+      },
+      Some("""SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id,
+          epoch_us(s.ts) AS s_us, epoch_us(p.ts) AS p_us
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = s.user_id
+          AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        ORDER BY s_id, p_id""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")
