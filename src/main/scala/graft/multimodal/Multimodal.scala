@@ -10,16 +10,19 @@ import org.apache.spark.sql.types._
   * plumbing (schema, batching, partitioning) for model-based decode
   * stages.
   *
-  * The environment has no external media codecs, so jpeg/mp3 decode is
-  * STUBBED (see [[decodeStub]]) — deterministic fake outputs behind the
-  * same schema/batch shape a real decoder (JNI codec or model server)
-  * would use. Everything the JDK alone can decode is decoded for REAL:
-  * binary PPM and uncompressed 24-bit BMP ([[parsePpm]]/[[parseBmp]],
-  * full raster-byte sums), RIFF/WAVE integer PCM ([[parseWav]], full
-  * sample-byte sum), and PNG ([[parsePng]] — zlib inflate via
-  * `java.util.zip` plus full five-filter scanline reconstruction).
-  * Everything around the stub — magic-number sniffing, hashing, batch
-  * iteration, salting — is real and tested.
+  * The environment has no external media codecs, so mp3 (and video)
+  * decode is STUBBED (see [[decodeStub]]) — deterministic fake outputs
+  * behind the same schema/batch shape a real decoder (JNI codec or
+  * model server) would use. Everything the JDK alone can decode is
+  * decoded for REAL: binary PPM and uncompressed 24-bit BMP
+  * ([[parsePpm]]/[[parseBmp]], full raster-byte sums), RIFF/WAVE
+  * integer PCM ([[parseWav]], full sample-byte sum), PNG ([[parsePng]]
+  * — zlib inflate via `java.util.zip` plus full five-filter scanline
+  * reconstruction), and JPEG ([[parseJpeg]] — the JDK's bundled
+  * ImageIO codec; spec-pinned rather than SQL-oracled because IDCT
+  * rounding is implementation-defined). Everything around the stub —
+  * magic-number sniffing, hashing, batch iteration, salting — is real
+  * and tested.
   */
 object Multimodal {
 
@@ -302,6 +305,53 @@ object Multimodal {
     Some((w, h, nPix, sum))
   }
 
+  /** Real parse of a JPEG payload via the JDK's bundled ImageIO codec —
+    * SOI/JFIF magic, then dimensions read from the HEADER ONLY and
+    * bounded by the same 64 MiB raster cap as [[parsePng]] BEFORE the
+    * full DCT decode runs, so a decompression bomb is rejected without
+    * allocating its raster. The sum is over every decoded pixel's R, G
+    * and B bytes (greyscale JPEGs surface each sample three times
+    * through `getRGB`, consistently for decode and fixture). No driver
+    * oracle row exists for this arm — IDCT rounding is
+    * implementation-defined, so there is no closed-form SQL recompute;
+    * equality is pinned in MultimodalSpec against an independent
+    * same-JVM ImageIO decode of a generated fixture instead. Anything
+    * ImageIO cannot read (including the sniff-only jpeg-magic test
+    * payloads) returns None to the stub.
+    */
+  private[multimodal] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (p == null || p.length < 3) return None
+    if (p(0) != 0xFF.toByte || p(1) != 0xD8.toByte || p(2) != 0xFF.toByte)
+      return None
+    val iis = try javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(p)) catch { case _: Exception => null }
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || h > (64L << 20) / (w.toLong * 3)) return None
+        val img = reader.read(0)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, w.toLong * h * 3, sum))
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   /** Serialize an 8-bit RGB non-interlaced PNG: signature, IHDR, one
     * IDAT (zlib-deflated filtered scanlines), IEND — with real CRCs.
     * `filterOf(row)` picks each row's filter type (0-4), so fixtures
@@ -443,13 +493,15 @@ object Multimodal {
 
   /** Decode stage: batched per-partition iteration over (id, bytes)
     * producing fixed-schema decoded features. PPM (P6), uncompressed
-    * 24-bit BMP, and PNG payloads are decoded for REAL ([[parsePpm]] /
-    * [[parseBmp]] / [[parsePng]] — header dims + a sum over every
-    * raster (PNG: filter-reconstructed) byte,
-    * `codec = "ppm"`/`"bmp"`/`"png"`); everything else falls back to the
-    * deterministic STUB a codec/model call would replace (`codec =
-    * "stub"`, `pix_sum` null). The batch shape is the real part either
-    * way: one decoder invocation per `batchSize` rows, not per row.
+    * 24-bit BMP, PNG, and JPEG payloads are decoded for REAL
+    * ([[parsePpm]] / [[parseBmp]] / [[parsePng]] / [[parseJpeg]] —
+    * header dims + a sum over every raster (PNG:
+    * filter-reconstructed; JPEG: JDK ImageIO DCT-decoded) byte,
+    * `codec = "ppm"`/`"bmp"`/`"png"`/`"jpeg"`); everything else falls
+    * back to the deterministic STUB a codec/model call would replace
+    * (`codec = "stub"`, `pix_sum` null). The batch shape is the real
+    * part either way: one decoder invocation per `batchSize` rows, not
+    * per row.
     */
   def decodeStub(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -464,7 +516,8 @@ object Multimodal {
           batch.iterator.map { case (id, payload) =>
             parsePpm(payload).map(d => (d, "ppm"))
               .orElse(parseBmp(payload).map(d => (d, "bmp")))
-              .orElse(parsePng(payload).map(d => (d, "png"))) match {
+              .orElse(parsePng(payload).map(d => (d, "png")))
+              .orElse(parseJpeg(payload).map(d => (d, "jpeg"))) match {
               case Some(((w, h, nPix, sum), codec)) =>
                 (id, w, h, nPix, Some(sum), codec)
               case None =>

@@ -843,7 +843,9 @@ object AdvancedQueries {
     // Inflater + full filter reconstruction; the oracle recomputes
     // every reconstructed pixel byte closed-form, so a green row proves
     // inflate AND all five filter paths reproduce the raw raster.
-    // jpeg/mp3 (no JDK codec) remain the documented stub. ----
+    // jpeg decodes for real too (parseJpeg via JDK ImageIO) but is
+    // spec-pinned, not oracled — IDCT output has no closed-form SQL
+    // recompute; mp3 (no JDK codec) remains the documented stub. ----
     QueryDef("qm5_png_decode",
       (s, dir) => Multimodal.decodeStub(pngsFromDocs(s, dir))
         .select(col("media_id"), col("codec"), col("decoded_width"),

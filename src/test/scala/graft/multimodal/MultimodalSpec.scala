@@ -143,6 +143,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(sniffed == "png", sniffed)
   }
 
+  test("decodeStub really decodes JPEG via the JDK ImageIO codec") {
+    // No SQL oracle is possible for DCT output (IDCT rounding is
+    // implementation-defined), so the expectation is computed at
+    // fixture-build time by an INDEPENDENT same-JVM ImageIO decode of
+    // the encoded bytes — decodeStub must reproduce it through the
+    // batched decode shape.
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 11 + y * 7) % 256) << 16) |
+        (((x * 5 + y * 3) % 256) << 8) | ((x + y * 13) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpeg = baos.toByteArray
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    var expectSum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      expectSum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+    }
+    // 51: carries the jpeg magic (sniffable) but is not a decodable
+    // stream — must fall through to the stub, not throw
+    val df = Seq((50L, jpeg),
+      (51L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeStub(df)
+      .select($"media_id", $"codec", $"decoded_width", $"decoded_height",
+        $"decoded_bytes", $"pix_sum")
+      .as[(Long, String, Int, Int, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(50L) == ((50L, "jpeg", w, h, (w * h * 3).toLong,
+      Some(expectSum))), out(50L))
+    assert(out(51L)._2 == "stub" && out(51L)._6.isEmpty)
+  }
+
+  test("parseJpeg rejects a decompression bomb from the header alone") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val huge = baos.toByteArray
+    // patch the SOF0 frame header's declared dims to 60000x60000
+    // (raster would be ~10.8 GB) — the header-first cap must reject
+    // before the DCT decode allocates anything
+    val sof = huge.indices.dropRight(8).find(i =>
+      huge(i) == 0xFF.toByte && huge(i + 1) == 0xC0.toByte)
+    assert(sof.isDefined, "no SOF0 marker in encoded fixture")
+    val at = sof.get
+    huge(at + 5) = 0xEA.toByte; huge(at + 6) = 0x60.toByte // height 60000
+    huge(at + 7) = 0xEA.toByte; huge(at + 8) = 0x60.toByte // width 60000
+    assert(Multimodal.parseJpeg(huge).isEmpty)
+    // the unpatched fixture still decodes
+    assert(Multimodal.parseJpeg(baos.toByteArray).nonEmpty)
+  }
+
   test("parsePng survives truncated and hostile payloads") {
     val png = Multimodal.buildPng(4, 4, i => i % 256, _ => 4)
     // truncated mid-IDAT: decodes only the complete rows that arrived
