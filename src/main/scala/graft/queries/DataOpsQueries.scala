@@ -347,6 +347,28 @@ object DataOpsQueries {
       },
       Some(decontaminateSql)),
 
+    // ---- the THIRD point on the decontamination eval-size ladder: a
+    // broadcast Bloom SKETCH of the eval grams pre-filters corpus grams
+    // (Spark's native codegen might_contain) BEFORE the shuffle, so the
+    // exchange carries only true matches + the fpp margin instead of
+    // the whole corpus — the shape when the eval set outgrows the
+    // broadcast-JOIN budget but its bits still fit in a task. The exact
+    // equi-join verifies survivors (no false positive reaches the
+    // result; Bloom has no false negatives), so the oracle is the
+    // identical SQL as qt9/qt13 — the gate pins sketch-arm equivalence
+    // every round. ----
+    QueryDef("qt15_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("split",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        graft.text.Decontaminate.contaminatedBloom(
+            docs.filter(col("split") === "train"),
+            docs.filter(col("split") === "eval"),
+            "text", "doc_id", n = 8)
+          .orderBy(col("train_id"))
+      },
+      Some(decontaminateSql)),
+
     // ---- deterministic stratified sampling (data mixing): per-lang
     // keep rates via a salted id-hash bucket — map-only, no RNG, no
     // shuffle; reproducible across runs and engines, decorrelated from

@@ -1,7 +1,10 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.WordNgramHashes
 import graft.ops.Partitioning.spread
@@ -37,6 +40,51 @@ object Decontaminate {
     // dedups within the doc — so the post-join count IS the number of
     // distinct shared grams.
     tg.join(egSide, "g")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** Bloom pre-filtered lake decontamination — the third point on the
+    * eval-size ladder. Broadcast JOIN ([[contaminated]] default) needs
+    * the full eval gram TABLE on every executor; the shuffle arm
+    * (`broadcastEval = false`) pays a full exchange of every corpus
+    * gram. When the eval set outgrows the broadcast-join budget but its
+    * Bloom SKETCH (bits, not rows — ~1.2 MB per million grams at 1%
+    * fpp) still fits in a task, probe-side grams are pre-filtered by
+    * Spark's native codegen [[BloomFilterMightContain]] BEFORE the
+    * exchange, so the shuffle carries only true matches plus the fpp
+    * margin instead of the whole corpus. The exact equi-join then
+    * verifies survivors: false positives cannot reach the result and a
+    * Bloom filter has no false negatives, so the output is
+    * bit-identical to [[contaminated]] — which is why the driver oracle
+    * (qt15) is the same SQL as qt9/qt13.
+    *
+    * Cache lifecycle: the deduped eval gram table is persisted (it is
+    * consumed by the sketch build AND the verify join); the caller
+    * releases it after consuming the returned plan
+    * (`spark.catalog.clearCache()`, as Bench does per query).
+    */
+  def contaminatedBloom(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, minShared: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    val tg = spread(train).select(col(idCol).as("train_id"),
+      explode(WordNgramHashes.word_ngram_hashes(col(textCol), n)).as("g"))
+    val eg = eval
+      .select(explode(
+        WordNgramHashes.word_ngram_hashes(col(textCol), n)).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sketch = eg.stat.bloomFilter("g", math.max(eg.count(), 1L), fpp)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(baos)
+      baos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes), ColumnBridge.expression(col("g"))))
+    tg.filter(mightContain)
+      .join(eg, "g")
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)

@@ -56,7 +56,9 @@ class PlanGuardSpec extends SparkTestBase {
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
       "decontaminateLake" -> Decontaminate.contaminated(
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id",
-        broadcastEval = false)
+        broadcastEval = false),
+      "decontaminateBloom" -> Decontaminate.contaminatedBloom(
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id")
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 }

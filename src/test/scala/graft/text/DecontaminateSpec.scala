@@ -56,4 +56,34 @@ class DecontaminateSpec extends SparkTestBase {
     assert(bc.nonEmpty) // template corpus: 3-gram overlap must exist
     assert(canon(false) == bc)
   }
+
+  test("bloom pre-filtered path is result-identical (exact verify join)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("split",
+        TextOps.hashSplit(col("doc_id"), Seq(80), Seq("train", "eval")))
+    val tr = docs.filter($"split" === "train")
+    val ev = docs.filter($"split" === "eval")
+    val bc = Decontaminate.contaminated(tr, ev, "text", "doc_id", n = 3)
+      .orderBy("train_id").collect().toSeq
+    assert(bc.nonEmpty)
+    // even a deliberately sloppy sketch (50% fpp) must not change the
+    // result: false positives die in the verify join, and a Bloom
+    // filter has no false negatives
+    Seq(0.01, 0.5).foreach { fpp =>
+      val bloom = Decontaminate.contaminatedBloom(tr, ev, "text", "doc_id",
+          n = 3, fpp = fpp)
+        .orderBy("train_id").collect().toSeq
+      assert(bloom == bc, s"fpp=$fpp")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("bloom pre-filter runs as native codegen before the verify join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Decontaminate.contaminatedBloom(
+        docs, docs.filter($"doc_id" < 5), "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
 }
