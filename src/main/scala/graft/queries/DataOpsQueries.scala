@@ -819,6 +819,59 @@ object DataOpsQueries {
           AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
         ORDER BY s_id, p_id""")),
 
+    // ---- Streaming FULL-OUTER stream-stream join ≡ batch, completing
+    // the join trilogy (qst5 inner, qst6 left-outer): unmatched rows
+    // must be emitted from BOTH sides at watermark expiry — signups
+    // with null purchase AND purchases with null signup. Same
+    // both-sides sentinel as qst6 (the global watermark is the min
+    // across inputs). New determinism wrinkle: a null s_id row is NOT
+    // unique per s_id anymore (every orphan purchase shares s_id =
+    // null), and Spark sorts nulls first while DuckDB sorts them last —
+    // so both engines order by COALESCE(id, -1) instead (real ids are
+    // >= 0, so -1 cannot collide). ----
+    QueryDef("qst7_stream_join_full",
+      (s, dir) => {
+        import s.implicits._
+        val sent = Seq((-1L, -1L, "signup"), (-1L, -2L, "purchase"))
+          .toDF("user_id", "event_id", "event_type")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP") { sentArm =>
+          val base = replayEvents(s, dir)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"))
+            .unionByName(sentArm)
+          def arm(tpe: String, pfx: String) = base
+            .filter(col("event_type") === tpe)
+            .select(col("user_id"), col("ts").as(s"${pfx}_ts"),
+              col("event_id").as(s"${pfx}_id"))
+            .withWatermark(s"${pfx}_ts", "1 hour")
+          runAvailableNow(s,
+              arm("signup", "s").as("l")
+                .join(arm("purchase", "p").as("r"),
+                  expr("l.user_id = r.user_id AND " +
+                    "s_ts <= p_ts AND p_ts <= s_ts + interval 30 minutes"),
+                  "full_outer")
+                .select(
+                  coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+                  col("s_id"), col("p_id"),
+                  unix_micros(col("s_ts")).as("s_us"),
+                  unix_micros(col("p_ts")).as("p_us")))
+            .filter(col("user_id") >= 0)
+            .orderBy(coalesce(col("s_id"), lit(-1L)),
+              coalesce(col("p_id"), lit(-1L)))
+        }
+      },
+      Some("""SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+          s.event_id AS s_id, p.event_id AS p_id,
+          epoch_us(s.ts) AS s_us, epoch_us(p.ts) AS p_us
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = s.user_id
+          AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        ORDER BY COALESCE(s.event_id, -1), COALESCE(p.event_id, -1)""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")
