@@ -369,6 +369,33 @@ object DataOpsQueries {
       },
       Some(decontaminateSql)),
 
+    // ---- sub-document boilerplate removal: segments (8-token chunk
+    // windows — the qt5 convention) whose corpus-wide DOCUMENT
+    // frequency exceeds 2 are dropped and each doc's remaining text is
+    // reassembled in order — the FineWeb/RefinedWeb-style curation
+    // pass document-level dedup cannot express (a shared footer
+    // repeats across otherwise-distinct pages). All-boilerplate docs
+    // survive with empty clean_text. ----
+    QueryDef("qt16_boilerplate_removal",
+      (s, dir) => graft.text.Boilerplate.removeBoilerplate(
+          t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
+          FROM d),
+        u AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
+        e AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM u),
+        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
+        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
+        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_seg,
+          CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- deterministic stratified sampling (data mixing): per-lang
     // keep rates via a salted id-hash bucket — map-only, no RNG, no
     // shuffle; reproducible across runs and engines, decorrelated from

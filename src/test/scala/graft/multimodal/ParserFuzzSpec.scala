@@ -20,6 +20,14 @@ class ParserFuzzSpec extends AnyFunSuite {
     val b = new Array[Byte](n); rnd.nextBytes(b); b
   }
 
+  private def jpegSample(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
   private def validSamples(): Seq[Array[Byte]] = {
     val px = Array.tabulate[Byte](12)(_.toByte)
     val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
@@ -32,18 +40,19 @@ class ParserFuzzSpec extends AnyFunSuite {
     putI32(10, 54); putI32(18, 2); putI32(22, 2)
     bmp(28) = 24
     val png = Multimodal.buildPng(2, 2, i => i * 11, r => r % 5)
-    Seq(ppm, wav, bmp, png)
+    Seq(ppm, wav, bmp, png, jpegSample())
   }
 
   test("the seed samples are genuinely valid (fuzz arms are non-vacuous)") {
     // if a future edit breaks a hand-built sample, every derived
     // truncation/corruption case silently degrades to noise-only
     // coverage — so pin that each sample parses in full
-    val Seq(ppm, wavB, bmp, png) = validSamples()
+    val Seq(ppm, wavB, bmp, png, jpg) = validSamples()
     assert(Multimodal.parsePpm(ppm).exists(_._3 == 12L), "ppm sample invalid")
     assert(Multimodal.parseWav(wavB).exists(_._4 == 12L), "wav sample invalid")
     assert(Multimodal.parseBmp(bmp).exists(_._3 == 12L), "bmp sample invalid")
     assert(Multimodal.parsePng(png).exists(_._3 == 12L), "png sample invalid")
+    assert(Multimodal.parseJpeg(jpg).exists(_._3 == 4L * 4 * 3), "jpeg sample invalid")
   }
 
   test("parsers never throw, spin, or over-claim on arbitrary bytes") {
@@ -71,10 +80,13 @@ class ParserFuzzSpec extends AnyFunSuite {
       Multimodal.parseWav(p).foreach { case (_, _, _, n, _) =>
         assert(n >= 0 && n <= p.length, s"wav over-claims: $n of ${p.length}")
       }
-      // png decodes COMPRESSED data, so the bound is the declared
+      // png/jpeg decode COMPRESSED data, so the bound is the declared
       // raster size, not the payload length
       Multimodal.parsePng(p).foreach { case (w, h, n, _) =>
         assert(n >= 0 && n <= w.toLong * h * 3, s"png over-claims: $n of ${w}x$h")
+      }
+      Multimodal.parseJpeg(p).foreach { case (w, h, n, _) =>
+        assert(n >= 0 && n <= w.toLong * h * 3, s"jpeg over-claims: $n of ${w}x$h")
       }
     }
     // ~900 payloads: a declared-size spin (the pre-r8 parseBmp bug ran
