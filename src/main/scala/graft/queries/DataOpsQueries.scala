@@ -185,6 +185,64 @@ object DataOpsQueries {
         WHERE t.split = 'train'
         GROUP BY t.doc_id ORDER BY train_id"""
 
+  /** qd4's oracle body — shared verbatim by qd11_simhash_lake (same
+    * broadcast/shuffle result-identity contract).
+    */
+  private val simhashPairsSql =
+    s"""WITH d AS (SELECT doc_id,
+          list_transform(list_sort(list_distinct(string_split($normSql, ' '))),
+            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+              CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b"""
+
+  /** qd8's oracle body — shared verbatim by qd10_incremental_lake (same
+    * broadcast/shuffle result-identity contract).
+    */
+  private val incrementalDupSql =
+    s"""WITH d AS (SELECT doc_id, $normSql AS norm,
+          list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
+        sp AS (SELECT doc_id, norm, toks,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'corpus' ELSE 'batch' END AS part FROM d),
+        dh AS (SELECT doc_id, toks,
+          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
+          FROM sp),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM sp),
+        mh AS (SELECT doc_id, i,
+            MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT) AS v
+          FROM tok CROSS JOIN generate_series(0, 15) g(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 4 AS bnd,
+            md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
+          FROM mh GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+          FROM band bb
+          JOIN sp s1 ON s1.doc_id = bb.doc_id AND s1.part = 'batch'
+          JOIN band cb ON bb.bnd = cb.bnd AND bb.bk = cb.bk
+          JOIN sp s2 ON s2.doc_id = cb.doc_id AND s2.part = 'corpus'),
+        nr AS (SELECT DISTINCT cd.batch_id FROM cand cd
+          JOIN dh da ON da.doc_id = cd.batch_id
+          JOIN dh db ON db.doc_id = cd.corpus_id
+          WHERE len(list_intersect(da.toks_h, db.toks_h))
+            / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks_h, db.toks_h)))
+            >= 0.6),
+        ex AS (SELECT DISTINCT bq.doc_id FROM sp bq
+          WHERE bq.part = 'batch' AND EXISTS (
+            SELECT 1 FROM sp cq WHERE cq.part = 'corpus' AND cq.norm = bq.norm))
+        SELECT s.doc_id,
+          (s.doc_id IN (SELECT doc_id FROM ex)) AS dup_exact,
+          (s.doc_id IN (SELECT batch_id FROM nr)) AS dup_near
+        FROM sp s WHERE s.part = 'batch' ORDER BY s.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + quality scoring ----
@@ -1017,21 +1075,19 @@ object DataOpsQueries {
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH d AS (SELECT doc_id,
-          list_transform(list_sort(list_distinct(string_split($normSql, ' '))),
-            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
-          FROM documents),
-        sh AS (SELECT doc_id,
-          CAST(list_sum(list_transform(range(0, 60), j ->
-            CASE WHEN list_sum(list_transform(hs, h ->
-              CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
-          FROM d)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY id_a, id_b""")),
+      Some(simhashPairsSql)),
+
+    // ---- the SAME SimHash semantics through the lake arm: the
+    // fingerprint table shuffle-joins the deduped candidate pairs on id
+    // instead of broadcast-attaching — the code path when the (doc,
+    // simhash) table outgrows the broadcast budget. Identical oracle to
+    // qd4, so the gate pins arm equivalence every round (the
+    // qd7/qd9/qt13 treatment). ----
+    QueryDef("qd11_simhash_lake",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3, broadcastFingerprints = false)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(simhashPairsSql)),
 
     // ---- word-bigram Jaccard near-dup pairs (inverted-index join) ----
     QueryDef("qd5_ngram_jaccard",
@@ -1068,39 +1124,27 @@ object DataOpsQueries {
             "text", "doc_id", k = 16, bands = 4, threshold = 0.6)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, $normSql AS norm,
-          list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
-        sp AS (SELECT doc_id, norm, toks,
-          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
-            THEN 'corpus' ELSE 'batch' END AS part FROM d),
-        dh AS (SELECT doc_id, toks,
-          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
-          FROM sp),
-        tok AS (SELECT doc_id, unnest(toks) AS t FROM sp),
-        mh AS (SELECT doc_id, i,
-            MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT) AS v
-          FROM tok CROSS JOIN generate_series(0, 15) g(i) GROUP BY doc_id, i),
-        band AS (SELECT doc_id, i // 4 AS bnd,
-            md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
-          FROM mh GROUP BY doc_id, i // 4),
-        cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
-          FROM band bb
-          JOIN sp s1 ON s1.doc_id = bb.doc_id AND s1.part = 'batch'
-          JOIN band cb ON bb.bnd = cb.bnd AND bb.bk = cb.bk
-          JOIN sp s2 ON s2.doc_id = cb.doc_id AND s2.part = 'corpus'),
-        nr AS (SELECT DISTINCT cd.batch_id FROM cand cd
-          JOIN dh da ON da.doc_id = cd.batch_id
-          JOIN dh db ON db.doc_id = cd.corpus_id
-          WHERE len(list_intersect(da.toks_h, db.toks_h))
-            / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks_h, db.toks_h)))
-            >= 0.6),
-        ex AS (SELECT DISTINCT bq.doc_id FROM sp bq
-          WHERE bq.part = 'batch' AND EXISTS (
-            SELECT 1 FROM sp cq WHERE cq.part = 'corpus' AND cq.norm = bq.norm))
-        SELECT s.doc_id,
-          (s.doc_id IN (SELECT doc_id FROM ex)) AS dup_exact,
-          (s.doc_id IN (SELECT batch_id FROM nr)) AS dup_near
-        FROM sp s WHERE s.part = 'batch' ORDER BY s.doc_id""")),
+      Some(incrementalDupSql)),
+
+    // ---- the SAME incremental-dedup semantics through the lake arm:
+    // candidate (batch, corpus) pairs shuffle-join the per-doc token
+    // set tables on id instead of broadcast-attaching them — the code
+    // path when the accumulated corpus's set table exceeds the
+    // broadcast budget (the daily-production regime this operator
+    // exists for). Identical oracle to qd8, so the gate pins arm
+    // equivalence every round (the qd7/qd9/qt13 treatment). ----
+    QueryDef("qd10_incremental_lake",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("part",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("corpus", "batch")))
+        Dedup.incrementalDupFlags(
+            docs.filter(col("part") === "corpus"),
+            docs.filter(col("part") === "batch"),
+            "text", "doc_id", k = 16, bands = 4, threshold = 0.6,
+            broadcastSets = false)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalDupSql)),
 
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
     QueryDef("qs1_cosine_topk",

@@ -40,12 +40,18 @@ class PlanGuardSpec extends SparkTestBase {
       "minhashPairsLake" -> Dedup.minhashPairs(docs, "text", "doc_id",
         k = 8, bands = 4, threshold = 0.6, broadcastSets = false),
       "simhashPairs" -> Dedup.simhashPairs(docs, "text", "doc_id"),
+      "simhashPairsLake" -> Dedup.simhashPairs(docs, "text", "doc_id",
+        broadcastFingerprints = false),
       "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id"),
       "ngramJaccardPairsLake" -> Dedup.ngramJaccardPairs(docs, "text",
         "doc_id", broadcastSets = false, broadcastDocFreq = false),
       "incrementalDupFlags" -> Dedup.incrementalDupFlags(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id"),
+      "incrementalDupFlagsLake" -> Dedup.incrementalDupFlags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+        broadcastSets = false),
       "lshTopK" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         "query_id", "qe", k = 3, planes = 4),
       "lshTopKMulti" -> Similarity.lshTopKMulti(emb, queries, "vec_id",
