@@ -64,7 +64,9 @@ class PlanGuardSpec extends SparkTestBase {
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id",
         broadcastEval = false),
       "decontaminateBloom" -> Decontaminate.contaminatedBloom(
-        docs, docs.filter(col("doc_id") < 5), "text", "doc_id")
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
+      "boilerplateRemoval" -> graft.text.Boilerplate.removeBoilerplate(
+        docs, "text", "doc_id")
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 }

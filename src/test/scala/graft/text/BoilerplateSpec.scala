@@ -1,5 +1,7 @@
 package graft.text
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class BoilerplateSpec extends SparkTestBase {
@@ -40,6 +42,31 @@ class BoilerplateSpec extends SparkTestBase {
       .as[(Long, Int, Int, String)].collect()
     assert(out.length == 3) // no row silently dropped
     assert(out.forall { case (_, n, d, t) => n == 1 && d == 1 && t == "" })
+  }
+
+  test("reassembly identity: with maxDf >= ndocs nothing drops and clean_text == normalized text") {
+    // randomized invariant over window sizes: segmentation + in-order
+    // reassembly must reconstruct the normalized text exactly when no
+    // segment qualifies as boilerplate — any ordering, off-by-one, or
+    // separator bug in the collect_list/array_sort path breaks this
+    val rnd = new scala.util.Random(4242L)
+    val docs = (1L to 12L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      (id, (0 until n).map(_ => s"w${rnd.nextInt(8)}").mkString("  ", "   ", " "))
+    }.toDF("doc_id", "text")
+    Seq(1, 3, 8).foreach { w =>
+      val out = Boilerplate.removeBoilerplate(docs, "text", "doc_id",
+          window = w, maxDf = 1000)
+        .as[(Long, Int, Int, String)].collect()
+      assert(out.length == 12)
+      val norm = docs.select($"doc_id",
+          lower(trim(regexp_replace($"text", "\\s+", " "))).as("n"))
+        .as[(Long, String)].collect().toMap
+      out.foreach { case (id, _, dropped, clean) =>
+        assert(dropped == 0, s"window=$w doc=$id")
+        assert(clean == norm(id), s"window=$w doc=$id")
+      }
+    }
   }
 
   test("within-doc repetition alone is not boilerplate (df counts distinct docs)") {
