@@ -25,7 +25,12 @@ object Explain {
         // round-8 additions: the lake (shuffle) arms — watch that the
         // persisted prefix table keeps the candidate self-join reading
         // cache, and that the shuffled eval side stays an equi-join
-        "qd7_ngram_jaccard_lake", "qt13_decontaminate_lake")
+        "qd7_ngram_jaccard_lake", "qt13_decontaminate_lake",
+        // round-9 additions: the remaining dedup lake arms, the bloom
+        // pre-filter (must sit BELOW the exchange on the probe side),
+        // and boilerplate reassembly (equi-joins + one per-doc agg)
+        "qd9_minhash_lake", "qd10_incremental_lake", "qd11_simhash_lake",
+        "qt15_decontaminate_bloom", "qt16_boilerplate_removal")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
