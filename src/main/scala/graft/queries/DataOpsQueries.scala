@@ -454,6 +454,79 @@ object DataOpsQueries {
           COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
         FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- corpus release check, composed over CLEANED text: qt16
+    // boilerplate removal feeds exact dedup AND train/eval
+    // decontamination, yielding one per-doc release verdict — the
+    // pipeline shape a real corpus build runs (clean first, THEN dedup
+    // and leak-check, because boilerplate inflates both dup groups and
+    // gram overlap). keep = train-side AND canonical of its exact-dup
+    // group AND zero eval-gram overlap AND non-empty after cleaning.
+    // The oracle chains the three proven CTE bodies over clean_text;
+    // dedup groups span splits deliberately (an eval twin disqualifies
+    // a train doc — that IS the leak being checked). ----
+    QueryDef("qx4_clean_release",
+      (s, dir) => {
+        val cleaned = graft.text.Boilerplate.removeBoilerplate(
+            t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
+          .withColumn("split",
+            TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        val ann = Dedup.exactDupAnnotate(cleaned, "clean_text", "doc_id")
+        val cont = graft.text.Decontaminate.contaminated(
+            cleaned.filter(col("split") === "train"),
+            cleaned.filter(col("split") === "eval"),
+            "clean_text", "doc_id", n = 8)
+        ann.join(cont, ann("doc_id") === cont("train_id"), "left")
+          .select(col("doc_id"), col("split"), col("n_seg"), col("n_dropped"),
+            (col("doc_id") =!= col("canonical_id")).as("is_dup"),
+            coalesce(col("n_shared_grams"), lit(0L)).cast("int")
+              .as("n_shared_grams"),
+            (col("split") === "train" && col("doc_id") === col("canonical_id") &&
+              coalesce(col("n_shared_grams"), lit(0L)) === 0 &&
+              col("clean_text") =!= "").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
+          FROM d),
+        u AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
+        e AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM u),
+        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
+        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
+        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h),
+        cl AS (SELECT doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS n_dropped,
+          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+          FROM j GROUP BY doc_id),
+        sp AS (SELECT cl.*,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM cl),
+        can AS (SELECT sp.*,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))))) AS canonical_id
+          FROM sp),
+        ct AS (SELECT doc_id, split,
+          string_split(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))), ' ') AS ctoks
+          FROM sp),
+        g8 AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(generate_series(1, len(ctoks) - 7),
+              i -> ('0x' || substr(md5(array_to_string(ctoks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
+          FROM ct WHERE len(ctoks) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval'),
+        sh AS (SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM g8 t JOIN eg ON eg.g = t.g WHERE t.split = 'train'
+          GROUP BY t.doc_id)
+        SELECT cn.doc_id, cn.split, CAST(cn.n_seg AS INT) AS n_seg,
+          CAST(cn.n_dropped AS INT) AS n_dropped,
+          (cn.doc_id <> cn.canonical_id) AS is_dup,
+          CAST(COALESCE(sh.n_shared, 0) AS INT) AS n_shared_grams,
+          (cn.split = 'train' AND cn.doc_id = cn.canonical_id
+            AND COALESCE(sh.n_shared, 0) = 0 AND cn.clean_text <> '') AS keep
+        FROM can cn LEFT JOIN sh ON sh.doc_id = cn.doc_id
+        ORDER BY cn.doc_id""")),
+
     // ---- deterministic stratified sampling (data mixing): per-lang
     // keep rates via a salted id-hash bucket — map-only, no RNG, no
     // shuffle; reproducible across runs and engines, decorrelated from
