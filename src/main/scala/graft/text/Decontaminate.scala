@@ -64,10 +64,17 @@ object Decontaminate {
     * consumed by the sketch build AND the verify join); the caller
     * releases it after consuming the returned plan
     * (`spark.catalog.clearCache()`, as Bench does per query).
+    *
+    * `maxBits` caps the sketch (default 2^29 bits = 64 MiB, the same
+    * order as Spark's own runtime-filter cap): past the gram count
+    * where `fpp` would need more bits, the filter keeps its size and
+    * the EFFECTIVE fpp degrades instead — more rows survive to the
+    * verify join, never a wrong result. Without the cap a ~10^9-gram
+    * eval side at 1% fpp would materialize a ~1.2 GB plan literal.
     */
   def contaminatedBloom(train: DataFrame, eval: DataFrame,
       textCol: String, idCol: String, n: Int = 8, minShared: Int = 1,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, maxBits: Long = 1L << 29): DataFrame = {
     val tg = spread(train).select(col(idCol).as("train_id"),
       explode(WordNgramHashes.word_ngram_hashes(col(textCol), n)).as("g"))
     val eg = eval
@@ -75,7 +82,11 @@ object Decontaminate {
         WordNgramHashes.word_ngram_hashes(col(textCol), n)).as("g"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sketch = eg.stat.bloomFilter("g", math.max(eg.count(), 1L), fpp)
+    val nGrams = math.max(eg.count(), 1L)
+    val optimalBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nGrams, fpp)
+    val sketch = eg.stat.bloomFilter("g", nGrams,
+      math.min(optimalBits, maxBits))
     val bytes = {
       val baos = new java.io.ByteArrayOutputStream()
       sketch.writeTo(baos)

@@ -76,6 +76,14 @@ class DecontaminateSpec extends SparkTestBase {
       assert(bloom == bc, s"fpp=$fpp")
       spark.catalog.clearCache()
     }
+    // a maxBits cap far below the optimal size only degrades the
+    // effective fpp (the 100 TB guard against giant plan literals) —
+    // the verify join keeps the result bit-identical
+    val capped = Decontaminate.contaminatedBloom(tr, ev, "text", "doc_id",
+        n = 3, maxBits = 64)
+      .orderBy("train_id").collect().toSeq
+    assert(capped == bc, "maxBits cap changed the result")
+    spark.catalog.clearCache()
   }
 
   test("bloom pre-filter runs as native codegen before the verify join") {
