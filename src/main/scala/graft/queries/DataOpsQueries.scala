@@ -466,10 +466,17 @@ object DataOpsQueries {
     // a train doc — that IS the leak being checked). ----
     QueryDef("qx4_clean_release",
       (s, dir) => {
+        // cleaned is consumed THREE times (dedup window, decon train
+        // arm, decon eval arm); without the persist the whole
+        // boilerplate subtree — a join + two aggregates — recomputes
+        // per consumer (the qd7 no-exchange-reuse class). It is the
+        // small end of the pipeline: one row per doc. Cache released
+        // by the harness's per-query clearCache.
         val cleaned = graft.text.Boilerplate.removeBoilerplate(
             t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
           .withColumn("split",
             TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val ann = Dedup.exactDupAnnotate(cleaned, "clean_text", "doc_id")
         val cont = graft.text.Decontaminate.contaminated(
             cleaned.filter(col("split") === "train"),

@@ -39,6 +39,12 @@ object Boilerplate {
   def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 8, maxDf: Int = 2): DataFrame = {
     require(window >= 1 && maxDf >= 1, "need window >= 1 and maxDf >= 1")
+    // segs is consumed twice (the df aggregate and the join probe) and
+    // deliberately NOT persisted: the recomputed subtree is scan +
+    // codegen map/explode only — no shuffle below it — so a second
+    // scan is cheaper at scale than caching a corpus-sized exploded
+    // intermediate (the opposite call from qd7's prefix table, whose
+    // recomputed subtree contained an exchange + two windows).
     val segs = spread(docs).select(col(idCol).as("doc_id"),
         posexplode(TextOps.chunks(col(textCol), window, 0)))
       .select(col("doc_id"), col("pos"), col("col").as("seg"))
