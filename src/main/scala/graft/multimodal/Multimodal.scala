@@ -323,9 +323,13 @@ object Multimodal {
     if (p == null || p.length < 3) return None
     if (p(0) != 0xFF.toByte || p(1) != 0xD8.toByte || p(2) != 0xFF.toByte)
       return None
-    val iis = try javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(p)) catch { case _: Exception => null }
-    if (iis == null) return None
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    // the factory honors ImageIO.getUseCache() (default true) and backs
+    // each stream with a TEMP FILE — disk churn per payload in a decode
+    // hot path, and a global-state toggle to avoid. The payload is
+    // already fully in memory.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(p))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
