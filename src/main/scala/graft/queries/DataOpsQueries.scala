@@ -673,11 +673,14 @@ object DataOpsQueries {
     // (four queries at 0.0) vs 0.925 for qs8's float partial probe,
     // because int8's PER-VECTOR scale discards magnitude — float
     // queries probe code-space centroids with mismatched geometry and
-    // pick the wrong cells. The documented production fix is
-    // normalize-before-index or an inner-product coarse quantizer;
-    // this row pins the pitfall as a measurement, not an assumption
-    // (the int8 cosine itself is near-exact — qs10's full-probe
-    // overlap is 5/5). ----
+    // pick the wrong cells. Normalizing the corpus BEFORE quantizing
+    // was measured NOT to recover it (still 0.4 mean: the per-vector
+    // code scale keeps distorting L2 cell geometry whatever the input
+    // norms); the real production fix — float-space cell assignment,
+    // int8 only for in-cell scoring — is qs13's row. This pair pins
+    // the lesson as two measurements, not an assumption (the int8
+    // cosine itself is near-exact — qs10's full-probe overlap is
+    // 5/5). ----
     QueryDef("qs12_int8_ivf_ann",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -746,6 +749,98 @@ object DataOpsQueries {
                 i -> CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)))
             AS cosine
           FROM ca JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        i5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM i5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
+    // ---- ... and the FIX, also oracled: the SAME int8-served stack
+    // with cell assignment in FLOAT space — the production IVF layout,
+    // where the coarse quantizer is fixed at index build on floats and
+    // int8 only compresses the stored vectors (Ivf.topKOn). Cells now
+    // match qs8's float ivf_probe2 geometry, so recall recovers to its
+    // 0.925 band and the residual difference is pure in-cell
+    // quantization error (near-zero per qs10). A normalized-corpus
+    // variant was measured during development and does NOT fix qs12
+    // (still 0.4 — per-vector code scale distorts L2 cells regardless
+    // of input norms), which is why assignment space, not input
+    // normalization, is the lever this row pins. ----
+    QueryDef("qs13_int8_ivf_float_cells",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val withCodes = e.select(col("vec_id"), col("embedding"),
+          transform(Similarity.int8Quantize(col("embedding")),
+            c => c.cast("float")).as("codes"))
+        val seeds = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val ann = Ivf.topKOn(withCodes, q, "vec_id", "embedding", "codes",
+          "query_id", "qe", seeds, k = 5, nprobe = 2)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        qz AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127.0 AS DOUBLE) AS scale
+          FROM embeddings),
+        zc AS (SELECT vec_id,
+            list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+              ELSE CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END) AS codes
+          FROM qz),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 2),
+        i0 AS (SELECT qp.query_id, z.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(z.codes) + 1),
+              i -> CAST(z.codes[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(z.codes) + 1),
+                i -> CAST(z.codes[i] AS DOUBLE) * CAST(z.codes[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qp.qe) + 1),
+                i -> CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM ca JOIN zc z ON z.vec_id = ca.vec_id
+          JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
         i5 AS (SELECT query_id, neighbor_id FROM (
           SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),

@@ -71,6 +71,41 @@ object Ivf {
     graft.ops.Partitioning.spread(corpus).withColumn("cell",
       graft.functions.NearestCell.nearest_cell(col(vecCol), model.centroids))
 
+  /** ANN top-k with cell assignment on `vecCol` but scoring over a
+    * SEPARATE representation column `scoreCol` — the production IVF
+    * layout: the coarse quantizer lives in float space (fixed at index
+    * build), while the vectors actually held in memory are compressed
+    * (e.g. int8) codes. Assignment quality is float-grade; only the
+    * in-cell ranking pays the quantization error. (Running assignment
+    * on the codes themselves measurably scrambles cells: the
+    * per-vector int8 scale distorts L2 geometry whatever the input
+    * norms — see qs12/qs13.)
+    */
+  def topKOn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, scoreCol: String,
+      qIdCol: String, qVecCol: String,
+      model: Model, k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val corpusCells = assign(corpus, idCol, vecCol, model)
+      .select(col(idCol), col(scoreCol), col("cell"))
+    val queryCells = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => bc.value.nearest(qv, nprobe).map(c => (qid, c)) }
+      .toDF(qIdCol, "cell")
+      .join(queries, qIdCol)
+    val scored = corpusCells.join(broadcast(queryCells), "cell")
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        Similarity.cosine(col(scoreCol), col(qVecCol)).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
     * rank within candidates. With nprobe == k (all cells) this equals
     * the brute-force result.
