@@ -30,7 +30,12 @@ object Explain {
         // pre-filter (must sit BELOW the exchange on the probe side),
         // and boilerplate reassembly (equi-joins + one per-doc agg)
         "qd9_minhash_lake", "qd10_incremental_lake", "qd11_simhash_lake",
-        "qt15_decontaminate_bloom", "qt16_boilerplate_removal")
+        "qt15_decontaminate_bloom", "qt16_boilerplate_removal",
+        // round-10 additions: the release-check composite (persisted
+        // cleaned table feeding three consumers), the hot-band-capped
+        // minhash arm (size filter must be an aggregate + equi-join,
+        // never a giant window), and the real resample stage
+        "qx4_clean_release", "qd12_minhash_capped", "qm6_resize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

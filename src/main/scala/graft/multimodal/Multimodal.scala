@@ -214,7 +214,20 @@ object Multimodal {
     * dims and capped (64 MiB) so a zip bomb cannot balloon memory, and
     * a truncated stream decodes however many complete rows arrived.
     */
-  private[multimodal] def parsePng(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+  private[multimodal] def parsePng(p: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    pngRecon(p).map { case (w, h, bpp, rows, recon) =>
+      var sum = 0L; var i = 0
+      while (i < rows * w * bpp) { sum += recon(i) & 0xFF; i += 1 }
+      (w, h, rows.toLong * w * bpp, sum)
+    }
+
+  /** Shared PNG decode core for [[parsePng]] and [[rasterPng]]: chunk
+    * walk + inflate + five-filter reconstruction. Returns
+    * (w, h, bytesPerPixel, completeRows, recon) where `recon` holds the
+    * reconstructed bytes of the `completeRows` scanlines that arrived
+    * (truncated streams yield fewer than h).
+    */
+  private def pngRecon(p: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     if (p == null || p.length < 45) return None
     val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
     var i = 0
@@ -274,7 +287,7 @@ object Multimodal {
     val rows = got / stride // decode only the COMPLETE rows that arrived
     val prev = new Array[Int](rowBytes.toInt)
     val cur = new Array[Int](rowBytes.toInt)
-    var sum = 0L; var nPix = 0L
+    val recon = new Array[Byte](rows * rowBytes.toInt)
     var r = 0
     while (r < rows) {
       val f = out(r * stride) & 0xFF
@@ -285,7 +298,7 @@ object Multimodal {
         val a = if (c >= bpp) cur(c - bpp) else 0  // left (recon)
         val b = prev(c)                            // up (recon)
         val ul = if (c >= bpp) prev(c - bpp) else 0 // upper-left (recon)
-        val recon = f match {
+        val v = f match {
           case 0 => raw
           case 1 => (raw + a) & 0xFF
           case 2 => (raw + b) & 0xFF
@@ -297,12 +310,12 @@ object Multimodal {
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else ul
             (raw + pred) & 0xFF
         }
-        cur(c) = recon; sum += recon; nPix += 1; c += 1
+        cur(c) = v; recon(r * rowBytes.toInt + c) = v.toByte; c += 1
       }
       System.arraycopy(cur, 0, prev, 0, cur.length)
       r += 1
     }
-    Some((w, h, nPix, sum))
+    Some((w, h, bpp, rows, recon))
   }
 
   /** Real parse of a JPEG payload via the JDK's bundled ImageIO codec —
@@ -319,7 +332,19 @@ object Multimodal {
     * ImageIO cannot read (including the sniff-only jpeg-magic test
     * payloads) returns None to the stub.
     */
-  private[multimodal] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+  private[multimodal] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    rasterJpeg(p).map { case (w, h, rgb) =>
+      var sum = 0L; var i = 0
+      while (i < rgb.length) { sum += rgb(i) & 0xFF; i += 1 }
+      (w, h, w.toLong * h * 3, sum)
+    }
+
+  /** JPEG payload → top-down RGB raster (3 bytes/pixel) via the JDK's
+    * bundled ImageIO codec — the shared core of [[parseJpeg]] and the
+    * [[resize]] decode arm. Greyscale JPEGs surface each sample three
+    * times through `getRGB`, consistently for decode and fixture.
+    */
+  private[multimodal] def rasterJpeg(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (p == null || p.length < 3) return None
     if (p(0) != 0xFF.toByte || p(1) != 0xD8.toByte || p(2) != 0xFF.toByte)
       return None
@@ -337,23 +362,189 @@ object Multimodal {
       try {
         reader.setInput(iis, true, true)
         val w = reader.getWidth(0); val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || h > (64L << 20) / (w.toLong * 3)) return None
+        // Bomb cap from the HEADER, before reader.read allocates the
+        // raster. The denominator is the RAW band count (a 4-component
+        // CMYK/Adobe JPEG allocates a w*h*4 raster, 33% over a
+        // 3-bytes/pixel assumption), never below the 3 bytes/pixel the
+        // getRGB walk and the returned RGB raster cost.
+        val bands = {
+          val raw = reader.getRawImageType(0)
+          if (raw != null) raw.getNumBands
+          else {
+            val it = reader.getImageTypes(0)
+            if (it.hasNext) it.next().getNumBands else 4
+          }
+        }
+        if (w <= 0 || h <= 0 ||
+          h > (64L << 20) / (w.toLong * math.max(3, bands))) return None
         val img = reader.read(0)
-        var sum = 0L
+        val rgb = new Array[Byte](w * h * 3)
+        // bulk per-row getRGB: per-pixel getRGB(x, y) pays a ColorModel
+        // conversion CALL per pixel on non-INT_RGB rasters (~22M calls
+        // at the cap) — the row form amortizes it across the scanline
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            val v = row(x); val at = (y * w + x) * 3
+            rgb(at) = ((v >> 16) & 0xFF).toByte
+            rgb(at + 1) = ((v >> 8) & 0xFF).toByte
+            rgb(at + 2) = (v & 0xFF).toByte
             x += 1
           }
           y += 1
         }
-        Some((w, h, w.toLong * h * 3, sum))
+        Some((w, h, rgb))
       } finally reader.dispose()
     } catch { case _: Exception => None }
     finally iis.close()
+  }
+
+  /** PPM payload → top-down RGB raster. Unlike [[parsePpm]] (which sums
+    * whatever clamped prefix of the raster arrived), resampling needs
+    * every pixel: a truncated payload returns None to the stub path.
+    */
+  private[multimodal] def rasterPpm(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p == null || p.length < 2 || p(0) != 'P' || p(1) != '6') None
+    else {
+      var pos = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < p.length) p(pos) match {
+          case ' ' | '\n' | '\r' | '\t' => pos += 1
+          case '#' => while (pos < p.length && p(pos) != '\n') pos += 1
+          case _ => go = false
+        }
+      }
+      def int(): Int = {
+        skipWs(); var v = 0
+        while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
+          v = v * 10 + (p(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); int() // maxval read but not kept
+      pos += 1 // exactly one whitespace byte separates header and raster
+      val n = w.toLong * h * 3
+      if (w <= 0 || h <= 0 || n > (64L << 20) || pos + n > p.length) None
+      else Some((w, h, java.util.Arrays.copyOfRange(p, pos, pos + n.toInt)))
+    }
+  }
+
+  /** Uncompressed 24-bit BMP payload → top-down RGB raster: rows are
+    * stored bottom-up (or top-down when the declared height is
+    * negative) in BGR order with 4-byte stride padding — all three
+    * normalized away here so every container feeds [[boxResample]] the
+    * same layout. Requires the complete raster (see [[rasterPpm]]).
+    */
+  private[multimodal] def rasterBmp(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u16(at: Int): Int = (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8)
+    def i32(at: Int): Int = (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8) |
+      ((p(at + 2) & 0xFF) << 16) | ((p(at + 3) & 0xFF) << 24)
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') None
+    else {
+      val off = i32(10)
+      val hRaw = i32(22)
+      val topDown = hRaw < 0
+      val w = i32(18)
+      val h = math.abs(hRaw)
+      val rowBytes = w.toLong * 3
+      val stride = ((rowBytes + 3) / 4) * 4
+      if (u16(28) != 24 || i32(30) != 0 || w <= 0 || h <= 0 ||
+        off < 54 || rowBytes * h > (64L << 20) ||
+        off + stride * h > p.length) None
+      else {
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val srcRow = off + (if (topDown) y else h - 1 - y).toLong * stride
+          var x = 0
+          while (x < w) {
+            val src = (srcRow + x * 3).toInt; val dst = (y * w + x) * 3
+            out(dst) = p(src + 2)     // R
+            out(dst + 1) = p(src + 1) // G
+            out(dst + 2) = p(src)     // B
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, out))
+      }
+    }
+  }
+
+  /** PNG payload → top-down RGB raster ([[pngRecon]] core; greyscale
+    * expands each sample to three channels, matching how getRGB
+    * surfaces grey JPEGs). Requires every scanline (see [[rasterPpm]]).
+    */
+  private[multimodal] def rasterPng(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngRecon(p).flatMap { case (w, h, bpp, rows, recon) =>
+      if (rows < h) None
+      else if (bpp == 3) Some((w, h, recon))
+      else Some((w, h, {
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val v = recon(i)
+          out(i * 3) = v; out(i * 3 + 1) = v; out(i * 3 + 2) = v
+          i += 1
+        }
+        out
+      }))
+    }
+
+  /** Fit (w, h) inside a maxW×maxH box preserving aspect ratio, in
+    * INTEGER rational arithmetic — a double scale factor turns
+    * 8.0/24*24 into 7.999…, and floor of that into an off-by-one output
+    * dimension. Never upscales.
+    */
+  private[multimodal] def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (maxW.toLong * h <= maxH.toLong * w)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** Integer area-average box filter over a top-down RGB raster: output
+    * pixel (ox, oy) averages the input block x ∈ [ox·w/ow, (ox+1)·w/ow)
+    * × y ∈ [oy·h/oh, (oy+1)·h/oh) (floor division, truncated mean) per
+    * channel. For exact-divisor scales every block is the same k×k tile
+    * — closed-form recomputable, which is what the qm6 oracle pins;
+    * non-divisor scales stay deterministic (blocks differ by one
+    * row/column).
+    */
+  private[multimodal] def boxResample(w: Int, h: Int, rgb: Array[Byte],
+      ow: Int, oh: Int): Array[Byte] = {
+    require(ow >= 1 && ow <= w && oh >= 1 && oh <= h,
+      s"box filter only downsamples: ${w}x$h -> ${ow}x$oh")
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      val y0 = (oy.toLong * h / oh).toInt
+      val y1 = math.max(y0 + 1, ((oy + 1).toLong * h / oh).toInt)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = (ox.toLong * w / ow).toInt
+        val x1 = math.max(x0 + 1, ((ox + 1).toLong * w / ow).toInt)
+        val area = (y1 - y0) * (x1 - x0)
+        var c = 0
+        while (c < 3) {
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += rgb(((y * w + x) * 3) + c) & 0xFF; x += 1 }
+            y += 1
+          }
+          out(((oy * ow + ox) * 3) + c) = (s / area).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
   }
 
   /** Serialize an 8-bit RGB non-interlaced PNG: signature, IHDR, one
@@ -544,32 +735,52 @@ object Multimodal {
   def repartitionForDecode(media: DataFrame, partitions: Int): DataFrame =
     media.repartition(partitions, abs(hash(col("media_id"), md5(col("bytes")))))
 
-  /** Resize-stage STUB: batched per-partition iteration producing the
-    * target-box dimensions with aspect ratio preserved. The geometry is
-    * REAL (fit-within-box math on the decoded dimensions); only the
-    * pixel resampling a codec would do is absent. Input needs
-    * (media_id, decoded_width, decoded_height) — compose after
-    * [[decodeStub]].
+  /** REAL resize stage: decode the payload to an RGB raster
+    * ([[rasterPpm]] / [[rasterBmp]] / [[rasterPng]] / [[rasterJpeg]]),
+    * fit the decoded dims into the maxW×maxH box ([[fitDims]], integer
+    * rational geometry), then resample with the integer area-average
+    * box filter ([[boxResample]]) and sum every resampled byte — so a
+    * green qm6 row is evidence of real resampled pixel data, not
+    * geometry echo. Payloads no JDK codec can decode (mp3/video/…)
+    * keep the stub contract a codec/model call would replace: the
+    * deterministic fake dims of [[decodeStub]] fit into the box,
+    * `resized_pix_sum` null, `codec = "stub"`. Batched per-partition
+    * like every decode stage.
     */
-  def resizeStub(decoded: DataFrame, maxW: Int, maxH: Int,
+  def resize(media: DataFrame, maxW: Int, maxH: Int,
       batchSize: Int = 64): DataFrame = {
-    val spark = decoded.sparkSession
+    require(maxW >= 1 && maxH >= 1, "target box must be at least 1x1")
+    val spark = media.sparkSession
     import spark.implicits._
-    val out = decoded.select(col("media_id"),
-        col("decoded_width"), col("decoded_height"))
-      .as[(Long, Int, Int)]
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // <-- real resampler would process `batch` here
-          batch.iterator.map { case (id, w, h) =>
-            val scale = math.min(1.0,
-              math.min(maxW.toDouble / math.max(w, 1),
-                maxH.toDouble / math.max(h, 1)))
-            (id, math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // <-- a codec resampler would process `batch` here; the
+          //     raster arms ARE that resampler for the containers this
+          //     environment can decode
+          batch.iterator.map { case (id, payload) =>
+            rasterPpm(payload).map(d => (d, "ppm"))
+              .orElse(rasterBmp(payload).map(d => (d, "bmp")))
+              .orElse(rasterPng(payload).map(d => (d, "png")))
+              .orElse(rasterJpeg(payload).map(d => (d, "jpeg"))) match {
+              case Some(((w, h, rgb), codec)) =>
+                val (ow, oh) = fitDims(w, h, maxW, maxH)
+                val res = boxResample(w, h, rgb, ow, oh)
+                var sum = 0L; var i = 0
+                while (i < res.length) { sum += res(i) & 0xFF; i += 1 }
+                (id, ow, oh, Some(sum), codec)
+              case None =>
+                val len = if (payload == null) 0 else payload.length
+                val fakeW = 16 + (math.abs(len) % 64)
+                val (ow, oh) = fitDims(fakeW, math.max(1, fakeW / 2), maxW, maxH)
+                (id, ow, oh, None: Option[Long], "stub")
+            }
           }
         }
-      }.toDF("media_id", "resized_width", "resized_height")
-    decoded.join(out, "media_id")
+      }.toDF("media_id", "resized_width", "resized_height",
+        "resized_pix_sum", "codec")
+    media.join(out, "media_id")
   }
 
   /** Frame-sampling STUB for video payloads: emits one row per sampled

@@ -159,6 +159,23 @@ object AdvancedQueries {
     }.toDF("media_id", "bytes")
   }
 
+  /** PPM media whose dims are exact multiples of the qm6 box-fit scale:
+    * k = 2 + id%3, raster 8k×4k with byte i = (id*31 + i*7) mod 256 —
+    * fitDims(8k, 4k, 8, 8) = (8, 4), so the resample averages exact
+    * k×k tiles and every output byte is closed-form recomputable.
+    */
+  private def gridPpmsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val k = (2 + id % 3).toInt
+      val w = 8 * k; val h = 4 * k
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate[Byte](w * h * 3)(i =>
+        ((id * 31 + i.toLong * 7) % 256).toByte)
+      (id, header ++ px)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Documents table dressed up as a PCM audio table: every payload is
     * a well-formed RIFF/WAVE file with id-derived fmt metadata and
     * sample bytes, a third of them carrying a LIST junk chunk between
@@ -858,6 +875,32 @@ object AdvancedQueries {
           CAST(w*h*3 AS BIGINT) AS decoded_bytes,
           CAST(list_sum(list_transform(range(0, w*h*3),
             i -> (media_id*31 + i*7) % 256)) AS BIGINT) AS pix_sum
+        FROM m ORDER BY media_id""")),
+
+    // ---- REAL resample, oracled closed-form: every payload is a PPM
+    // whose dims are exact multiples of the box-fit scale (8k×4k into
+    // an 8×8 box -> 8×4 out, k×k blocks), so each resampled byte is the
+    // truncated mean of a k×k tile the oracle recomputes pixel-by-pixel
+    // from the id-derived raster formula. A green row proves decode +
+    // integer box-filter resample end-to-end, not geometry echo.
+    // Non-divisor scales stay deterministic (ragged blocks) and are
+    // spec-pinned in MultimodalSpec instead. ----
+    QueryDef("qm6_resize",
+      (s, dir) => Multimodal.resize(gridPpmsFromDocs(s, dir),
+          maxW = 8, maxH = 8)
+        .select(col("media_id"), col("codec"), col("resized_width"),
+          col("resized_height"), col("resized_pix_sum"))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 3 AS k
+          FROM documents)
+        SELECT media_id, 'ppm' AS codec, CAST(8 AS INT) AS resized_width,
+          CAST(4 AS INT) AS resized_height,
+          CAST(list_sum(list_transform(range(0, 96), o ->
+            list_sum(list_transform(range(0, k * k), b ->
+              (media_id * 31 + (((((o // 24) * k + (b // k)) * (8 * k))
+                + ((o % 24) // 3) * k + (b % k)) * 3 + (o % 3)) * 7) % 256
+            )) // (k * k)
+          )) AS BIGINT) AS resized_pix_sum
         FROM m ORDER BY media_id""")),
 
     // ---- Skew-salted join: must be result-identical to the plain join

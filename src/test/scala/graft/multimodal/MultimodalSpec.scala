@@ -241,17 +241,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(wide.exists { case (_, _, nPix, _) => nPix > 0 && nPix <= 8 }, wide)
   }
 
-  test("resize stub fits within the box, preserves aspect, keeps ids") {
-    val decoded = Multimodal.decodeStub(media)
-    val out = Multimodal.resizeStub(decoded, maxW = 20, maxH = 12)
+  test("resize keeps the stub contract on non-decodable payloads") {
+    val out = Multimodal.resize(media, maxW = 20, maxH = 12)
     assert(out.count() === 5)
-    out.select($"decoded_width", $"decoded_height",
-        $"resized_width", $"resized_height")
-      .as[(Int, Int, Int, Int)].collect().foreach { case (w, h, rw, rh) =>
-        assert(rw <= 20 && rh <= 12)
-        // aspect preserved within integer truncation
-        assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.5, s"$w x $h -> $rw x $rh")
+    out.select($"codec", $"resized_width", $"resized_height",
+        $"resized_pix_sum")
+      .as[(String, Int, Int, Option[Long])].collect().foreach {
+        case (codec, rw, rh, sum) =>
+          assert(codec === "stub" && sum.isEmpty)
+          assert(rw >= 1 && rw <= 20 && rh >= 1 && rh <= 12)
       }
+  }
+
+  test("resize really box-filters a PPM raster (hand-computed blocks)") {
+    // 4x2 RGB, bytes 0..23; box 2x1 -> fitDims gives 2x1, k=2 blocks.
+    // Block (0,0): ch sums 30/34/38 -> means 7/8/9; block (1,0):
+    // 54/58/62 -> 13/14/15; total resampled sum 66.
+    val ppm = "P6\n4 2\n255\n".getBytes("ASCII") ++
+      Array.tabulate[Byte](24)(_.toByte)
+    val out = Multimodal.resize(
+        Seq((1L, ppm)).toDF("media_id", "bytes"), maxW = 2, maxH = 1)
+      .select($"codec", $"resized_width", $"resized_height",
+        $"resized_pix_sum")
+      .as[(String, Int, Int, Option[Long])].head()
+    assert(out === (("ppm", 2, 1, Some(66L))), out)
+  }
+
+  test("rasterBmp flips bottom-up BGR rows into a top-down RGB raster") {
+    // logical image y0: (1,2,3),(4,5,6); y1: (7,8,9),(10,11,12) —
+    // stored bottom-up (y1's row first) in BGR with 2 pad bytes/row
+    val bmp = new Array[Byte](54 + 16)
+    def putU16(at: Int, v: Int): Unit = {
+      bmp(at) = (v & 0xFF).toByte; bmp(at + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putI32(at: Int, v: Int): Unit = (0 until 4).foreach(b =>
+      bmp(at + b) = ((v >> (8 * b)) & 0xFF).toByte)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    putI32(10, 54); putI32(14, 40); putI32(18, 2); putI32(22, 2)
+    putU16(26, 1); putU16(28, 24)
+    val rows = Array(Array(9, 8, 7, 12, 11, 10), Array(3, 2, 1, 6, 5, 4))
+    for (r <- 0 to 1; c <- 0 until 6) bmp(54 + r * 8 + c) = rows(r)(c).toByte
+    val got = Multimodal.rasterBmp(bmp)
+    assert(got.exists(_._3.toSeq == (1 to 12).map(_.toByte)), got)
+  }
+
+  test("resize is container-invariant: same raster as PPM and PNG") {
+    def pix(i: Int): Int = (i * 7) % 256
+    val ppm = "P6\n8 4\n255\n".getBytes("ASCII") ++
+      Array.tabulate[Byte](8 * 4 * 3)(i => pix(i).toByte)
+    val png = Multimodal.buildPng(8, 4, pix, r => r % 5)
+    val out = Multimodal.resize(
+        Seq((1L, ppm), (2L, png)).toDF("media_id", "bytes"),
+        maxW = 4, maxH = 4)
+      .select($"media_id", $"codec", $"resized_width", $"resized_height",
+        $"resized_pix_sum")
+      .as[(Long, String, Int, Int, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "ppm" && out(2L)._2 === "png")
+    assert(out(1L)._3 === 4 && out(1L)._4 === 2) // 8x4 into 4x4 box
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) ===
+      ((out(2L)._3, out(2L)._4, out(2L)._5)))
+    assert(out(1L)._5.nonEmpty)
   }
 
   test("frame sampling explodes to every-nth frame with ordinal + key") {
