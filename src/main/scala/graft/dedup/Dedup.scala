@@ -84,16 +84,61 @@ object Dedup {
         transform(slice(sig, b * lit(rows) + 1, lit(rows)),
           v => v.cast("string")))))
 
+  /** Hot-bucket guard for every banded candidate generator: drop
+    * candidate buckets holding more than `maxBucket` members from
+    * candidate generation entirely (`maxBucket <= 0` = unlimited). A
+    * bucket with B members emits B·(B-1)/2 candidate pairs, so ONE hot
+    * template clique (boilerplate pages, near-empty docs) turns the
+    * bucket equi-join quadratic at corpus scale — the most likely
+    * real-world failure of the LSH family at 100 TB. Deliberately an
+    * aggregate + left_anti equi-join (map-side-combining hash agg, then
+    * an anti-join against the small oversized-key list), NEVER a
+    * per-bucket row_number window: ranking inside the hot bucket would
+    * itself pin the skewed partition on one task. Recall trade, eyes
+    * open: a pair whose EVERY shared bucket is oversized is lost — at
+    * realistic caps those are template cliques that exact/token-set
+    * dedup already collapses; audit the trade with
+    * [[minhashBandStats]] before choosing the cap.
+    */
+  private def capBuckets(banded: DataFrame, keyCol: String,
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val oversized = banded.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > maxBucket)
+        .select(col(keyCol))
+      banded.join(oversized, Seq(keyCol), "left_anti")
+    }
+
+  /** Per-bucket population of the MinHash band index — the skew-audit
+    * companion to `maxBucket`: one row per band bucket (the folded
+    * band-index⊕key long the pair join buckets on) with its member
+    * count. Aggregate into a histogram (qd13) to see the clique mass a
+    * cap would drop, or alert on `n_docs > cap` before the pair join.
+    */
+  def minhashBandStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    spread(docs)
+      .select(col(idCol).as("doc"), tokenSet(col(textCol)).as("toks"))
+      .select(col("doc"), explode(graft.functions.MinhashBands
+        .minhash_bands(col("toks"), k, bands)).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** MinHash/LSH candidate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
     * Jaccard is an exact integer ratio — engine-portable bit-for-bit.
     * Persists the token-set table (see the cache lifecycle contract on
-    * [[Dedup]]).
+    * [[Dedup]]). `maxBucket`: see [[capBuckets]] — the qd12 arm runs
+    * this guard driver-oracled.
     */
   def minhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6,
-      broadcastSets: Boolean = true): DataFrame = {
+      broadcastSets: Boolean = true, maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(trailing signature values would be silently excluded from every band)")
@@ -112,9 +157,10 @@ object Dedup {
     // the pair-dedup shuffle compare 8-byte keys instead of 32-char
     // strings. Token sets are re-attached afterwards via two broadcast
     // joins against the (small) per-doc set table.
-    val banded = withSets.select(col("doc"),
+    val banded = capBuckets(withSets.select(col("doc"),
       explode(graft.functions.MinhashBands
-        .minhash_bands(col("toks"), k, bands)).as("band"))
+        .minhash_bands(col("toks"), k, bands)).as("band")),
+      "band", maxBucket)
     val cands = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.doc") < col("b.doc"))
@@ -225,11 +271,13 @@ object Dedup {
     * Hamming <= 3 shares at least one exact band), then the exact
     * bit_count(xor) filter — LSH-complete for maxHamming <= 3, never a
     * cross join. Persists the fingerprint table (see the cache
-    * lifecycle contract on [[Dedup]]).
+    * lifecycle contract on [[Dedup]]). `maxBucket`: see [[capBuckets]]
+    * (applied to the packed 15-bit band buckets).
     */
   def simhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, broadcastFingerprints: Boolean = true): DataFrame = {
+      maxHamming: Int = 3, broadcastFingerprints: Boolean = true,
+      maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 3, "4x15-bit banding is only complete for Hamming <= 3")
     // fingerprint table is persisted: it feeds the band join (twice) and
     // both verification attaches
@@ -244,11 +292,12 @@ object Dedup {
     // quadratic pair dedup measured 3.5x slower. Fingerprints re-attach
     // after the dedup (broadcast by default; the (doc, long) table is
     // 16 bytes/doc, shuffle-join it at lake scale instead).
-    val banded = sh
+    val banded = capBuckets(sh
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
         expr("(shiftright(simhash, band * 15) & 32767)"))
-      .select(col("doc"), (col("band") * 32768 + col("band_key")).as("bk"))
+      .select(col("doc"), (col("band") * 32768 + col("band_key")).as("bk")),
+      "bk", maxBucket)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc") < col("b.doc"))
@@ -432,13 +481,17 @@ object Dedup {
     * arrays (broadcast-attached). The gram table is persisted: it feeds
     * the inverted index, the prefix ranking, and the verification sets,
     * and the tokenize→ngram→hash chain is the per-row hot path (see the
-    * cache lifecycle contract on [[Dedup]]).
+    * cache lifecycle contract on [[Dedup]]). `maxBucket`: see
+    * [[capBuckets]] — here the cap drops postings whose document
+    * frequency exceeds it from the prefix index (positions preserved,
+    * so the positional bound stays valid on the survivors).
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5,
       broadcastSets: Boolean = true,
-      broadcastDocFreq: Boolean = true): DataFrame = {
+      broadcastDocFreq: Boolean = true,
+      maxBucket: Int = 0): DataFrame = {
     val grams = spread(docs).select(col(idCol).as("doc"),
       graft.functions.WordNgramHashes
         .word_ngram_hashes(col(textCol), n).as("gh")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -460,8 +513,13 @@ object Dedup {
         val m = dfMap.value
         val ng = gh.length
         val p = ng - math.ceil(ng * threshold).toInt + 1
-        gh.map(g => (m(g), g)).sorted.iterator.take(p).zipWithIndex.map {
-          case ((_, g), i) => (doc, g, i + 1, ng)
+        // the maxBucket cap drops HOT postings (df > cap) from the
+        // index while keeping each survivor's original prefix position,
+        // so the positional bound stays valid — same rows as the lake
+        // route's df filter
+        gh.map(g => (m(g), g)).sorted.iterator.take(p).zipWithIndex.collect {
+          case ((d, g), i) if maxBucket <= 0 || d <= maxBucket =>
+            (doc, g, i + 1, ng)
         }
       }.toDF("doc", "g", "pos", "ng")
     } else {
@@ -475,11 +533,14 @@ object Dedup {
       // prefix table is the SMALL end of the pipeline (≈(1-t)·|grams|
       // slim rows), so MEMORY_AND_DISK is safe at lake scale.
       val wDoc = Window.partitionBy(col("doc"))
-      inv.join(df_, "g")
+      val ranked = inv.join(df_, "g")
         .withColumn("pos",
           row_number().over(wDoc.orderBy(col("df"), col("g"))))
         .withColumn("ng", count(lit(1)).over(wDoc))
         .filter(col("pos") <= col("ng") - ceil(col("ng") * threshold) + 1)
+      // hot-posting cap AFTER prefix ranking (positions keep their
+      // original values, see the broadcast route)
+      (if (maxBucket > 0) ranked.filter(col("df") <= maxBucket) else ranked)
         .select(col("doc"), col("g"), col("pos"), col("ng"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }

@@ -502,9 +502,12 @@ object AdvancedQueries {
     // ascending-vec_id float sum (list(... ORDER BY vec_id) +
     // list_reduce) divided by the member count — bit-for-bit the
     // accumulation order of fit's `sums(c)(i) += v(i)` loop over the
-    // id-sorted sample. Every cell is non-empty by construction (each
-    // seed is its own nearest at distance 0), so fit's empty-cell
-    // branch never fires. Downstream (corpus assignment, 2-cell probe,
+    // id-sorted sample. Empty cells mirror fit's keep-the-old-centroid
+    // branch via the cent1 LEFT JOIN + COALESCE back to the seed — a
+    // cell only goes empty if two seed vectors are bit-identical (both
+    // assign to the lower-index cell), but the oracle must not silently
+    // diverge if the corpus ever contains duplicate low-id embeddings.
+    // Downstream (corpus assignment, 2-cell probe,
     // top-5, recall-vs-brute) is the qs8 ivf_probe2 pattern, whose
     // NearestCell ≡ l2sqSql equivalence the qs8 row already pins. ----
     QueryDef("qs11_ann_recall_lloyd",
@@ -547,9 +550,13 @@ object AdvancedQueries {
         a1d AS (SELECT a1.cell, a1.vec_id, t.i,
             CAST(a1.embedding[t.i] AS DOUBLE) AS v
           FROM a1, range(1, $EmbeddingDim + 1) t(i)),
-        cent1 AS (SELECT cell, i,
+        m1 AS (SELECT cell, i,
             list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
           FROM a1d GROUP BY cell, i),
+        cent1 AS (SELECT s.cell, t.i,
+            COALESCE(m1.cv, CAST(s.ce[t.i] AS DOUBLE)) AS cv
+          FROM seeds s CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = t.i),
         cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM cent1 GROUP BY cell),
         ca AS (SELECT vec_id, embedding, cell FROM (
           SELECT e.vec_id, e.embedding, c.cell,
@@ -573,6 +580,109 @@ object AdvancedQueries {
           GROUP BY iv.query_id),
         ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
         SELECT 'ivf_lloyd1_probe2' AS method, ex.query_id,
+          CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id"""
+      }),
+
+    // ---- ANN recall of the MULTI-iteration Lloyd fit — the default
+    // users deploy is Ivf.fit(iters = 3); qs11 oracles exactly one
+    // step, this row proves the unrolled-SQL pattern COMPOSES: each
+    // iteration is one more (assign → ordered-float-sum means →
+    // COALESCE-guarded centroid) CTE layer over the previous one, so a
+    // second layer pins iters = 2 bit-for-bit (same sequential
+    // accumulation order, same (distance, index) tie rule, same
+    // empty-cell keep-old-centroid branch — genuinely reachable in
+    // iteration 2, where a fitted centroid can lose all its members).
+    // Downstream probe/recall is the qs11 shape; recall stays < 1 —
+    // a real measured tradeoff, not a full-probe identity. ----
+    QueryDef("qs14_ann_recall_lloyd2",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lloyd = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 2)
+        val ann = Ivf.topK(e, q, "vec_id", "embedding", "query_id", "qe",
+          lloyd, k = 5, nprobe = 2)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .withColumn("method", lit("ivf_lloyd2_probe2"))
+          .select(col("method"), col("query_id"),
+            col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            ${cosineSql("e.embedding", "qv.qe")} AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        samp AS (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 4096),
+        a1 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN seeds c) WHERE rk = 1),
+        a1d AS (SELECT a1.cell, a1.vec_id, t.i,
+            CAST(a1.embedding[t.i] AS DOUBLE) AS v
+          FROM a1, range(1, $EmbeddingDim + 1) t(i)),
+        m1 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a1d GROUP BY cell, i),
+        c1d AS (SELECT s.cell, t.i,
+            COALESCE(m1.cv, CAST(s.ce[t.i] AS DOUBLE)) AS cv
+          FROM seeds s CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = t.i),
+        c1 AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c1d GROUP BY cell),
+        a2 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN c1 c) WHERE rk = 1),
+        a2d AS (SELECT a2.cell, a2.vec_id, t.i,
+            CAST(a2.embedding[t.i] AS DOUBLE) AS v
+          FROM a2, range(1, $EmbeddingDim + 1) t(i)),
+        m2 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a2d GROUP BY cell, i),
+        c2d AS (SELECT c.cell, t.i, COALESCE(m2.cv, c.ce[t.i]) AS cv
+          FROM c1 c CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m2 ON m2.cell = c.cell AND m2.i = t.i),
+        cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c2d GROUP BY cell),
+        ca AS (SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id
+              ORDER BY ${l2sqSql("qv.qe", "c.ce")}, c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 2),
+        iv0 AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+            ${cosineSql("ca.embedding", "qp.qe")} AS cosine
+          FROM ca JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        iv AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM iv0) WHERE rk <= 5),
+        hit AS (SELECT iv.query_id, COUNT(*) AS n_hit
+          FROM iv JOIN br ON br.query_id = iv.query_id
+            AND br.neighbor_id = iv.neighbor_id
+          GROUP BY iv.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT 'ivf_lloyd2_probe2' AS method, ex.query_id,
           CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
           CAST(ex.n_exact AS INT) AS n_exact,
           CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall

@@ -115,15 +115,13 @@ object DataOpsQueries {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  /** qd3's oracle body (no ORDER BY) — the exact-Jaccard-verified
-    * MinHash/LSH pair set, reused as the input graph of qd6's
-    * connected-components oracle.
+  /** The MinHash band-index CTE chain (d → tok → mh → band) shared by
+    * the pair oracles and qd13's bucket histogram. `band` carries one
+    * row per (doc, band ordinal, band key) — grouping on (b, bk)
+    * mirrors the engine's folded hash60(b || ":" || bandHex) bucket.
     */
-  private val minhashPairsSql =
-    s"""WITH d AS (SELECT doc_id, list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
-        dh AS (SELECT doc_id, toks,
-          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
-          FROM d),
+  private val minhashBandCtes =
+    s"""d AS (SELECT doc_id, list_sort(list_distinct(string_split($normSql, ' '))) AS toks FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
         mh AS (
           SELECT doc_id, i,
@@ -132,10 +130,29 @@ object DataOpsQueries {
         band AS (
           SELECT doc_id, i // 4 AS b,
             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bk
-          FROM mh GROUP BY doc_id, i // 4),
+          FROM mh GROUP BY doc_id, i // 4)"""
+
+  /** qd3's oracle body (no ORDER BY) — the exact-Jaccard-verified
+    * MinHash/LSH pair set, reused as the input graph of qd6's
+    * connected-components oracle. `maxBucket > 0` reproduces the
+    * engine's hot-bucket guard (qd12): band buckets holding more than
+    * `maxBucket` docs are dropped before candidate generation.
+    */
+  private def minhashPairsSql(maxBucket: Int = 0): String = {
+    val capCtes = if (maxBucket > 0)
+      s"""
+        bs AS (SELECT b, bk, COUNT(*) AS n FROM band GROUP BY b, bk),
+        keep AS (SELECT band.doc_id, band.b, band.bk FROM band
+          JOIN bs ON bs.b = band.b AND bs.bk = band.bk
+          WHERE bs.n <= $maxBucket),""" else ""
+    val src = if (maxBucket > 0) "keep" else "band"
+    s"""WITH $minhashBandCtes,
+        dh AS (SELECT doc_id, toks,
+          list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks_h
+          FROM d),$capCtes
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          FROM $src a JOIN $src b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
         sz AS (SELECT doc_id, len(toks) AS n FROM d),
         inter AS (
           SELECT c.id_a, c.id_b, len(list_intersect(da.toks_h, db.toks_h)) AS inter
@@ -144,6 +161,7 @@ object DataOpsQueries {
           i.inter / (sa.n + sb.n - i.inter) AS jaccard
         FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
         WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.6"""
+  }
 
   /** qd5's oracle body — shared verbatim by qd7_ngram_jaccard_lake: the
     * broadcast and shuffle arms are result-identical by contract, so
@@ -1246,7 +1264,7 @@ object DataOpsQueries {
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
           k = 16, bands = 4, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"$minhashPairsSql\n        ORDER BY id_a, id_b")),
+      Some(s"${minhashPairsSql()}\n        ORDER BY id_a, id_b")),
 
     // ---- the SAME MinHash/LSH semantics through the lake (shuffle)
     // verification arm: candidate pairs shuffle-join the per-doc token
@@ -1259,7 +1277,35 @@ object DataOpsQueries {
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
           k = 16, bands = 4, threshold = 0.6, broadcastSets = false)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"$minhashPairsSql\n        ORDER BY id_a, id_b")),
+      Some(s"${minhashPairsSql()}\n        ORDER BY id_a, id_b")),
+
+    // ---- The hot-band skew guard, driver-oracled: same MinHash/LSH
+    // semantics with band buckets > 8 docs DROPPED before candidate
+    // generation (Dedup.capBuckets — aggregate + left_anti, never a
+    // per-bucket window). On this template-heavy corpus the cap
+    // genuinely trips (see qd13's histogram), so the oracle pins the
+    // exact recall trade the guard makes, not a no-op path. ----
+    QueryDef("qd12_minhash_capped",
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.6, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"${minhashPairsSql(maxBucket = 8)}\n        ORDER BY id_a, id_b")),
+
+    // ---- The skew AUDIT the cap is chosen from: histogram of MinHash
+    // band-bucket populations (bucket_size -> how many buckets). The
+    // clique mass a given maxBucket would drop is exactly the tail of
+    // this histogram — the measurement that turns the 100 TB hot-band
+    // story from asserted to measured. ----
+    QueryDef("qd13_band_skew_audit",
+      (s, dir) => Dedup.minhashBandStats(t(s, dir, "documents"),
+          "text", "doc_id", k = 16, bands = 4)
+        .groupBy(col("n_docs").as("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .orderBy(col("bucket_size")),
+      Some(s"""WITH $minhashBandCtes,
+        bs AS (SELECT b, bk, COUNT(*) AS n_docs FROM band GROUP BY b, bk)
+        SELECT n_docs AS bucket_size, COUNT(*) AS n_buckets
+        FROM bs GROUP BY n_docs ORDER BY bucket_size""")),
 
     // ---- Duplicate clusters: connected components over the qd3 pair
     // graph (min-label propagation on the Spark side, recursive-CTE
@@ -1270,7 +1316,7 @@ object DataOpsQueries {
           Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
             k = 16, bands = 4, threshold = 0.6))
         .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE p AS ($minhashPairsSql),
+      Some(s"""WITH RECURSIVE p AS (${minhashPairsSql()}),
         und AS (SELECT id_a AS a, id_b AS b FROM p
           UNION ALL SELECT id_b AS a, id_a AS b FROM p),
         reach(a, b) AS (
@@ -1311,7 +1357,7 @@ object DataOpsQueries {
           .withColumn("n_tok", col("n_tok").cast("int"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE p AS ($minhashPairsSql),
+      Some(s"""WITH RECURSIVE p AS (${minhashPairsSql()}),
         und AS (SELECT id_a AS a, id_b AS b FROM p
           UNION ALL SELECT id_b AS a, id_a AS b FROM p),
         reach(a, b) AS (

@@ -60,10 +60,17 @@ object Decontaminate {
     * bit-identical to [[contaminated]] — which is why the driver oracle
     * (qt15) is the same SQL as qt9/qt13.
     *
-    * Cache lifecycle: the deduped eval gram table is persisted (it is
-    * consumed by the sketch build AND the verify join); the caller
-    * releases it after consuming the returned plan
-    * (`spark.catalog.clearCache()`, as Bench does per query).
+    * EAGER construction — unlike every other operator in this library,
+    * which returns a fully lazy plan, building this DataFrame RUNS two
+    * Spark jobs up front (the eval-gram `count()` sizing the sketch and
+    * the `bloomFilter` aggregation building it): the sketch must exist
+    * as a plan literal before the probe-side filter can be planned.
+    * Compose it accordingly (build once, reuse the returned plan), and
+    * mind the cache lifecycle: the deduped eval gram table is persisted
+    * (it is consumed by the sketch build AND the verify join); the
+    * caller releases it after consuming the returned plan
+    * (`spark.catalog.clearCache()`, as Bench does per query) — skipping
+    * that leaks the cached gram table for the session's lifetime.
     *
     * `maxBits` caps the sketch (default 2^29 bits = 64 MiB, the same
     * order as Spark's own runtime-filter cap): past the gram count

@@ -39,6 +39,8 @@ class PlanGuardSpec extends SparkTestBase {
         k = 8, bands = 4, threshold = 0.6),
       "minhashPairsLake" -> Dedup.minhashPairs(docs, "text", "doc_id",
         k = 8, bands = 4, threshold = 0.6, broadcastSets = false),
+      "minhashPairsCapped" -> Dedup.minhashPairs(docs, "text", "doc_id",
+        k = 8, bands = 4, threshold = 0.6, maxBucket = 8),
       "simhashPairs" -> Dedup.simhashPairs(docs, "text", "doc_id"),
       "simhashPairsLake" -> Dedup.simhashPairs(docs, "text", "doc_id",
         broadcastFingerprints = false),

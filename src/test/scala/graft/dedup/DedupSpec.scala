@@ -84,6 +84,55 @@ class DedupSpec extends SparkTestBase {
         broadcastSets = true, broadcastDocFreq = true)))
   }
 
+  test("maxBucket bounds a synthetic template clique's candidate volume") {
+    // the hot-band failure mode at 100 TB: ~30% of the corpus is one
+    // template. 30 identical docs share every band bucket (size 30);
+    // distinct fillers land in small buckets. An 8-cap must drop every
+    // clique bucket (so ZERO of the 435 quadratic clique pairs survive)
+    // while leaving small-bucket pairs untouched — and the audit must
+    // see the buckets it dropped.
+    val clique = (1 to 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val fillers = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, "totally different content about distributed engines"))
+    val skewed = (clique ++ fillers).toDF("doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    val uncapped = keys(Dedup.minhashPairs(skewed, "text", "doc_id",
+      k = 16, bands = 4, threshold = 0.6))
+    val capped = keys(Dedup.minhashPairs(skewed, "text", "doc_id",
+      k = 16, bands = 4, threshold = 0.6, maxBucket = 8))
+    val cliquePairs = uncapped.filter { case (a, b) => a <= 30 && b <= 30 }
+    assert(cliquePairs.size == 435, s"clique must fully pair: ${cliquePairs.size}")
+    assert(capped.subsetOf(uncapped))
+    assert(capped.forall { case (a, b) => a > 30 || b > 30 },
+      "no quadratic clique pair may survive the cap")
+    assert(capped == uncapped -- cliquePairs,
+      "small-bucket pairs must be untouched by the cap")
+
+    // audit: the stats table sees the oversized buckets the cap dropped
+    val oversized = Dedup.minhashBandStats(skewed, "text", "doc_id",
+        k = 16, bands = 4)
+      .filter($"n_docs" > 8).count()
+    assert(oversized >= 1L)
+
+    // same guard on the other two banded families
+    val simCapped = keys(Dedup.simhashPairs(skewed, "text", "doc_id",
+      maxHamming = 3, maxBucket = 8))
+    assert(simCapped.forall { case (a, b) => a > 30 || b > 30 })
+    val ngCapped = keys(Dedup.ngramJaccardPairs(skewed, "text", "doc_id",
+      n = 2, threshold = 0.5, maxBucket = 8))
+    assert(ngCapped.forall { case (a, b) => a > 30 || b > 30 })
+    // lake route applies the same posting cap
+    val ngCappedLake = keys(Dedup.ngramJaccardPairs(skewed, "text", "doc_id",
+      n = 2, threshold = 0.5, broadcastSets = false, broadcastDocFreq = false,
+      maxBucket = 8))
+    assert(ngCappedLake == ngCapped)
+  }
+
   test("dupClusters: components, sizes, canonical flags — multi-hop path converges") {
     // component {1,2,3,4,5} is a PATH (worst case for label propagation:
     // min must walk 4 hops), {10,11} a pair, 20 isolated (absent)
