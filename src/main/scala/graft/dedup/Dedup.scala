@@ -208,12 +208,15 @@ object Dedup {
     * self-join). The corpus side is touched ONLY through hash/band-key
     * equi-joins, so corpus cost is one scan + one band explode
     * regardless of history size; candidate volume is bounded by band
-    * collisions exactly as in [[minhashPairs]]. Persists both prepped
-    * sides (see the cache lifecycle contract on [[Dedup]]).
+    * collisions exactly as in [[minhashPairs]], and `maxBucket` bounds
+    * it further by capping the corpus-side band postings (see
+    * [[capBuckets]] and the inline note). Persists both prepped sides
+    * (see the cache lifecycle contract on [[Dedup]]).
     */
   def incrementalDupFlags(corpus: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.6, broadcastSets: Boolean = true): DataFrame = {
+      threshold: Double = 0.6, broadcastSets: Boolean = true,
+      maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands")
     def prep(df: DataFrame) = spread(df)
@@ -227,12 +230,18 @@ object Dedup {
     val exact = b.join(c.select(col("content_hash")),
         Seq("content_hash"), "left_semi")
       .select(col("doc")).withColumn("dup_exact", lit(true))
-    // slim band join: only (doc, folded 8-byte band key) rides it
+    // slim band join: only (doc, folded 8-byte band key) rides it.
+    // maxBucket caps the CORPUS side's buckets ([[capBuckets]]): the
+    // accumulated corpus is the unbounded dimension (a hot template
+    // posting grows with history), while the batch is one day's crawl —
+    // capping the corpus posting bounds candidate volume at
+    // |batch| · maxBucket. `dup_exact` is untouched by the cap.
     def banded(df: DataFrame) = df.select(col("doc"),
       explode(graft.functions.MinhashBands
         .minhash_bands(col("toks"), k, bands)).as("band"))
     val cands = banded(b).as("nb")
-      .join(banded(c).as("oc"), col("nb.band") === col("oc.band"))
+      .join(capBuckets(banded(c), "band", maxBucket).as("oc"),
+        col("nb.band") === col("oc.band"))
       .select(col("nb.doc").as("batch_doc"), col("oc.doc").as("corpus_doc"))
       .dropDuplicates("batch_doc", "corpus_doc")
     val near = verifyJaccard(

@@ -131,6 +131,22 @@ class DedupSpec extends SparkTestBase {
       n = 2, threshold = 0.5, broadcastSets = false, broadcastDocFreq = false,
       maxBucket = 8))
     assert(ngCappedLake == ngCapped)
+
+    // incremental (daily-production) shape: corpus-side postings are
+    // capped, so a batch doc whose only collisions are the hot template
+    // loses dup_near — but dup_exact rides the hash join, untouched
+    val corpus = skewed.filter($"doc_id" =!= 1L)
+    val batch = skewed.filter($"doc_id" === 1L)
+    val flags = Dedup.incrementalDupFlags(corpus, batch, "text", "doc_id",
+        k = 16, bands = 4, threshold = 0.6, maxBucket = 8)
+      .select($"doc_id", $"dup_exact", $"dup_near")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(flags == ((1L, true, false)), flags)
+    val flagsUncapped = Dedup.incrementalDupFlags(corpus, batch, "text",
+        "doc_id", k = 16, bands = 4, threshold = 0.6)
+      .select($"doc_id", $"dup_exact", $"dup_near")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(flagsUncapped == ((1L, true, true)), flagsUncapped)
   }
 
   test("dupClusters: components, sizes, canonical flags — multi-hop path converges") {
