@@ -35,7 +35,8 @@ object Explain {
         // cleaned table feeding three consumers), the hot-band-capped
         // minhash arm (size filter must be an aggregate + equi-join,
         // never a giant window), and the real resample stage
-        "qx4_clean_release", "qd12_minhash_capped", "qm6_resize")
+        "qx4_clean_release", "qd12_minhash_capped", "qm6_resize",
+        "qs14_ann_recall_lloyd2", "qs15_lsh_neardup_capped")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -35,6 +35,34 @@ object Skew {
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
   }
 
+  /** Hot-bucket guard for every banded candidate generator (MinHash /
+    * SimHash / n-gram postings, hyperplane-LSH buckets): drop candidate
+    * buckets holding more than `maxBucket` members from candidate
+    * generation entirely (`maxBucket <= 0` = unlimited). A bucket with
+    * B members emits B·(B-1)/2 candidate pairs, so ONE hot template
+    * clique (boilerplate pages, near-empty docs, a degenerate embedding
+    * cluster) turns the bucket equi-join quadratic at corpus scale —
+    * the most likely real-world failure of the LSH family at 100 TB.
+    * Deliberately an aggregate + left_anti equi-join (map-side-combining
+    * hash agg, then an anti-join against the small oversized-key list),
+    * NEVER a per-bucket row_number window: ranking inside the hot
+    * bucket would itself pin the skewed partition on one task. Recall
+    * trade, eyes open: a pair whose EVERY shared bucket is oversized is
+    * lost — at realistic caps those are template cliques that
+    * exact/token-set dedup already collapses; audit the trade with
+    * [[graft.dedup.Dedup.minhashBandStats]] before choosing the cap.
+    */
+  def capBuckets(banded: DataFrame, keyCol: String,
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val oversized = banded.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > maxBucket)
+        .select(col(keyCol))
+      banded.join(oversized, Seq(keyCol), "left_anti")
+    }
+
   /** Key histogram — pick salting candidates: keys holding more than
     * `threshold` of all rows.
     */

@@ -75,6 +75,33 @@ object AdvancedQueries {
           JOIN b bv ON bv.vec_id = cand.id_b)"""
   }
 
+  /** qs15's oracle CTE fragment — the qs6 pair set with the hot-bucket
+    * cap reproduced: wide per-table bucket columns unpivot to
+    * (vec_id, bucket) rows keyed exactly like the engine
+    * (`packed * tables + t`), buckets holding more than `cap` vectors
+    * are dropped, and candidates join on the SURVIVING buckets only.
+    */
+  private def lshNearDupCappedCtes(cap: Int): String = {
+    val nTables = 8
+    val bucketCols = (0 until nTables).map(tb =>
+      s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
+    val bucketExprs = (0 until nTables).map(tb => s"b$tb * $nTables + $tb").mkString(", ")
+    s"""b AS (SELECT vec_id, embedding,
+          $bucketCols
+          FROM embeddings),
+        bkt AS (SELECT vec_id, unnest([$bucketExprs]) AS bucket FROM b),
+        bsz AS (SELECT bucket, COUNT(*) AS n FROM bkt GROUP BY bucket),
+        keep AS (SELECT bkt.vec_id, bkt.bucket FROM bkt
+          JOIN bsz ON bsz.bucket = bkt.bucket WHERE bsz.n <= $cap),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM keep a JOIN keep c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        sc AS (SELECT cand.id_a, cand.id_b,
+            ${cosineSql("av.embedding", "bv.embedding")} AS cosine
+          FROM cand
+          JOIN b av ON av.vec_id = cand.id_a
+          JOIN b bv ON bv.vec_id = cand.id_b)"""
+  }
+
   /** Exact squared L2 distance in DuckDB — same IEEE op sequence as
     * [[graft.functions.NearestCell.compute]] / [[graft.sim.Ivf.l2sq]]
     * (sequential `(a-b)^2` accumulation over dims).
@@ -324,6 +351,25 @@ object AdvancedQueries {
         .orderBy(col("id_a"), col("id_b")),
       Some {
         s"""WITH $lshNearDupCtes
+        SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.45
+        ORDER BY id_a, id_b"""
+      }),
+
+    // ---- qs6 with the hot-bucket guard engaged (Skew.capBuckets —
+    // the same aggregate + left_anti cap the qd12 text arm pins): on
+    // this corpus the 128 table-buckets range 16-53 vectors, so cap=32
+    // genuinely drops the fat half and the oracle reproduces the exact
+    // recall trade (a pair survives iff it shares a NON-oversized
+    // bucket). The degenerate-cluster scenario this guards at 100 TB:
+    // zero/constant embeddings collapsing one bucket per table into a
+    // quadratic self-join. ----
+    QueryDef("qs15_lsh_neardup_capped",
+      (s, dir) => Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8,
+          maxBucket = 32)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        s"""WITH ${lshNearDupCappedCtes(32)}
         SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.45
         ORDER BY id_a, id_b"""
       }),

@@ -145,9 +145,16 @@ object Similarity {
     * queries (the Bench/Verify harness policy) or an unpersist once the
     * result is consumed. Long-lived sessions that skip both will
     * accumulate one entry per call.
+    *
+    * `maxBucket` ([[graft.ops.Skew.capBuckets]]): the same hot-bucket
+    * guard the text-dedup family carries — a degenerate embedding
+    * cluster (zero vectors, a constant-embedding template) lands in ONE
+    * bucket per table and turns the self-join quadratic; the cap drops
+    * buckets above it before candidate generation (`<= 0` = unlimited).
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
+      threshold: Double, planes: Int = 8, tables: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     // Slim candidate generation (the minhashPairs pattern): the bucket
     // self-join and the quadratic pair dedup carry ONLY (id, bucket) —
     // shipping the embedding arrays through a join whose output is
@@ -160,7 +167,9 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tabs = array((0 until tables).map(t =>
       lshBucketPacked("nd_vec", planes, t) * lit(tables) + t): _*)
-    val banded = base.select(col("nd_id"), explode(tabs).as("bucket"))
+    val banded = graft.ops.Skew.capBuckets(
+      base.select(col("nd_id"), explode(tabs).as("bucket")),
+      "bucket", maxBucket)
     val cands = banded.as("a")
       .join(banded.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.nd_id") < col("b.nd_id"))

@@ -54,12 +54,18 @@ class PlanGuardSpec extends SparkTestBase {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
         broadcastSets = false),
+      "incrementalDupFlagsCapped" -> Dedup.incrementalDupFlags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+        maxBucket = 8),
       "lshTopK" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         "query_id", "qe", k = 3, planes = 4),
       "lshTopKMulti" -> Similarity.lshTopKMulti(emb, queries, "vec_id",
         "embedding", "query_id", "qe", k = 3, planes = 4, tables = 2),
       "lshNearDupPairs" -> Similarity.lshNearDupPairs(emb, "vec_id",
         "embedding", threshold = 0.45, planes = 4, tables = 2),
+      "lshNearDupPairsCapped" -> Similarity.lshNearDupPairs(emb, "vec_id",
+        "embedding", threshold = 0.45, planes = 4, tables = 2, maxBucket = 8),
       "decontaminate" -> Decontaminate.contaminated(
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
       "decontaminateLake" -> Decontaminate.contaminated(

@@ -95,6 +95,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"near-dup recall too low: $recall (${lsh.size}/${brute.size})")
   }
 
+  test("lshNearDupPairs maxBucket: degenerate cluster dropped, rest intact") {
+    import spark.implicits._
+    // 12 identical vectors = one bucket per table holding all 12 — the
+    // degenerate-embedding clique that turns the self-join quadratic.
+    // Plus one genuine near-dup pair with a different sign pattern.
+    val clique = (100L to 111L).map(id => (id, Array.fill(16)(-1.0f)))
+    val dup = Seq(
+      (1L, Array.tabulate(16)(i => if (i == 0) 1.0f else 0.5f)),
+      (2L, Array.tabulate(16)(i => if (i == 0) 0.9f else 0.5f)))
+    val corpus = (clique ++ dup).toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.lshNearDupPairs(corpus, "vec_id",
+        "embedding", threshold = 0.9, planes = 4, tables = 4, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = run(0)
+    val capped = run(8)
+    // capped is a subset with identical cosines (same exact kernel)
+    capped.foreach { case (p, c) =>
+      assert(uncapped.get(p).contains(c), s"capped pair $p not in uncapped")
+    }
+    // every clique pair is present uncapped (cosine 1.0) and gone capped:
+    // all 12 members share EVERY bucket, so each clique bucket is > 8,
+    // while (1,2) ride their own 2-member bucket in all four tables
+    assert(uncapped.keys.count(p => p._1 >= 100L) == 12 * 11 / 2, uncapped.keySet)
+    assert(capped.keySet == Set((1L, 2L)), capped.keySet)
+    spark.catalog.clearCache() // lshNearDupPairs persists its slim table
+  }
+
   test("multi-table candidates are deduped: at most k rows per query") {
     val multi = Similarity.lshTopKMulti(
       e, q, "vec_id", "embedding", "query_id", "qe", k = 5, planes = 4, tables = 8)
