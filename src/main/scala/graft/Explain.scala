@@ -36,7 +36,12 @@ object Explain {
         // minhash arm (size filter must be an aggregate + equi-join,
         // never a giant window), and the real resample stage
         "qx4_clean_release", "qd12_minhash_capped", "qm6_resize",
-        "qs14_ann_recall_lloyd2", "qs15_lsh_neardup_capped")
+        "qs14_ann_recall_lloyd2", "qs15_lsh_neardup_capped",
+        // BM25 retrieval (term filter must ride map-side BEFORE the
+        // postings exchange; df/stats broadcast; top-k must be
+        // TakeOrderedAndProject) and the corpus n-gram survey (partial
+        // hash agg + TakeOrderedAndProject, no global sort)
+        "qt17_bm25_topk", "qt18_top_ngrams")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -472,6 +472,63 @@ object DataOpsQueries {
           COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
         FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- BM25 ranked retrieval (graft.text.Bm25): inverted-index
+    // scoring of a 4-term query over the corpus — the lexical-search
+    // pass that pulls topical slices out of a crawl. Map-side term
+    // filter BEFORE the one postings shuffle; df and corpus stats
+    // broadcast; TakeOrderedAndProject top-k. Scoring is the log-free
+    // rational idf (TextOps' +,-,*,/ doctrine) and the per-doc total
+    // is a fixed-order pivot sum, so the oracle reproduces every
+    // double bit-for-bit. ----
+    QueryDef("qt17_bm25_topk",
+      (s, dir) => graft.text.Bm25.topK(t(s, dir, "documents"),
+        "doc_id", "text",
+        queryTerms = Seq("spark", "customer", "vector", "slow"), k = 15),
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+        p AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+          WHERE term IN ('spark', 'customer', 'vector', 'slow')
+          GROUP BY doc_id, dl, term),
+        dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY term),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+          CAST(SUM(len(toks)) AS DOUBLE) AS sum_dl FROM d),
+        sc AS (SELECT p.doc_id, p.term,
+            ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+              * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+              / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                 * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                    + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (sum_dl / n_docs))) AS s
+          FROM p JOIN dfq ON dfq.term = p.term CROSS JOIN st),
+        piv AS (SELECT doc_id,
+            MAX(CASE WHEN term = 'spark' THEN s END) AS s_0,
+            MAX(CASE WHEN term = 'customer' THEN s END) AS s_1,
+            MAX(CASE WHEN term = 'vector' THEN s END) AS s_2,
+            MAX(CASE WHEN term = 'slow' THEN s END) AS s_3
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id,
+          COALESCE(s_0, CAST(0.0 AS DOUBLE)) + COALESCE(s_1, CAST(0.0 AS DOUBLE))
+            + COALESCE(s_2, CAST(0.0 AS DOUBLE)) + COALESCE(s_3, CAST(0.0 AS DOUBLE)) AS bm25
+        FROM piv ORDER BY bm25 DESC, doc_id LIMIT 15""")),
+
+    // ---- corpus-level n-gram statistics: global top-20 word bigrams
+    // by occurrence count (tie-broken by gram text) — the vocabulary /
+    // contamination-survey table a curation run reads before choosing
+    // boilerplate and repetition thresholds. Pure map-side partial
+    // aggregation into one gram-keyed exchange, then
+    // TakeOrderedAndProject — no global sort, no corpus-sized state. ----
+    QueryDef("qt18_top_ngrams",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextOps.wordBigrams(col("text"))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20),
+      Some(s"""WITH d AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+        bgs AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM d WHERE len(toks) >= 2)
+        SELECT bigram, COUNT(*) AS n FROM bgs GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20""")),
+
     // ---- corpus release check, composed over CLEANED text: qt16
     // boilerplate removal feeds exact dedup AND train/eval
     // decontamination, yielding one per-doc release verdict — the
