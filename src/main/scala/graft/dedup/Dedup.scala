@@ -70,9 +70,11 @@ object Dedup {
     * chain evaluates k·|tokens| interpreted md5 lambdas per row).
     */
   def minhashSignature(tokens: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(tokens, t =>
-        TextOps.hash60(concat(i.cast("string"), lit(":"), t)))))
+    TextOps.bindOnce(tokens) { toks =>
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(toks, t =>
+          TextOps.hash60(concat(i.cast("string"), lit(":"), t)))))
+    }
 
   /** LSH band keys: the signature split into `bands` slices of `rows`
     * values, each md5-summarized. Docs sharing any band key are
@@ -447,12 +449,12 @@ object Dedup {
   }
 
   /** Word n-grams (default bigrams) of the normalized text, distinct. */
-  def wordNgrams(text: Column, n: Int = 2): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-  }
+  def wordNgrams(text: Column, n: Int = 2): Column =
+    TextOps.bindOnce(TextOps.tokens(text)) { toks =>
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+    }
 
   /** n-gram Jaccard near-dup pairs with PPJoin-style prefix + positional
     * filtering: output = all pairs with Jaccard >= threshold over

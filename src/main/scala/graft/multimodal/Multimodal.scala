@@ -69,9 +69,11 @@ object Multimodal {
     * STUB: replace with a real encoder at deployment.
     */
   def pseudoEmbedding(bytes: Column, dims: Int = 8): Column =
-    transform(sequence(lit(0), lit(dims - 1)), i =>
-      (((conv(substring(md5(concat(i.cast("string"), lit(":"), base64(bytes))), 1, 15),
-        16, 10).cast("long") % 2000000L) / lit(1000000.0)) - 1.0).cast("float"))
+    graft.text.TextOps.bindOnce(base64(bytes)) { b64 =>
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        (((conv(substring(md5(concat(i.cast("string"), lit(":"), b64)), 1, 15),
+          16, 10).cast("long") % 2000000L) / lit(1000000.0)) - 1.0).cast("float"))
+    }
 
   /** Real parse of a binary PPM (P6) payload — the one container a
     * codec-free environment can genuinely decode: ASCII header

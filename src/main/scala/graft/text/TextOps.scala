@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Evaluate `a` exactly ONCE per row and feed the materialized value
+    * to `f` as a lambda variable. Spark's higher-order functions are
+    * interpreted (no whole-stage codegen, no common-subexpression
+    * elimination), so a lambda body that references an outer
+    * expression tree — `element_at(split(norm(text)), i)` inside
+    * `transform(sequence(...), i => ...)` — re-evaluates the WHOLE
+    * outer tree per element: O(elements) regex+split passes per row
+    * instead of one (measured 21x on the qt18 bigram explode at
+    * sf0.1). A HOF's argument, by contrast, is evaluated once per row
+    * and lambda-variable access is O(1) — so wrapping the expensive
+    * tree in a one-element array and transforming over it pins
+    * single-evaluation at the expression level, where no projection
+    * split can be un-collapsed by Catalyst.
+    */
+  def bindOnce(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+
   /** Collapse whitespace, trim, lowercase — canonical text form. */
   def norm(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
@@ -110,12 +127,12 @@ object TextOps {
     * is the distinct set form for Jaccard). Single-token documents get
     * an empty array (guarded: Spark's `sequence(1, 0)` would descend).
     */
-  def wordBigrams(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-  }
+  def wordBigrams(text: Column): Column =
+    bindOnce(tokens(text)) { toks =>
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    }
 
   /** Content fingerprints: md5 of the normalized text, and its 60-bit
     * numeric form for compact storage / joins.
@@ -133,11 +150,12 @@ object TextOps {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
     val stride = chunkSize - overlap
-    val toks = tokens(text)
-    val n = when(size(toks) <= chunkSize, lit(1))
-      .otherwise(((size(toks) - chunkSize + (stride - 1)) / stride).cast("int") + 1)
-    transform(sequence(lit(0), n - 1), i =>
-      concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+    bindOnce(tokens(text)) { toks =>
+      val n = when(size(toks) <= chunkSize, lit(1))
+        .otherwise(((size(toks) - chunkSize + (stride - 1)) / stride).cast("int") + 1)
+      transform(sequence(lit(0), n - 1), i =>
+        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+    }
   }
 
   /** Deterministic corpus split by content-independent hash of the id:
