@@ -75,7 +75,17 @@ object Bench {
       .map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // Execute via the noop SINK, not count(): under count() Catalyst
+        // legally prunes subtrees that cannot change cardinality — e.g.
+        // qt8's left join against a doc_id-keyed aggregate is join-
+        // eliminated, deleting the bigram explode it exists to measure
+        // (observed: 0.39 s "count" vs ~8 s real at sf0.1 pre-bindOnce).
+        // The noop sink consumes every row of the ACTUAL result (sort
+        // included, as a real consumer would) and writes nothing.
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
