@@ -41,7 +41,10 @@ object Explain {
         // postings exchange; df/stats broadcast; top-k must be
         // TakeOrderedAndProject) and the corpus n-gram survey (partial
         // hash agg + TakeOrderedAndProject, no global sort)
-        "qt17_bm25_topk", "qt18_top_ngrams")
+        "qt17_bm25_topk", "qt18_top_ngrams",
+        // TF-IDF tagging: vocab-sized df join + per-doc window — the
+        // window must partition by doc id only (no corpus-wide sort)
+        "qt19_tfidf_keywords")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

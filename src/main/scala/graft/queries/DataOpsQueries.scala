@@ -510,6 +510,31 @@ object DataOpsQueries {
             + COALESCE(s_2, CAST(0.0 AS DOUBLE)) + COALESCE(s_3, CAST(0.0 AS DOUBLE)) AS bm25
         FROM piv ORDER BY bm25 DESC, doc_id LIMIT 15""")),
 
+    // ---- per-document TF-IDF keyword extraction (graft.text.Bm25
+    // .tfidfKeywords): top-3 terms per doc by (tf/dl)·rational-idf —
+    // the document-tagging pass. Vocabulary-sized df table joined
+    // back by term (AQE broadcasts when it fits), one-row stats
+    // broadcast, per-doc row_number window (state per task = one
+    // doc's vocabulary). Score is a single rational expression — no
+    // cross-term sum — so the oracle is bit-exact. ----
+    QueryDef("qt19_tfidf_keywords",
+      (s, dir) => graft.text.Bm25.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, dl, term),
+        dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM d),
+        sc AS (SELECT doc_id, tf.term AS term,
+            (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+              * ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS score
+          FROM tf JOIN dfq ON dfq.term = tf.term CROSS JOIN st),
+        rk AS (SELECT doc_id, term, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM sc)
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM rk
+        WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // ---- corpus-level n-gram statistics: global top-20 word bigrams
     // by occurrence count (tie-broken by gram text) — the vocabulary /
     // contamination-survey table a curation run reads before choosing
@@ -1304,6 +1329,53 @@ object DataOpsQueries {
           ON p.user_id = s.user_id
           AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
         ORDER BY COALESCE(s.event_id, -1), COALESCE(p.event_id, -1)""")),
+
+    // ---- Streaming decontamination ≡ batch (qt9's streaming twin):
+    // filter-on-ingest — train docs arrive as a stream, the benchmark
+    // (eval) gram set is STATIC and broadcast, the gram explode +
+    // equi-join are stateless per micro-batch, and the per-doc shared-
+    // gram count is a windowed aggregate flushed by the far-future
+    // sentinel. State = (window × contaminated train ids), bounded by
+    // the benchmark's reach, never the corpus; eval grams load once.
+    // Same oracle as qt9/qt13/qt15 — the fourth point on the ladder is
+    // the INGEST-TIME deployment shape. ----
+    QueryDef("qst8_stream_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sent = Seq(-1L).toDF("doc_id")
+          .select(col("doc_id"), lit("").as("text"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "doc_id LONG, text STRING, ts TIMESTAMP") { sentArm =>
+          val evalGrams = broadcast(
+            t(s, dir, "documents")
+              .withColumn("split", TextOps.hashSplit(col("doc_id"),
+                Seq(90), Seq("train", "eval")))
+              .filter(col("split") === "eval")
+              .select(explode(graft.functions.WordNgramHashes
+                .word_ngram_hashes(col("text"), 8)).as("g"))
+              .distinct())
+          val out = replayTable(s, dir, "documents")
+            .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            .withColumn("split", TextOps.hashSplit(col("doc_id"),
+              Seq(90), Seq("train", "eval")))
+            .filter(col("split") === "train")
+            .select(col("doc_id"), col("text"), col("ts"))
+            .unionByName(sentArm)
+            // watermark BEFORE the explode: the gramless sentinel row
+            // still advances event time, then drops out of the plan
+            .withWatermark("ts", "1 hour")
+            .select(col("doc_id").as("train_id"), col("ts"),
+              explode(graft.functions.WordNgramHashes
+                .word_ngram_hashes(col("text"), 8)).as("g"))
+            .join(evalGrams, "g")
+            .groupBy(window(col("ts"), "1 hour"), col("train_id"))
+            .agg(count(lit(1)).as("n_shared_grams"))
+            .select(col("train_id"), col("n_shared_grams"))
+          runAvailableNow(s, out).orderBy(col("train_id"))
+        }
+      },
+      Some(decontaminateSql)),
 
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",

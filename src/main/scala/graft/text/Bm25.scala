@@ -1,8 +1,11 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+
+import graft.ops.Partitioning.spread
 
 /** BM25 ranked retrieval over a document corpus — the inverted-index
   * scoring pass a training-data pipeline uses to pull topical slices
@@ -61,7 +64,7 @@ object Bm25 {
     // rows per matching doc), so MEMORY_AND_DISK is cheap; cache
     // lifecycle contract as on [[graft.dedup.Dedup]]: freed by the
     // session's cacheManager, not by this lazy operator.
-    val postings = docs
+    val postings = spread(docs)
       .select(col(idCol),
         TextOps.tokenCountWs(col(textCol)).as("dl"),
         explode(TextOps.tokens(col(textCol))).as("term"))
@@ -81,8 +84,8 @@ object Bm25 {
       count(lit(1)).cast("double").as("n_docs"),
       sum(TextOps.tokenCountWs(col(textCol))).cast("double").as("sum_dl"))
 
-    // Expression shape mirrored token-for-token by the DuckDB oracle —
-    // keep the parenthesization in sync with bm25TermSql below.
+    // Expression shape mirrored token-for-token by the qt17 DuckDB
+    // oracle (DataOpsQueries) — keep the parenthesization in sync.
     val scored = postings
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -109,5 +112,54 @@ object Bm25 {
       .select(col(idCol), col("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
+    * document by normalized term frequency × rational idf — the
+    * document-TAGGING pass (topic labels, index keys) next to [[topK]]'s
+    * query-time retrieval. Unlike topK there is no query to filter by,
+    * so document frequency is computed over the WHOLE vocabulary: the
+    * df table is vocabulary-sized (not corpus-sized — map-side combine
+    * collapses to distinct terms), joined back by term with the
+    * broadcast decision left to AQE, and the top-k is a per-document
+    * row_number window — partitioned by doc id, so state per task is
+    * one document's vocabulary, never the corpus's.
+    *
+    * Determinism: score = (tf/dl) · idf is a single rational
+    * expression on exactly-derived integers — no sum across terms at
+    * all — and the window orders by (score desc, term), so ties break
+    * identically in any engine. Same cache lifecycle contract as topK
+    * for the persisted (doc, term, tf) table.
+    *
+    * Output: (idCol, rank, term, score), ordered idCol asc, rank asc.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = spread(docs)
+      .select(col(idCol),
+        TextOps.tokenCountWs(col(textCol)).as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        (col("tf").cast("double") / col("dl").cast("double")) *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+      .orderBy(col(idCol), col("rank"))
   }
 }

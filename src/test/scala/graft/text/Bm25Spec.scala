@@ -72,6 +72,35 @@ class Bm25Spec extends SparkTestBase {
     assert(run(k = 2) == full.take(2))
   }
 
+  test("tfidfKeywords matches a naive scorer, ranks and cuts per doc") {
+    import spark.implicits._
+    val got = Bm25.tfidfKeywords(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 2)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq
+    }.toMap
+    val n = corpus.size.toDouble
+    val want = corpus.flatMap { case (id, _) =>
+      val dl = toks(id).size.toDouble
+      toks(id).distinct.map { term =>
+        val tf = toks(id).count(_ == term).toDouble
+        val df = toks.values.count(_.contains(term)).toDouble
+        val idf = (n - df + 0.5) / (df + 0.5) + 1.0
+        (id, term, (tf / dl) * idf)
+      }.sortBy { case (_, term, s) => (-s, term) }
+        .take(2).zipWithIndex
+        .map { case ((i, term, s), r) => (i, r + 1, term, s) }
+    }.sortBy { case (id, r, _, _) => (id, r) }
+
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case ((_, _, _, g), (_, _, _, w)) =>
+      assert(approx(g, w, 1e-12), s"got $g want $w")
+    }
+  }
+
   test("rejects empty and duplicate query terms") {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "text")
