@@ -44,7 +44,17 @@ object Explain {
         "qt17_bm25_topk", "qt18_top_ngrams",
         // TF-IDF tagging: vocab-sized df join + per-doc window — the
         // window must partition by doc id only (no corpus-wide sort)
-        "qt19_tfidf_keywords")
+        "qt19_tfidf_keywords",
+        // dictionary quality (vocab cut must be TakeOrderedAndProject
+        // and the vocab attach a broadcast equi-join) and
+        // cluster-balanced sampling (assignment rides the scan; sizes
+        // and target are broadcast attaches, keep is map-only)
+        "qt20_vocab_quality", "qs16_cluster_balanced",
+        // z-order layout audit (z-value + prefix bucket must be pure
+        // projection riding the scan — one agg exchange, no join) and
+        // per-language trim (|langs|-row percentile table broadcast
+        // back; the verdict map-only)
+        "ql1_zorder_layout", "qt21_lang_quantile_trim")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -736,6 +736,75 @@ object AdvancedQueries {
         ORDER BY ex.query_id"""
       }),
 
+    // ---- cluster-balanced sampling (Ivf.balancedSample): k-means
+    // cluster assignment over the WHOLE corpus (same iters=2 fit the
+    // qs14 oracle unrolls), then keep each vector with probability
+    // target/|cell| where target = the smallest cell — every cluster
+    // contributes equally to the sample. The oracle reuses qs14's
+    // two-layer Lloyd CTE chain verbatim, then adds the k-row size
+    // aggregate, the one-row min, and the salted-hash threshold
+    // (qt14's pattern with a "cluster:" salt). Deterministic
+    // throughout: totally-ordered assignment ties, exact-long modulo
+    // compare, no RNG. ----
+    QueryDef("qs16_cluster_balanced",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val lloyd = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 2)
+        Ivf.balancedSample(e, "vec_id", "embedding", lloyd)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH seeds AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        samp AS (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 4096),
+        a1 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN seeds c) WHERE rk = 1),
+        a1d AS (SELECT a1.cell, a1.vec_id, t.i,
+            CAST(a1.embedding[t.i] AS DOUBLE) AS v
+          FROM a1, range(1, $EmbeddingDim + 1) t(i)),
+        m1 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a1d GROUP BY cell, i),
+        c1d AS (SELECT s.cell, t.i,
+            COALESCE(m1.cv, CAST(s.ce[t.i] AS DOUBLE)) AS cv
+          FROM seeds s CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = t.i),
+        c1 AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c1d GROUP BY cell),
+        a2 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN c1 c) WHERE rk = 1),
+        a2d AS (SELECT a2.cell, a2.vec_id, t.i,
+            CAST(a2.embedding[t.i] AS DOUBLE) AS v
+          FROM a2, range(1, $EmbeddingDim + 1) t(i)),
+        m2 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a2d GROUP BY cell, i),
+        c2d AS (SELECT c.cell, t.i, COALESCE(m2.cv, c.ce[t.i]) AS cv
+          FROM c1 c CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m2 ON m2.cell = c.cell AND m2.i = t.i),
+        cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c2d GROUP BY cell),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        sz AS (SELECT cell, COUNT(*) AS cell_n FROM ca GROUP BY cell),
+        tg AS (SELECT MIN(cell_n) AS target_n FROM sz)
+        SELECT ca.vec_id, CAST(ca.cell AS INT) AS cell,
+          CAST(sz.cell_n AS INT) AS cell_n,
+          ('0x' || substr(md5('cluster:' || CAST(ca.vec_id AS VARCHAR)), 1, 15))::BIGINT
+            % sz.cell_n < tg.target_n AS keep
+        FROM ca JOIN sz ON sz.cell = ca.cell CROSS JOIN tg
+        ORDER BY ca.vec_id"""
+      }),
+
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
     QueryDef("qm1_media_sniff",
@@ -945,6 +1014,34 @@ object AdvancedQueries {
         c AS (SELECT quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi FROM s)
         SELECT doc_id, v, lo, hi FROM s, c
         WHERE v >= lo AND v <= hi ORDER BY doc_id""")),
+
+    // ---- Per-language quantile trim: qt7's quality floor made
+    // language-aware — each language gets its OWN exact 20th-percentile
+    // cutoff, so a global threshold computed on the dominant language
+    // cannot wipe out low-resource languages wholesale (the data-mixing
+    // failure a multilingual corpus build must avoid). Scale shape: one
+    // corpus scan partial-aggregates into a |languages|-row exact-
+    // percentile table (per-group sort state is one language's values —
+    // at real scale swap in approx_percentile, same plan shape), joined
+    // back by broadcast; the verdict is map-only. Spark `percentile` ≡
+    // DuckDB `quantile_cont` bit-exactly on doubles (the qt7-verified
+    // equivalence), and emitting keep as a column (not a filter) keeps
+    // the boundary rows visible to the driver hash. ----
+    QueryDef("qt21_lang_quantile_trim",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("v"))
+        val cuts = d.groupBy(col("lang"))
+          .agg(expr("percentile(v, 0.2)").as("lo"))
+        d.join(broadcast(cuts), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("v"), col("lo"),
+            (col("v") >= col("lo")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        c AS (SELECT lang, quantile_cont(v, 0.2) AS lo FROM s GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.v, c.lo, s.v >= c.lo AS keep
+        FROM s JOIN c ON c.lang = s.lang ORDER BY s.doc_id""")),
 
     // ---- Deterministic train/val/test split: content-independent
     // md5-hash bucket of the id — stable across runs and engines ----

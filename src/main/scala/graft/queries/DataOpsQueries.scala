@@ -83,9 +83,9 @@ object DataOpsQueries {
   private def replayEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.model.Tables.normalizeEventTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Materialize `rows` as a one-file parquet dir, hand `f` a stream
@@ -188,6 +188,24 @@ object DataOpsQueries {
   /** qt9's oracle body — shared verbatim by qt13_decontaminate_lake
     * (same broadcast/shuffle result-identity contract).
     */
+  /** Dictionary-quality oracle (Vocab.dictionaryQuality with topN=200,
+    * keepAt=0.8) — shared by the batch arm (qt20) and its streaming
+    * ingest-time twin (qst9), pinning arm-equivalence every round.
+    */
+  private lazy val vocabQualitySql =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        v AS (SELECT term FROM (SELECT term, COUNT(*) AS n_occ FROM tok
+          GROUP BY term ORDER BY n_occ DESC, term LIMIT 200)),
+        sc AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+            SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+          FROM tok t LEFT JOIN v ON v.term = t.term GROUP BY t.doc_id)
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+          CAST(n_common AS INT) AS n_common,
+          CAST(n_common AS DOUBLE) / CAST(n_tok AS DOUBLE) AS common_ratio,
+          CAST(n_common AS DOUBLE) / CAST(n_tok AS DOUBLE) >= CAST(0.8 AS DOUBLE) AS keep
+        FROM sc ORDER BY doc_id"""
+
   private val decontaminateSql =
     s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
         sp AS (SELECT doc_id, toks,
@@ -553,6 +571,21 @@ object DataOpsQueries {
           FROM d WHERE len(toks) >= 2)
         SELECT bigram, COUNT(*) AS n FROM bgs GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20""")),
+
+    // ---- dictionary-based quality (graft.text.Vocab): corpus top-200
+    // vocabulary (count desc, term asc — a totally ordered cut, so the
+    // vocabulary SET is engine-reproducible) → per-document fraction of
+    // tokens inside it, keep at ratio >= 0.8 — the Gopher/C4-style
+    // "common word" filter. Two corpus scans, vocabulary broadcast;
+    // the exploded token stream is deliberately NOT persisted between
+    // its two consumers (Boilerplate's recompute call: corpus-sized,
+    // and recompute = scan + codegen with no shuffle underneath). The
+    // ratio is one division of two exact longs — bit-exact. ----
+    QueryDef("qt20_vocab_quality",
+      (s, dir) => graft.text.Vocab.dictionaryQuality(
+          t(s, dir, "documents"), "doc_id", "text", topN = 200, keepAt = 0.8)
+        .orderBy(col("doc_id")),
+      Some(vocabQualitySql)),
 
     // ---- corpus release check, composed over CLEANED text: qt16
     // boilerplate removal feeds exact dedup AND train/eval
@@ -1376,6 +1409,54 @@ object DataOpsQueries {
         }
       },
       Some(decontaminateSql)),
+
+    // ---- Streaming dictionary quality ≡ batch (qt20's streaming
+    // twin): score-on-ingest — documents arrive as a stream, the
+    // corpus top-200 vocabulary is STATIC and broadcast once (built
+    // from the existing corpus, the production deployment: the
+    // dictionary predates the arriving batch), the token explode +
+    // vocab attach are stateless per micro-batch, and the per-doc
+    // counts are a windowed aggregate flushed by the far-future
+    // sentinel. State = (window × doc) count rows for in-flight
+    // windows only — bounded by a window's document arrivals, never
+    // the corpus. Same oracle as qt20, so the driver gate pins
+    // batch/stream arm-equivalence every round (the qst8 treatment
+    // applied to the quality family). The sentinel's own 2100-dated
+    // window never flushes (nothing advances the watermark past it),
+    // so doc_id -1 stays out of the sink; the filter is defensive. ----
+    QueryDef("qst9_stream_quality",
+      (s, dir) => {
+        import s.implicits._
+        val sent = Seq(-1L).toDF("doc_id")
+          .select(col("doc_id"), lit("").as("text"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "doc_id LONG, text STRING, ts TIMESTAMP") { sentArm =>
+          val vocab = broadcast(
+            graft.text.Vocab.topVocab(t(s, dir, "documents"), "text", 200)
+              .select(col("term"), lit(true).as("in_vocab")))
+          val out = replayTable(s, dir, "documents")
+            .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            .select(col("doc_id"), col("text"), col("ts"))
+            .unionByName(sentArm)
+            .withWatermark("ts", "1 hour")
+            .select(col("doc_id"), col("ts"),
+              explode(TextOps.tokens(col("text"))).as("term"))
+            .join(vocab, Seq("term"), "left")
+            .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+            .agg(count(lit(1)).as("n_tok_l"),
+              sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_common_l"))
+            .select(col("doc_id"),
+              col("n_tok_l").cast("int").as("n_tok"),
+              col("n_common_l").cast("int").as("n_common"),
+              (col("n_common_l").cast("double") /
+                col("n_tok_l").cast("double")).as("common_ratio"))
+            .withColumn("keep", col("common_ratio") >= lit(0.8))
+          runAvailableNow(s, out)
+            .filter(col("doc_id") >= 0).orderBy(col("doc_id"))
+        }
+      },
+      Some(vocabQualitySql)),
 
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",

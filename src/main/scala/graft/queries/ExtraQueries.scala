@@ -280,6 +280,50 @@ object ExtraQueries {
         SELECT ticker, strftime(event_day, '%Y-%m-%d') AS day,
           runf / runf_last AS split_price_factor,
           runf_last / runf AS split_volume_factor
-        FROM cum2 ORDER BY ticker, day"""))
+        FROM cum2 ORDER BY ticker, day""")),
+
+    // ---- Z-order layout audit (lake/ZOrder): Morton-interleave
+    // (o_custkey, epoch-day(o_orderdate)) at 14 bits/dim, bucket by the
+    // top-8-bit z prefix, and report each bucket's span in BOTH
+    // dimensions — the bounded-span-in-every-dim property that makes
+    // parquet min/max stats prune either key after a z-ordered write
+    // (ZOrder.layout). Deterministic throughout: the prefix bucket is a
+    // pure function of the keys (no range-sampler dependence), all
+    // outputs exact integers. The oracle interleaves bit-by-bit with a
+    // range(0,14) lateral sum — disjoint bit positions, so SUM ≡ OR —
+    // making it bit-identical to the masked fold by construction. ----
+    QueryDef("ql1_zorder_layout",
+      (s, dir) => {
+        import graft.lake.ZOrder
+        val x = col("o_custkey")
+        val y = datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01")))
+        val z = ZOrder.zValue(x, y, bits = 14)
+        t(s, dir, "orders")
+          .select(x.as("x"), y.as("y"),
+            ZOrder.prefixBucket(z, bits = 14, prefixBits = 8).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).cast("int").as("x_min"),
+            max(col("x")).cast("int").as("x_max"),
+            min(col("y")).cast("int").as("y_min"),
+            max(col("y")).cast("int").as("y_max"),
+            (max(col("x")) - min(col("x"))).cast("int").as("x_span"),
+            (max(col("y")) - min(col("y"))).cast("int").as("y_span"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH p AS (SELECT o_orderkey, o_custkey AS x,
+            datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+          FROM orders),
+        zt AS (SELECT p.o_orderkey, p.x, p.y,
+            CAST(SUM((((p.x >> t.i) & 1) << (2*t.i))
+              + (((p.y >> t.i) & 1) << (2*t.i + 1))) AS BIGINT) AS z
+          FROM p, range(0, 14) t(i) GROUP BY p.o_orderkey, p.x, p.y)
+        SELECT (z >> 20) AS bucket, COUNT(*) AS n,
+          CAST(MIN(x) AS INT) AS x_min, CAST(MAX(x) AS INT) AS x_max,
+          CAST(MIN(y) AS INT) AS y_min, CAST(MAX(y) AS INT) AS y_max,
+          CAST(MAX(x) - MIN(x) AS INT) AS x_span,
+          CAST(MAX(y) - MIN(y) AS INT) AS y_span
+        FROM zt GROUP BY 1 ORDER BY bucket"""))
   )
 }

@@ -71,6 +71,42 @@ object Ivf {
     graft.ops.Partitioning.spread(corpus).withColumn("cell",
       graft.functions.NearestCell.nearest_cell(col(vecCol), model.centroids))
 
+  /** Cluster-balanced sampling — the embedding-space data-mixing step
+    * of a corpus build: assign every vector to its nearest fitted
+    * centroid, then keep each one with probability target/|cell| where
+    * target is the SMALLEST cell's population, so every cluster
+    * contributes equally to the sample (the cluster-level analogue of
+    * [[graft.text.TextOps.stratifiedKeep]]'s per-language rates, with
+    * the strata discovered by k-means instead of given).
+    *
+    * Scale shape: assignment rides the corpus scan (codegen
+    * [[graft.functions.NearestCell]]), cell sizes are a k-row
+    * aggregate joined back by broadcast, the target is a one-row
+    * broadcast, and the keep decision is a salted id-hash threshold —
+    * map-only, no RNG, no corpus-sized state, reproducible across
+    * runs and engines. The "cluster:" salt decorrelates the sample
+    * from hashSplit / stratifiedKeep buckets built from the same ids.
+    *
+    * Output: (idCol, cell, cell_n, keep), one row per corpus vector.
+    */
+  def balancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val assigned = assign(corpus, idCol, vecCol, model)
+      .select(col(idCol), col("cell"))
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    val target = sizes.agg(min(col("cell_n")).as("target_n"))
+    assigned
+      .join(broadcast(sizes), Seq("cell"))
+      .crossJoin(broadcast(target))
+      .select(col(idCol),
+        col("cell").cast("int").as("cell"),
+        col("cell_n").cast("int").as("cell_n"),
+        (graft.text.TextOps.hash60(
+            concat(lit("cluster:"), col(idCol).cast("string")))
+          % col("cell_n") < col("target_n")).as("keep"))
+  }
+
   /** ANN top-k with cell assignment on `vecCol` but scoring over a
     * SEPARATE representation column `scoreCol` — the production IVF
     * layout: the coarse quantizer lives in float space (fixed at index

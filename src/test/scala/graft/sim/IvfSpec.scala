@@ -42,4 +42,29 @@ class IvfSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect()
     ranks.foreach { case (_, mx, n) => assert(mx == n) }
   }
+
+  test("balancedSample: one row per vector, smallest cell fully kept") {
+    val model = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val s = Ivf.balancedSample(emb, "vec_id", "embedding", model)
+      .select($"vec_id", $"cell", $"cell_n", $"keep")
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(s.length == emb.count(), "sampling must not drop or dup rows")
+    assert(s.map(_._1).distinct.length == s.length)
+    assert(s.forall { case (_, c, n, _) => c >= 0 && c < 8 && n > 0 })
+    // cell_n is consistent per cell and matches the actual population
+    val pop = s.groupBy(_._2).view.mapValues(_.length).toMap
+    s.foreach { case (_, c, n, _) => assert(n == pop(c)) }
+    // the smallest cell's keep rate is target/target = 1: every member
+    // survives (hash % n < n always) — the balance anchor
+    val minN = pop.values.min
+    s.filter(_._3 == minN).foreach { case (id, _, _, keep) =>
+      assert(keep, s"vector $id in a smallest cell must be kept")
+    }
+    // larger cells must actually subsample (kept strictly fewer than
+    // population) whenever they are meaningfully bigger than target
+    pop.filter(_._2 > 2 * minN).keys.foreach { c =>
+      val kept = s.count(r => r._2 == c && r._4)
+      assert(kept < pop(c), s"cell $c kept all ${pop(c)} rows")
+    }
+  }
 }
