@@ -74,7 +74,12 @@ class PlanGuardSpec extends SparkTestBase {
       "decontaminateBloom" -> Decontaminate.contaminatedBloom(
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
       "boilerplateRemoval" -> graft.text.Boilerplate.removeBoilerplate(
-        docs, "text", "doc_id")
+        docs, "text", "doc_id"),
+      // (Bm25.topK and tfidfKeywords are deliberately absent: their
+      // one-row corpus-stats attach — N / Σdl / n_docs — is a
+      // documented broadcast-of-one-row cross join)
+      "dictionaryQuality" -> graft.text.Vocab.dictionaryQuality(docs,
+        "doc_id", "text", topN = 50, keepAt = 0.8)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 }

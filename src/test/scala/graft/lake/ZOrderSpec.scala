@@ -71,4 +71,39 @@ class ZOrderSpec extends SparkTestBase {
     assert(meanArea < domainArea / 2,
       s"mean per-file bbox area $meanArea not localized vs $domainArea")
   }
+
+  test("measured pruning: z-order skips files a single-key sort cannot") {
+    // The 100 TB claim, measured instead of asserted: write the same
+    // grid (a) sorted by x only and (b) z-ordered, same file count,
+    // then count the files whose min/max stats intersect a selective
+    // predicate on the OTHER dimension (y). The x-sorted layout leaves
+    // every file's y-span at ~the whole domain (zero pruning); the
+    // z-ordered layout must actually skip files.
+    val n = 16
+    val pts = (0 until 256).flatMap(x => (0 until 256 by 2).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    def filesMatching(dir: String, yLo: Long, yHi: Long): (Int, Int) = {
+      val stats = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy($"f").agg(min($"y").as("ymin"), max($"y").as("ymax"))
+        .as[(String, Long, Long)].collect()
+      (stats.count { case (_, lo, hi) => lo <= yHi && hi >= yLo },
+        stats.length)
+    }
+    val xDir = java.nio.file.Files.createTempDirectory("sortx").toString
+    pts.repartitionByRange(n, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+    val zDir = java.nio.file.Files.createTempDirectory("sortz").toString
+    ZOrder.layout(pts, "x", "y", bits = 8, numFiles = n)
+      .write.mode("overwrite").parquet(zDir)
+    // a 16-value y-slice: 1/16 of the y domain
+    val (xHit, xTotal) = filesMatching(xDir, 96, 111)
+    val (zHit, zTotal) = filesMatching(zDir, 96, 111)
+    assert(xTotal >= n / 2 && zTotal >= n / 2)
+    // x-sorted: every file spans all of y -> nothing prunes
+    assert(xHit == xTotal, s"x-sort unexpectedly pruned ($xHit/$xTotal)")
+    // z-ordered: at most half the files can intersect a 1/16 y-slice
+    assert(zHit <= zTotal / 2,
+      s"z-order pruned too little: $zHit of $zTotal files intersect")
+  }
 }
