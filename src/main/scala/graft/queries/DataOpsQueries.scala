@@ -587,6 +587,38 @@ object DataOpsQueries {
         .orderBy(col("doc_id")),
       Some(vocabQualitySql)),
 
+    // ---- Mixture targeting (text/Mixture): hit a target language
+    // recipe (en 40%, zh/es 20%, de/fr 10%) with the LARGEST corpus
+    // that honors the proportions without oversampling — the binding
+    // language (min n_g/w_g) caps the total, every stratum gets
+    // target_n = floor(w_g·T), keep is a salted id-hash threshold.
+    // Deterministic and engine-portable: one double divide per
+    // stratum, a min, one multiply + floor — the same IEEE chain in
+    // both engines (DuckDB's decimal VALUES are CAST to DOUBLE first),
+    // and the md5-based keep threshold is qt14's salted-hash pattern
+    // with a "mix:" salt. ----
+    QueryDef("qt22_mixture_targeting",
+      (s, dir) => graft.text.Mixture.mixtureKeep(
+          t(s, dir, "documents"), "doc_id", "lang",
+          Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1,
+            "fr" -> 0.1))
+        .orderBy(col("doc_id")),
+      Some("""WITH sh AS (SELECT lang, CAST(share AS DOUBLE) AS share
+          FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+            ('de', 0.1), ('fr', 0.1)) v(lang, share)),
+        sz AS (SELECT lang, COUNT(*) AS grp_n FROM documents GROUP BY lang),
+        tt AS (SELECT MIN(CAST(sz.grp_n AS DOUBLE) / sh.share) AS mix_total
+          FROM sz JOIN sh ON sh.lang = sz.lang),
+        tg AS (SELECT sz.lang, sz.grp_n,
+            CAST(FLOOR(sh.share * tt.mix_total) AS BIGINT) AS target_n
+          FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt)
+        SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n,
+          CAST(tg.target_n AS INT) AS target_n,
+          ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % tg.grp_n < tg.target_n AS keep
+        FROM documents d JOIN tg ON tg.lang = d.lang
+        ORDER BY d.doc_id""")),
+
     // ---- corpus release check, composed over CLEANED text: qt16
     // boilerplate removal feeds exact dedup AND train/eval
     // decontamination, yielding one per-doc release verdict — the

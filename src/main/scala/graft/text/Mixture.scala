@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mixture targeting — the corpus-recipe step of a training-data
+  * build: given target proportions per stratum (source, language,
+  * domain — the Pile/Dolma-style mixture weights), compute the LARGEST
+  * corpus that honors the proportions without oversampling any
+  * stratum, and keep each document accordingly. The binding stratum
+  * (the one whose availability runs out first: min over g of
+  * n_g / w_g) is kept in full; every other stratum subsamples down to
+  * its proportional target floor(w_g · T).
+  *
+  * Scale shape (the point at 100 TB): stratum sizes are one partial-
+  * aggregated exchange whose width is the number of strata; the share
+  * table, the one-row binding total, and the per-stratum targets are
+  * all broadcast attaches; the keep decision is a salted id-hash
+  * threshold — map-only, no RNG, no corpus-sized state, reproducible
+  * across runs and engines (the same determinism treatment as
+  * [[TextOps.stratifiedKeep]], whose rates are GIVEN — here they are
+  * DERIVED from the targets and what's available).
+  *
+  * Strata absent from `shares` are share-zero: their documents are
+  * dropped (inner join against the share table). Callers wanting
+  * pass-through for unlisted strata list them explicitly.
+  *
+  * Reference basis: none — north-star training-data-pipeline
+  * capability (SURVEY §2 extension family).
+  */
+object Mixture {
+
+  /** Per-document mixture-targeting verdict. Output:
+    * (idCol, groupCol, grp_n, target_n, keep), one row per document
+    * whose stratum appears in `shares`. `shares` must be positive and
+    * sum to 1 (±1e-9); `salt` decorrelates the keep hash from other
+    * id-hash samplers run on the same corpus.
+    */
+  def mixtureKeep(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      shares: Seq[(String, Double)],
+      salt: String = "mix"): DataFrame = {
+    require(shares.nonEmpty, "shares must be non-empty")
+    require(shares.forall(_._2 > 0), "shares must be positive")
+    require(math.abs(shares.map(_._2).sum - 1.0) <= 1e-9,
+      s"shares must sum to 1, got ${shares.map(_._2).sum}")
+    require(shares.map(_._1).distinct.size == shares.size,
+      "duplicate stratum in shares")
+    val s = docs.sparkSession
+    import s.implicits._
+    val shareDf = shares.toDF(groupCol, "share")
+    val sizes = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("grp_n"))
+    // binding total: the largest T with floor(w_g * T) <= n_g for all g
+    val total = sizes.join(shareDf, groupCol)
+      .agg(min(col("grp_n").cast("double") / col("share")).as("mix_total"))
+    val targets = sizes.join(shareDf, groupCol)
+      .crossJoin(broadcast(total))
+      .select(col(groupCol), col("grp_n"),
+        floor(col("share") * col("mix_total")).as("target_n"))
+    docs.select(col(idCol), col(groupCol))
+      .join(broadcast(targets), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        col("grp_n").cast("int").as("grp_n"),
+        col("target_n").cast("int").as("target_n"),
+        (TextOps.hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+          % col("grp_n") < col("target_n")).as("keep"))
+  }
+}
