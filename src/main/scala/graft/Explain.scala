@@ -54,7 +54,10 @@ object Explain {
         // projection riding the scan — one agg exchange, no join) and
         // per-language trim (|langs|-row percentile table broadcast
         // back; the verdict map-only)
-        "ql1_zorder_layout", "qt21_lang_quantile_trim")
+        "ql1_zorder_layout", "qt21_lang_quantile_trim",
+        // the recipe composite: three aggregate subtrees broadcast
+        // back onto doc-keyed equi-joins — no corpus-sized build side
+        "qx5_corpus_recipe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -619,6 +619,75 @@ object DataOpsQueries {
         FROM documents d JOIN tg ON tg.lang = d.lang
         ORDER BY d.doc_id""")),
 
+    // ---- corpus RECIPE composite: the data-MIXING counterpart of
+    // qx4's cleaning pipeline. Three independent per-doc verdicts —
+    // dictionary quality (qt20's ratio >= 0.8), the per-language
+    // quality floor (qt21's 20th-percentile n_chars cutoff), and
+    // mixture targeting (qt22's language recipe) — compose by doc-id
+    // equi-joins into one final keep. Plan shape: three aggregate
+    // subtrees over the documents scan (vocab cut, |langs| percentile
+    // rows, |langs| size rows — all broadcast back), then a doc-keyed
+    // join tree; nothing corpus-sized is held, and the flags stay
+    // visible per stage so a corpus build can report WHY a document
+    // dropped. Oracle = the three proven CTE bodies chained. ----
+    QueryDef("qx5_corpus_recipe",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val vq = graft.text.Vocab.dictionaryQuality(
+            d, "doc_id", "text", topN = 200, keepAt = 0.8)
+          .select(col("doc_id"), col("keep").as("q_keep"))
+        val base = d.select(col("doc_id"), col("lang"),
+          col("n_chars").cast("double").as("v"))
+        val cuts = base.groupBy(col("lang"))
+          .agg(expr("percentile(v, 0.2)").as("lo"))
+        val lt = base.join(broadcast(cuts), Seq("lang"))
+          .select(col("doc_id"), (col("v") >= col("lo")).as("l_keep"))
+        val mx = graft.text.Mixture.mixtureKeep(d, "doc_id", "lang",
+            Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1,
+              "fr" -> 0.1))
+          .select(col("doc_id"), col("keep").as("m_keep"))
+        d.select(col("doc_id"), col("lang"))
+          .join(vq, Seq("doc_id")).join(lt, Seq("doc_id"))
+          .join(mx, Seq("doc_id"))
+          .withColumn("keep",
+            col("q_keep") && col("l_keep") && col("m_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM dd),
+        vv AS (SELECT term FROM (SELECT term, COUNT(*) AS n_occ FROM tok
+          GROUP BY term ORDER BY n_occ DESC, term LIMIT 200)),
+        sc AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+            SUM(CASE WHEN vv.term IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+          FROM tok t LEFT JOIN vv ON vv.term = t.term GROUP BY t.doc_id),
+        q AS (SELECT doc_id,
+            CAST(n_common AS DOUBLE) / CAST(n_tok AS DOUBLE) >= CAST(0.8 AS DOUBLE) AS q_keep
+          FROM sc),
+        s2 AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS val2 FROM documents),
+        c2 AS (SELECT lang, quantile_cont(val2, 0.2) AS lo FROM s2 GROUP BY lang),
+        lf AS (SELECT s2.doc_id, s2.val2 >= c2.lo AS l_keep
+          FROM s2 JOIN c2 ON c2.lang = s2.lang),
+        sh AS (SELECT lang, CAST(share AS DOUBLE) AS share
+          FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+            ('de', 0.1), ('fr', 0.1)) vs(lang, share)),
+        sz AS (SELECT lang, COUNT(*) AS grp_n FROM documents GROUP BY lang),
+        tt AS (SELECT MIN(CAST(sz.grp_n AS DOUBLE) / sh.share) AS mix_total
+          FROM sz JOIN sh ON sh.lang = sz.lang),
+        tg AS (SELECT sz.lang, sz.grp_n,
+            CAST(FLOOR(sh.share * tt.mix_total) AS BIGINT) AS target_n
+          FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt),
+        m AS (SELECT d2.doc_id,
+            ('0x' || substr(md5('mix:' || CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % tg.grp_n < tg.target_n AS m_keep
+          FROM documents d2 JOIN tg ON tg.lang = d2.lang)
+        SELECT doc.doc_id, doc.lang, q.q_keep, lf.l_keep, m.m_keep,
+          q.q_keep AND lf.l_keep AND m.m_keep AS keep
+        FROM documents doc
+        JOIN q ON q.doc_id = doc.doc_id
+        JOIN lf ON lf.doc_id = doc.doc_id
+        JOIN m ON m.doc_id = doc.doc_id
+        ORDER BY doc.doc_id""")),
+
     // ---- corpus release check, composed over CLEANED text: qt16
     // boilerplate removal feeds exact dedup AND train/eval
     // decontamination, yielding one per-doc release verdict — the
