@@ -1088,6 +1088,90 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- PRODUCT QUANTIZATION serving recall (sim/Pq): the corpus
+    // compressed to m=4 code ids from k=8 per-subspace codebooks (64
+    // float32 -> 4 bytes, 64x vs qs10's 4x), queries scored against
+    // the RECONSTRUCTION — exactly the ADC lookup-sum for L2, the same
+    // dot product for cosine — measured as recall@5 vs the float
+    // brute. The fit is the seed-codebook analogue of qs12's iters=0
+    // Ivf seeds (codebook j = the j-th subvectors of the 8 lowest-id
+    // vectors, verbatim), so encode, reconstruct, and score are all
+    // closed-form SQL: per-subspace argmin over list_slice windows,
+    // flatten(list(... ORDER BY j)) reassembly, qs10's cosine/recall
+    // tail. Reconstruction values are original float32 corpus values
+    // (no averaging), so the float cast is exact and the whole chain
+    // hash-matches. Like qs12, the RESULT is the measurement — PQ at
+    // this compression trades real recall, and the driver pins the
+    // exact trade every round. ----
+    QueryDef("qs17_pq_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val model = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 4, k = 8)
+        val recon = graft.sim.Pq.reconstructed(e, "vec_id", "embedding", model)
+        val annPq = Similarity.bruteTopK(recon, q,
+          "vec_id", "embedding", "query_id", "qe", k = 5)
+        Similarity.recallAtK(annPq, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 16 + 1, t.j * 16 + 16) AS ce
+          FROM seeds s CROSS JOIN range(0, 4) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[CAST(cb.j * 16 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 16 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        rec AS (SELECT enc.vec_id, flatten(list(cb.ce ORDER BY enc.j)) AS re
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          GROUP BY enc.vec_id),
+        p0 AS (SELECT qv.query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(r.re) + 1),
+              i -> CAST(r.re[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(r.re) + 1),
+                i -> CAST(r.re[i] AS DOUBLE) * CAST(r.re[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM rec r, qv WHERE r.vec_id <> qv.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

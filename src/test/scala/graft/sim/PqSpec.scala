@@ -1,0 +1,57 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codes are m ids in [0, k)") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+    assert(model.m == 4 && model.k == 8 && model.subDim == 16)
+    val c = emb.select(Pq.codes($"embedding", model).as("c"))
+      .as[Array[Int]].collect()
+    assert(c.forall(_.length == 4))
+    assert(c.forall(_.forall(x => x >= 0 && x < 8)))
+    // codebooks are actually used: more than one distinct code appears
+    assert(c.flatten.distinct.length > 1)
+  }
+
+  test("seed vectors reconstruct to themselves exactly") {
+    // each seed's own subvector sits in its subspace codebook at
+    // distance 0, so the argmin picks it (or a bit-identical twin) —
+    // reconstruction must be elementwise-equal to the original
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+    val seeds = emb.orderBy($"vec_id").limit(8)
+    val rows = seeds
+      .select($"vec_id", $"embedding",
+        Pq.reconstruct($"embedding", model).as("re"))
+      .as[(Long, Array[Float], Array[Float])].collect()
+    assert(rows.length == 8)
+    rows.foreach { case (id, v, r) =>
+      assert(r.length == v.length, s"seed $id length ${r.length}")
+      assert(v.sameElements(r), s"seed $id does not reconstruct exactly")
+    }
+  }
+
+  test("non-seed reconstruction is full-dimension and lossy") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+    val rows = emb.filter($"vec_id" >= 8)
+      .select($"vec_id", $"embedding",
+        Pq.reconstruct($"embedding", model).as("re"))
+      .as[(Long, Array[Float], Array[Float])].collect()
+    assert(rows.forall(_._3.length == 64))
+    // PQ at 64x compression must actually be lossy on real data
+    assert(rows.exists { case (_, v, r) => !v.sameElements(r) })
+  }
+
+  test("fit validates the subspace split") {
+    intercept[IllegalArgumentException] {
+      Pq.fit(emb, "vec_id", "embedding", m = 7, k = 8) // 64 % 7 != 0
+    }
+  }
+}
