@@ -1172,6 +1172,109 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- the COMPOSED IVF-PQ stack (the FAISS-style production
+    // layout): coarse cells assigned in FLOAT space — qs13's measured
+    // lesson — partial probe (nprobe=2 of 8), and PQ RECONSTRUCTION
+    // scoring inside the probed cells (qs17's 64x-compressed serving
+    // representation). Pure composition of proven pieces: Ivf.topKOn
+    // scores on the recon column while assigning on the float one, and
+    // the oracle is qs13's cell/probe CTEs with the int8 codes swapped
+    // for qs17's codebook/encode/reconstruct CTEs. The measurement
+    // completes the serving matrix the driver pins every round:
+    // float full probe 1.0 (qs8) / int8 cells 0.4 (qs12) / float
+    // cells + int8 scoring 0.9 (qs13) / PQ flat 0.275 (qs17) /
+    // IVF + PQ in-cell — this row. ----
+    QueryDef("qs18_ivfpq_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 4, k = 8)
+        val withRecon = e.select(col("vec_id"), col("embedding"),
+          graft.sim.Pq.reconstruct(col("embedding"), pq).as("recon"))
+        val seeds = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val ann = Ivf.topKOn(withRecon, q, "vec_id", "embedding", "recon",
+          "query_id", "qe", seeds, k = 5, nprobe = 2)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 16 + 1, t.j * 16 + 16) AS ce
+          FROM seeds s CROSS JOIN range(0, 4) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[CAST(cb.j * 16 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 16 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        rec AS (SELECT enc.vec_id, flatten(list(cb.ce ORDER BY enc.j)) AS re
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          GROUP BY enc.vec_id),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 2),
+        i0 AS (SELECT qp.query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(r.re) + 1),
+              i -> CAST(r.re[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(r.re) + 1),
+                i -> CAST(r.re[i] AS DOUBLE) * CAST(r.re[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qp.qe) + 1),
+                i -> CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM ca JOIN rec r ON r.vec_id = ca.vec_id
+          JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        i5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM i5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).
