@@ -730,6 +730,57 @@ object Multimodal {
     media.join(out, "media_id")
   }
 
+  /** Per-channel raster statistics — the normalization-stats stage a
+    * vision pipeline runs after decode (channel means for whitening,
+    * per-image dynamic range). Decodes to a top-down RGB raster via the
+    * raster parsers and emits per-channel byte sums plus the global
+    * min/max; payloads no parser accepts keep the stub contract
+    * (null stats, `codec = "stub"`). Channel sums are sensitive to the
+    * container's channel ORDER — BMP stores BGR bottom-up — so a green
+    * row pins the decoder's channel mapping, which qm2's order-blind
+    * whole-raster sum cannot see. Batched like every decode stage.
+    */
+  def channelStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            rasterPpm(payload).map(r => (r, "ppm"))
+              .orElse(rasterBmp(payload).map(r => (r, "bmp")))
+              .orElse(rasterPng(payload).map(r => (r, "png")))
+              .orElse(rasterJpeg(payload).map(r => (r, "jpeg"))) match {
+              case Some(((w, h, rgb), codec)) =>
+                val sums = new Array[Long](3)
+                var mn = 255
+                var mx = 0
+                var i = 0
+                while (i < rgb.length) {
+                  val v = rgb(i) & 0xFF
+                  sums(i % 3) += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                (id, w, h, Some(sums(0)), Some(sums(1)), Some(sums(2)),
+                  Some(mn), Some(mx), codec)
+              case None =>
+                val len = if (payload == null) 0 else payload.length
+                val fakeW = 16 + (math.abs(len) % 64)
+                (id, fakeW, fakeW / 2, None: Option[Long],
+                  None: Option[Long], None: Option[Long],
+                  None: Option[Int], None: Option[Int], "stub")
+            }
+          }
+        }
+      }
+      .toDF("media_id", "ch_width", "ch_height", "r_sum", "g_sum", "b_sum",
+        "px_min", "px_max", "codec")
+    media.join(out, "media_id")
+  }
+
   /** Skew-safe partitioning for a decode stage: salt by content hash so
     * one giant file class (e.g. all 4K videos on one key) cannot pin a
     * single task at 100 TB.

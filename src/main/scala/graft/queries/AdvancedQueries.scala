@@ -844,6 +844,44 @@ object AdvancedQueries {
             i -> (media_id*31 + i*7) % 256)) AS BIGINT) AS pix_sum
         FROM m ORDER BY media_id""")),
 
+    // ---- Multimodal per-channel statistics: the normalization-stats
+    // stage after decode, over the SAME closed-form pixmaps as qm2 —
+    // but channel-resolved, which makes it ORDER-SENSITIVE: BMP stores
+    // BGR (bottom-up), so its decoded R channel reads file offset
+    // 3p+2 while PPM's reads 3p. The oracle encodes exactly that
+    // swap (r_off/b_off CASE on codec); a decoder that skipped the
+    // BGR→RGB mapping would pass qm2's whole-raster sum and FAIL here.
+    // Row reversal is invisible to sums/min/max, so bottom-up vs
+    // top-down needs no oracle treatment. ----
+    QueryDef("qm7_channel_stats",
+      (s, dir) => Multimodal.channelStats(pixmapsFromDocs(s, dir))
+        .select(col("media_id"), col("codec"), col("r_sum"), col("g_sum"),
+          col("b_sum"), col("px_min"), col("px_max"))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13
+               ELSE 4 * (1 + (doc_id // 2) % 4) END AS INT) AS w,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7
+               ELSE 2 + doc_id % 5 END AS INT) AS h
+          FROM documents),
+        ch AS (SELECT media_id, codec, w, h,
+          CASE WHEN codec = 'ppm' THEN 0 ELSE 2 END AS r_off,
+          CASE WHEN codec = 'ppm' THEN 2 ELSE 0 END AS b_off
+          FROM m)
+        SELECT media_id, codec,
+          CAST(list_sum(list_transform(range(0, w*h),
+            p -> (media_id*31 + (3*p + r_off)*7) % 256)) AS BIGINT) AS r_sum,
+          CAST(list_sum(list_transform(range(0, w*h),
+            p -> (media_id*31 + (3*p + 1)*7) % 256)) AS BIGINT) AS g_sum,
+          CAST(list_sum(list_transform(range(0, w*h),
+            p -> (media_id*31 + (3*p + b_off)*7) % 256)) AS BIGINT) AS b_sum,
+          CAST(list_min(list_transform(range(0, w*h*3),
+            i -> (media_id*31 + i*7) % 256)) AS INT) AS px_min,
+          CAST(list_max(list_transform(range(0, w*h*3),
+            i -> (media_id*31 + i*7) % 256)) AS INT) AS px_max
+        FROM ch ORDER BY media_id""")),
+
     // ---- The reference's analytic core, end-to-end (factor_builder.py
     // batch path, SURVEY.md §3.2): PIT identity attach → per-event-id
     // event selection with all-or-nothing ticker fallback (these

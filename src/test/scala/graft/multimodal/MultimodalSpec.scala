@@ -304,6 +304,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1L)._5.nonEmpty)
   }
 
+  test("channelStats resolves BMP's BGR order into true RGB channels") {
+    // 1x1 BMP storing (B=10, G=20, R=30) at the file level: a decoder
+    // that skipped the BGR->RGB swap would report r_sum=10/b_sum=30
+    // and still pass any whole-raster sum check
+    val bmp = new Array[Byte](54 + 4)
+    def putU16(at: Int, v: Int): Unit = {
+      bmp(at) = (v & 0xFF).toByte; bmp(at + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putI32(at: Int, v: Int): Unit = (0 until 4).foreach(b =>
+      bmp(at + b) = ((v >> (8 * b)) & 0xFF).toByte)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    putI32(10, 54); putI32(14, 40); putI32(18, 1); putI32(22, 1)
+    putU16(26, 1); putU16(28, 24)
+    bmp(54) = 10; bmp(55) = 20; bmp(56) = 30
+    val ppm = "P6\n1 1\n255\n".getBytes("ASCII") ++
+      Array[Byte](30, 20, 10) // same logical pixel, RGB container
+    val out = Multimodal.channelStats(
+        Seq((1L, bmp), (2L, ppm), (3L, Array[Byte](1, 2, 3)))
+          .toDF("media_id", "bytes"))
+      .select($"media_id", $"codec", $"r_sum", $"g_sum", $"b_sum",
+        $"px_min", $"px_max")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long],
+        Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "bmp", Some(30L), Some(20L), Some(10L),
+      Some(10), Some(30))))
+    assert(out(2L) === ((2L, "ppm", Some(30L), Some(20L), Some(10L),
+      Some(10), Some(30))))
+    assert(out(3L)._2 === "stub" && out(3L)._3.isEmpty)
+  }
+
   test("frame sampling explodes to every-nth frame with ordinal + key") {
     val out = Multimodal.frameSampleStub(media, everyNth = 3)
     val byId = out.groupBy($"media_id")
