@@ -188,6 +188,95 @@ object DataOpsQueries {
   /** qt9's oracle body — shared verbatim by qt13_decontaminate_lake
     * (same broadcast/shuffle result-identity contract).
     */
+  /** qs19's oracle, GENERATED per subspace: the qs11/qs14 unrolled-
+    * Lloyd pattern applied independently to each of the 4 subspaces
+    * (seed codebook from the 8 lowest-id slices → sample assignment →
+    * id-ordered sequential means → COALESCE empty codes back to their
+    * seed), then the refined DOUBLE codebooks encode the corpus while
+    * their FLOAT casts (`CAST(x AS REAL)` ≡ JVM `.toFloat`, both IEEE
+    * round-to-nearest-even) build the reconstruction — exactly
+    * [[graft.sim.Pq.fitLloyd]] + [[graft.sim.Pq.reconstruct]]'s
+    * arithmetic. Tail = qs17's brute/score/recall CTEs.
+    */
+  private lazy val pqLloydOracleSql: String = {
+    val l2sub = (vec: String, ce: String, off: String) =>
+      s"""list_reduce(list_transform(range(1, 17),
+            i -> (CAST($vec[CAST($off + i AS INT)] AS DOUBLE) - CAST($ce[i] AS DOUBLE))
+               * (CAST($vec[CAST($off + i AS INT)] AS DOUBLE) - CAST($ce[i] AS DOUBLE))),
+            (x, y) -> x + y)"""
+    val perSub = (0 until 4).map { j =>
+      val o = j * 16
+      s"""scb_$j AS (SELECT code, list_slice(embedding, ${o + 1}, ${o + 16}) AS ce FROM seeds),
+        a1_$j AS (SELECT vec_id, sub, code FROM (
+          SELECT s.vec_id, list_slice(s.embedding, ${o + 1}, ${o + 16}) AS sub, sc.code,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+              ${l2sub("s.embedding", "sc.ce", o.toString)}, sc.code) AS rk
+          FROM samp s CROSS JOIN scb_$j sc) WHERE rk = 1),
+        a1d_$j AS (SELECT a.code, a.vec_id, t.i, CAST(a.sub[t.i] AS DOUBLE) AS v
+          FROM a1_$j a, range(1, 17) t(i)),
+        m1_$j AS (SELECT code, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a1d_$j GROUP BY code, i),
+        c1d_$j AS (SELECT sc.code, t.i, COALESCE(m.cv, CAST(sc.ce[t.i] AS DOUBLE)) AS cv
+          FROM scb_$j sc CROSS JOIN range(1, 17) t(i)
+          LEFT JOIN m1_$j m ON m.code = sc.code AND m.i = t.i),
+        c1_$j AS (SELECT code, list(cv ORDER BY i) AS ce FROM c1d_$j GROUP BY code)"""
+    }.mkString(",\n        ")
+    val cbUnion = (0 until 4)
+      .map(j => s"SELECT $j AS j, code, ce FROM c1_$j")
+      .mkString(" UNION ALL ")
+    s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        samp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+        $perSub,
+        cb1 AS ($cbUnion),
+        cbf AS (SELECT j, code,
+            list_transform(ce, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS fe
+          FROM cb1),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb1.j, cb1.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb1.j ORDER BY
+              ${l2sub("e.embedding", "cb1.ce", "cb1.j * 16")}, cb1.code) AS rk
+          FROM embeddings e CROSS JOIN cb1) WHERE rk = 1),
+        rec AS (SELECT enc.vec_id, flatten(list(f.fe ORDER BY enc.j)) AS re
+          FROM enc JOIN cbf f ON f.j = enc.j AND f.code = enc.code
+          GROUP BY enc.vec_id),
+        p0 AS (SELECT qv.query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(r.re) + 1),
+              i -> CAST(r.re[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(r.re) + 1),
+                i -> CAST(r.re[i] AS DOUBLE) * CAST(r.re[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM rec r, qv WHERE r.vec_id <> qv.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id"""
+  }
+
   /** Dictionary-quality oracle (Vocab.dictionaryQuality with topN=200,
     * keepAt=0.8) — shared by the batch arm (qt20) and its streaming
     * ingest-time twin (qst9), pinning arm-equivalence every round.
@@ -1274,6 +1363,35 @@ object DataOpsQueries {
           CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
+
+    // ---- Lloyd-REFINED PQ (Pq.fitLloyd, iters=1): does one k-means
+    // step per subspace recover the recall qs17's seed codebooks give
+    // up? The oracle is GENERATED per subspace (pqLloydOracleSql):
+    // four independent copies of qs11/qs14's unrolled-Lloyd CTE chain
+    // over list_slice windows, refined DOUBLE codebooks encoding the
+    // corpus while their REAL casts (≡ JVM .toFloat, both round-to-
+    // nearest-even) build the reconstruction — exactly fitLloyd +
+    // reconstruct's arithmetic. The recall delta vs qs17 is the
+    // measured answer, pinned by the driver every round. ----
+    QueryDef("qs19_pq_lloyd",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val model = graft.sim.Pq.fitLloyd(e, "vec_id", "embedding",
+          m = 4, k = 8, iters = 1)
+        val recon = graft.sim.Pq.reconstructed(e, "vec_id", "embedding", model)
+        val annPq = Similarity.bruteTopK(recon, q,
+          "vec_id", "embedding", "query_id", "qe", k = 5)
+        Similarity.recallAtK(annPq, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(pqLloydOracleSql)),
 
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can

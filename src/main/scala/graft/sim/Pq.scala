@@ -66,6 +66,51 @@ object Pq {
     Model(subDim, books)
   }
 
+  /** Lloyd-refined fit: seed codebooks ([[fit]]) refined by `iters`
+    * k-means steps per subspace over a bounded sample (the `maxSample`
+    * lowest-id vectors — deterministic, same contract as
+    * [[Ivf.fit]]). Arithmetic mirrors Ivf.fit exactly so the oracle
+    * can unroll it in SQL the qs11/qs14 way, per subspace: sequential
+    * id-ordered float-into-double sums, one divide per dim, empty
+    * codes keep their previous centroid.
+    */
+  def fitLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, maxSample: Int = 4096): Model = {
+    require(m >= 1 && k >= 1 && iters >= 0,
+      s"need m, k >= 1 and iters >= 0, got m=$m k=$k iters=$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol)).limit(maxSample).collect()
+    require(sample.length >= k, s"need >= $k vectors to fit, got ${sample.length}")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { j =>
+      val subs = sample.map { case (_, v) =>
+        v.slice(j * subDim, (j + 1) * subDim)
+      }
+      var cents = subs.take(k).map(_.map(_.toDouble))
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        subs.foreach { v =>
+          val c = cents.indices.minBy(ci => (Ivf.l2sq(cents(ci), v), ci))
+          counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+    Model(subDim, books)
+  }
+
   /** The `m` code ids of `vec` (array<int>, one nearest-code search
     * per subspace — each a codegen [[NearestCell]] over a slice).
     */

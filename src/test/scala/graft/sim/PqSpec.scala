@@ -49,6 +49,22 @@ class PqSpec extends SparkTestBase {
     assert(rows.exists { case (_, v, r) => !v.sameElements(r) })
   }
 
+  test("fitLloyd with zero iterations is exactly the seed fit") {
+    val seed = Pq.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+    val lloyd0 = Pq.fitLloyd(emb, "vec_id", "embedding", m = 4, k = 8,
+      iters = 0)
+    (0 until 4).foreach { j =>
+      (0 until 8).foreach { c =>
+        assert(seed.codebooks(j)(c).sameElements(lloyd0.codebooks(j)(c)))
+      }
+    }
+    // one refinement step must actually move at least one centroid
+    val lloyd1 = Pq.fitLloyd(emb, "vec_id", "embedding", m = 4, k = 8,
+      iters = 1)
+    assert((0 until 4).exists(j => (0 until 8).exists(c =>
+      !seed.codebooks(j)(c).sameElements(lloyd1.codebooks(j)(c)))))
+  }
+
   test("fit validates the subspace split") {
     intercept[IllegalArgumentException] {
       Pq.fit(emb, "vec_id", "embedding", m = 7, k = 8) // 64 % 7 != 0
