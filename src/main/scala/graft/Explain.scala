@@ -57,7 +57,11 @@ object Explain {
         "ql1_zorder_layout", "qt21_lang_quantile_trim",
         // the recipe composite: three aggregate subtrees broadcast
         // back onto doc-keyed equi-joins — no corpus-sized build side
-        "qx5_corpus_recipe")
+        "qx5_corpus_recipe",
+        // the embedding release composite: LSH pair graph + balanced
+        // keep + PQ encode joined vec-keyed; encode must ride the
+        // scan, the pair graph must stay bucket-equi-join
+        "qx6_embedding_release")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -58,6 +58,60 @@ object AdvancedQueries {
     * SELECT) — the multi-table LSH near-dup pair set, shared by qs6
     * (pairs) and qs9 (connected components over those pairs).
     */
+  /** qs16's oracle chain — the two-layer unrolled Lloyd fit (iters=2)
+    * ending in per-vector assignment `ca`, cell sizes `sz`, and the
+    * one-row smallest-cell target `tg` — shared with qx6's composite.
+    */
+  private lazy val balancedSampleCtes: String =
+    s"""seeds AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        samp AS (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 4096),
+        a1 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN seeds c) WHERE rk = 1),
+        a1d AS (SELECT a1.cell, a1.vec_id, t.i,
+            CAST(a1.embedding[t.i] AS DOUBLE) AS v
+          FROM a1, range(1, $EmbeddingDim + 1) t(i)),
+        m1 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a1d GROUP BY cell, i),
+        c1d AS (SELECT s.cell, t.i,
+            COALESCE(m1.cv, CAST(s.ce[t.i] AS DOUBLE)) AS cv
+          FROM seeds s CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = t.i),
+        c1 AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c1d GROUP BY cell),
+        a2 AS (SELECT vec_id, embedding, cell FROM (
+          SELECT s.vec_id, s.embedding, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
+          FROM samp s CROSS JOIN c1 c) WHERE rk = 1),
+        a2d AS (SELECT a2.cell, a2.vec_id, t.i,
+            CAST(a2.embedding[t.i] AS DOUBLE) AS v
+          FROM a2, range(1, $EmbeddingDim + 1) t(i)),
+        m2 AS (SELECT cell, i,
+            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
+          FROM a2d GROUP BY cell, i),
+        c2d AS (SELECT c.cell, t.i, COALESCE(m2.cv, c.ce[t.i]) AS cv
+          FROM c1 c CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
+          LEFT JOIN m2 ON m2.cell = c.cell AND m2.i = t.i),
+        cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c2d GROUP BY cell),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        sz AS (SELECT cell, COUNT(*) AS cell_n FROM ca GROUP BY cell),
+        tg AS (SELECT MIN(cell_n) AS target_n FROM sz)"""
+
+  /** The salted-hash balanced-keep predicate over `ca`/`sz`/`tg`. */
+  private lazy val balancedKeepSql: String =
+    """('0x' || substr(md5('cluster:' || CAST(ca.vec_id AS VARCHAR)), 1, 15))::BIGINT
+            % sz.cell_n < tg.target_n"""
+
   private lazy val lshNearDupCtes: String = {
     val nTables = 8
     val bucketCols = (0 until nTables).map(tb =>
@@ -754,54 +808,89 @@ object AdvancedQueries {
           .orderBy(col("vec_id"))
       },
       Some {
-        s"""WITH seeds AS (SELECT embedding AS ce,
-            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-        samp AS (SELECT vec_id, embedding FROM embeddings
-          ORDER BY vec_id LIMIT 4096),
-        a1 AS (SELECT vec_id, embedding, cell FROM (
-          SELECT s.vec_id, s.embedding, c.cell,
-            ROW_NUMBER() OVER (PARTITION BY s.vec_id
-              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
-          FROM samp s CROSS JOIN seeds c) WHERE rk = 1),
-        a1d AS (SELECT a1.cell, a1.vec_id, t.i,
-            CAST(a1.embedding[t.i] AS DOUBLE) AS v
-          FROM a1, range(1, $EmbeddingDim + 1) t(i)),
-        m1 AS (SELECT cell, i,
-            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
-          FROM a1d GROUP BY cell, i),
-        c1d AS (SELECT s.cell, t.i,
-            COALESCE(m1.cv, CAST(s.ce[t.i] AS DOUBLE)) AS cv
-          FROM seeds s CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
-          LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = t.i),
-        c1 AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c1d GROUP BY cell),
-        a2 AS (SELECT vec_id, embedding, cell FROM (
-          SELECT s.vec_id, s.embedding, c.cell,
-            ROW_NUMBER() OVER (PARTITION BY s.vec_id
-              ORDER BY ${l2sqSql("s.embedding", "c.ce")}, c.cell) AS rk
-          FROM samp s CROSS JOIN c1 c) WHERE rk = 1),
-        a2d AS (SELECT a2.cell, a2.vec_id, t.i,
-            CAST(a2.embedding[t.i] AS DOUBLE) AS v
-          FROM a2, range(1, $EmbeddingDim + 1) t(i)),
-        m2 AS (SELECT cell, i,
-            list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y) / COUNT(*) AS cv
-          FROM a2d GROUP BY cell, i),
-        c2d AS (SELECT c.cell, t.i, COALESCE(m2.cv, c.ce[t.i]) AS cv
-          FROM c1 c CROSS JOIN range(1, $EmbeddingDim + 1) t(i)
-          LEFT JOIN m2 ON m2.cell = c.cell AND m2.i = t.i),
-        cent AS (SELECT cell, list(cv ORDER BY i) AS ce FROM c2d GROUP BY cell),
-        ca AS (SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.cell,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
-          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
-        sz AS (SELECT cell, COUNT(*) AS cell_n FROM ca GROUP BY cell),
-        tg AS (SELECT MIN(cell_n) AS target_n FROM sz)
+        s"""WITH $balancedSampleCtes
         SELECT ca.vec_id, CAST(ca.cell AS INT) AS cell,
           CAST(sz.cell_n AS INT) AS cell_n,
-          ('0x' || substr(md5('cluster:' || CAST(ca.vec_id AS VARCHAR)), 1, 15))::BIGINT
-            % sz.cell_n < tg.target_n AS keep
+          $balancedKeepSql AS keep
         FROM ca JOIN sz ON sz.cell = ca.cell CROSS JOIN tg
+        ORDER BY ca.vec_id"""
+      }),
+
+    // ---- the EMBEDDING-side release composite (the vector analogue
+    // of qx5's text recipe): semantic dedup (qs9's LSH pair graph +
+    // transitive closure — drop non-canonical near-dups), cluster-
+    // balanced mixing (qs16's keep), and the PQ serving code (qs17's
+    // m=4 encode) composed into one per-vector verdict + compressed
+    // representation — dedup, mix, compress, the full corpus-to-index
+    // build. Vectors in no near-dup cluster are canonical by
+    // definition (LEFT JOIN + COALESCE true). Oracle = the three
+    // proven CTE families chained (WITH RECURSIVE for the closure;
+    // PQ CTEs renamed pseeds/pcb/penc to dodge the Lloyd chain's
+    // names); per-stage flags stay visible. ----
+    QueryDef("qx6_embedding_release",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pairs = Similarity.lshNearDupPairs(e,
+            "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val sem = Dedup.dupClusters(pairs, pairsMaterialized = true)
+          .select(col("doc_id").as("vec_id"), col("is_canonical"))
+        val lloyd = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 2)
+        val bal = Ivf.balancedSample(e, "vec_id", "embedding", lloyd)
+          .select(col("vec_id"), col("cell"), col("keep").as("b_keep"))
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 4, k = 8)
+        e.select(col("vec_id"),
+            concat_ws(",", transform(
+              graft.sim.Pq.codes(col("embedding"), pq),
+              c => c.cast("string"))).as("pq_csv"))
+          .join(bal, Seq("vec_id"))
+          .join(sem, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("is_canonical"), lit(true)).as("canonical"),
+            col("b_keep"),
+            (coalesce(col("is_canonical"), lit(true)) && col("b_keep"))
+              .as("keep"),
+            col("pq_csv"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE $lshNearDupCtes,
+        p AS (SELECT id_a, id_b FROM sc WHERE cosine >= 0.45),
+        und AS (SELECT id_a AS na, id_b AS nb FROM p
+          UNION ALL SELECT id_b AS na, id_a AS nb FROM p),
+        reach(na, nb) AS (
+          SELECT na, nb FROM und
+          UNION
+          SELECT r.na, u.nb FROM reach r JOIN und u ON r.nb = u.na),
+        lab AS (SELECT na AS vec_id, LEAST(na, MIN(nb)) AS cluster_id
+          FROM reach GROUP BY na),
+        $balancedSampleCtes,
+        pseeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        pcb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 16 + 1, t.j * 16 + 16) AS ce
+          FROM pseeds s CROSS JOIN range(0, 4) t(j)),
+        penc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, pcb.j, pcb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.j ORDER BY
+              list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[CAST(pcb.j * 16 + i AS INT)] AS DOUBLE) - CAST(pcb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(pcb.j * 16 + i AS INT)] AS DOUBLE) - CAST(pcb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              pcb.code) AS rk
+          FROM embeddings e CROSS JOIN pcb) WHERE rk = 1),
+        pc AS (SELECT vec_id,
+            string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS pq_csv
+          FROM penc GROUP BY vec_id)
+        SELECT ca.vec_id, CAST(ca.cell AS INT) AS cell,
+          COALESCE(l.vec_id = l.cluster_id, TRUE) AS canonical,
+          $balancedKeepSql AS b_keep,
+          COALESCE(l.vec_id = l.cluster_id, TRUE)
+            AND ($balancedKeepSql) AS keep,
+          pc.pq_csv
+        FROM ca JOIN sz ON sz.cell = ca.cell CROSS JOIN tg
+        JOIN pc ON pc.vec_id = ca.vec_id
+        LEFT JOIN lab l ON l.vec_id = ca.vec_id
         ORDER BY ca.vec_id"""
       }),
 
