@@ -37,16 +37,28 @@ object ZOrder {
 
   /** Morton interleave of two non-negative integer columns, `bits`
     * low bits each (bit i of x → z bit 2i, bit i of y → z bit 2i+1).
-    * Inputs are masked to `bits` bits first, so out-of-range values
-    * wrap rather than corrupt neighbouring rows' ordering — callers
-    * pick `bits` to cover the key domain. Codegen-friendly: a fixed
-    * fold of built-in bit ops, no UDF.
+    * With `strict = true` (the default) a key outside [0, 2^bits)
+    * raises at execution time — a silent mask wrap would quietly void
+    * the bounded-span property the layout exists for (distant keys
+    * sharing a bucket) while staying invisible to any result check, so
+    * the domain must fail loudly, not degrade. `strict = false` keeps
+    * the masking behavior for callers that have pre-wrapped keys on
+    * purpose. Codegen-friendly either way: a fixed fold of built-in
+    * bit ops (plus one guarded branch when strict), no UDF.
     */
-  def zValue(x: Column, y: Column, bits: Int): Column = {
+  def zValue(x: Column, y: Column, bits: Int,
+      strict: Boolean = true): Column = {
     require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31, got $bits")
     val mask = (1L << bits) - 1
-    val xs = x.cast("bigint").bitwiseAND(lit(mask))
-    val ys = y.cast("bigint").bitwiseAND(lit(mask))
+    def domain(c: Column, name: String): Column = {
+      val v = c.cast("bigint")
+      if (!strict) v.bitwiseAND(lit(mask))
+      else when(v >= 0 && v <= mask, v).otherwise(raise_error(concat(
+        lit(s"ZOrder.zValue: $name key outside $bits-bit domain [0, ${mask}]: "),
+        v.cast("string"))))
+    }
+    val xs = domain(x, "x")
+    val ys = domain(y, "y")
     (0 until bits).map { i =>
       shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
@@ -72,6 +84,9 @@ object ZOrder {
     */
   def layout(df: DataFrame, xCol: String, yCol: String, bits: Int,
       numFiles: Int): DataFrame = {
+    require(!df.columns.contains("_z"),
+      "ZOrder.layout: input already has a '_z' column — rename it first " +
+        "(the layout would silently overwrite and then drop it)")
     val z = zValue(col(xCol), col(yCol), bits)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))

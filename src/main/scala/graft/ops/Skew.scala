@@ -13,11 +13,19 @@ object Skew {
 
   private val SaltCol = "__salt"
 
-  /** Salted equi-join: the left (large, skewed) side gets a random salt
-    * in [0, buckets); the right side is replicated `buckets` times with
-    * every salt value, so each hot key spreads over `buckets` reducers.
-    * Semantics identical to `left.join(right, keys, joinType)` for
-    * row-preserving join types (inner / left_outer).
+  /** Salted equi-join: the left (large, skewed) side gets a
+    * DETERMINISTIC salt in [0, buckets) — xxhash64 of the whole row
+    * plus a fixed seed string — so each hot key spreads over `buckets`
+    * reducers. A row hash (not rand(seed), which is partition-order-
+    * dependent under retries/repartitioning) keeps the salt stable
+    * across task retries and re-plans, matching the repo-wide salted-
+    * hash determinism contract ([[graft.text.TextOps.stratifiedKeep]],
+    * [[graft.text.Mixture.mixtureKeep]]). Within a hot key the spread
+    * comes from the non-key columns; fully-identical duplicate rows
+    * co-locate in one bucket, which only matters if the skew IS exact
+    * duplicates — dedup first in that case. Semantics identical to
+    * `left.join(right, keys, joinType)` for row-preserving join types
+    * (inner / left_outer).
     */
   def saltedJoin(
       left: DataFrame,
@@ -29,7 +37,8 @@ object Skew {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"salting preserves semantics only for inner/left joins, got $joinType")
     val salted = left.withColumn(SaltCol,
-      (rand(seed = 42) * buckets).cast("int"))
+      pmod(xxhash64(lit("skew-salt") +: left.columns.map(col).toSeq: _*),
+        lit(buckets.toLong)).cast("int"))
     val replicated = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)

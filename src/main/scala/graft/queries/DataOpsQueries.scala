@@ -680,7 +680,9 @@ object DataOpsQueries {
     // recipe (en 40%, zh/es 20%, de/fr 10%) with the LARGEST corpus
     // that honors the proportions without oversampling — the binding
     // language (min n_g/w_g) caps the total, every stratum gets
-    // target_n = floor(w_g·T), keep is a salted id-hash threshold.
+    // target_n = least(floor(w_g·T), n_g) (the LEAST guards the
+    // binding stratum against FP rounding), keep is a salted id-hash
+    // threshold.
     // Deterministic and engine-portable: one double divide per
     // stratum, a min, one multiply + floor — the same IEEE chain in
     // both engines (DuckDB's decimal VALUES are CAST to DOUBLE first),
@@ -699,7 +701,8 @@ object DataOpsQueries {
         tt AS (SELECT MIN(CAST(sz.grp_n AS DOUBLE) / sh.share) AS mix_total
           FROM sz JOIN sh ON sh.lang = sz.lang),
         tg AS (SELECT sz.lang, sz.grp_n,
-            CAST(FLOOR(sh.share * tt.mix_total) AS BIGINT) AS target_n
+            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+              CAST(sz.grp_n AS DOUBLE)) AS BIGINT) AS target_n
           FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt)
         SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n,
           CAST(tg.target_n AS INT) AS target_n,
@@ -763,7 +766,8 @@ object DataOpsQueries {
         tt AS (SELECT MIN(CAST(sz.grp_n AS DOUBLE) / sh.share) AS mix_total
           FROM sz JOIN sh ON sh.lang = sz.lang),
         tg AS (SELECT sz.lang, sz.grp_n,
-            CAST(FLOOR(sh.share * tt.mix_total) AS BIGINT) AS target_n
+            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+              CAST(sz.grp_n AS DOUBLE)) AS BIGINT) AS target_n
           FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt),
         m AS (SELECT d2.doc_id,
             ('0x' || substr(md5('mix:' || CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT

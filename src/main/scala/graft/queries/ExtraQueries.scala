@@ -289,9 +289,13 @@ object ExtraQueries {
     // parquet min/max stats prune either key after a z-ordered write
     // (ZOrder.layout). Deterministic throughout: the prefix bucket is a
     // pure function of the keys (no range-sampler dependence), all
-    // outputs exact integers. The oracle interleaves bit-by-bit with a
-    // range(0,14) lateral sum — disjoint bit positions, so SUM ≡ OR —
-    // making it bit-identical to the masked fold by construction. ----
+    // outputs exact integers. zValue runs in strict mode: a custkey
+    // beyond 2^14 raises at execution instead of silently wrapping
+    // into a shared bucket (sf0.1 tops out at 15000 < 16383; larger
+    // SFs must raise bits — the guard makes that loud). The oracle
+    // interleaves bit-by-bit with a range(0,14) lateral sum — disjoint
+    // bit positions, so SUM ≡ OR — bit-identical to the fold by
+    // construction. ----
     QueryDef("ql1_zorder_layout",
       (s, dir) => {
         import graft.lake.ZOrder

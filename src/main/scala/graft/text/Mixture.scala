@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * corpus that honors the proportions without oversampling any
   * stratum, and keep each document accordingly. The binding stratum
   * (the one whose availability runs out first: min over g of
-  * n_g / w_g) is kept in full; every other stratum subsamples down to
-  * its proportional target floor(w_g · T).
+  * n_g / w_g) is kept in full — guaranteed exactly, via a LEAST clamp
+  * of the target against n_g (double arithmetic alone can round
+  * share·(n/share) a hair below n); every other stratum subsamples
+  * down to its proportional target floor(w_g · T).
   *
   * Scale shape (the point at 100 TB): stratum sizes are one partial-
   * aggregated exchange whose width is the number of strata; the share
@@ -56,10 +58,16 @@ object Mixture {
     // binding total: the largest T with floor(w_g * T) <= n_g for all g
     val total = sizes.join(shareDf, groupCol)
       .agg(min(col("grp_n").cast("double") / col("share")).as("mix_total"))
+    // LEAST-clamp: mathematically floor(w_g·T) <= n_g for all g, but in
+    // double arithmetic share*(n/share) can round just below n, which
+    // would subsample one document from the binding stratum — the clamp
+    // makes the "binding stratum kept in full" invariant exact, not
+    // merely FP-probable.
     val targets = sizes.join(shareDf, groupCol)
       .crossJoin(broadcast(total))
       .select(col(groupCol), col("grp_n"),
-        floor(col("share") * col("mix_total")).as("target_n"))
+        least(floor(col("share") * col("mix_total")), col("grp_n"))
+          .as("target_n"))
     docs.select(col(idCol), col(groupCol))
       .join(broadcast(targets), Seq(groupCol))
       .select(col(idCol), col(groupCol),

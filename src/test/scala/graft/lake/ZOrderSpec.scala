@@ -17,12 +17,32 @@ class ZOrderSpec extends SparkTestBase {
     assert(got == Seq(0L, 1L, 2L, 39L, 65535L))
   }
 
-  test("zValue masks out-of-range keys instead of corrupting order") {
+  test("zValue rejects out-of-domain keys loudly (strict default)") {
+    // A silent mask wrap makes distant keys share buckets while every
+    // result check stays green — the failure must be loud instead.
+    val bad = Seq(((1L << 8) + 3L, 5L)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", bits = 8).as("z"))
+    val err = intercept[Exception](bad.as[Long].head())
+    assert(err.getMessage.contains("outside 8-bit domain") ||
+      Option(err.getCause).exists(_.getMessage.contains("outside 8-bit domain")))
+    val neg = Seq((-1L, 5L)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", bits = 8).as("z"))
+    intercept[Exception](neg.as[Long].head())
+  }
+
+  test("zValue strict=false masks out-of-range keys (opt-in wrap)") {
     // 2^8 + 3 masked to 8 bits == 3 — same z as (3, 5)
     val z = Seq(((1L << 8) + 3L, 5L)).toDF("x", "y")
-      .select(ZOrder.zValue($"x", $"y", bits = 8).as("z"))
+      .select(ZOrder.zValue($"x", $"y", bits = 8, strict = false).as("z"))
       .as[Long].head()
     assert(z == 39L)
+  }
+
+  test("layout refuses an input that already has a _z column") {
+    val df = Seq((1L, 2L, 9L)).toDF("x", "y", "_z")
+    val err = intercept[IllegalArgumentException](
+      ZOrder.layout(df, "x", "y", bits = 4, numFiles = 2))
+    assert(err.getMessage.contains("_z"))
   }
 
   test("prefix bucket bounds the span of BOTH dimensions") {

@@ -30,6 +30,21 @@ class SkewSpec extends SparkTestBase {
     assert(plain.length == 1000)
   }
 
+  test("salt is deterministic across runs and spreads the hot key") {
+    // the salt is a row hash, not rand(seed): re-running the same plan
+    // (and re-partitioning the input) must produce the identical
+    // bucket per row, and the hot key must still span many buckets
+    import org.apache.spark.sql.functions._
+    def salts(df: org.apache.spark.sql.DataFrame) = Skew
+      .saltedJoin(df, dim, Seq("k"), buckets = 8)
+      .select($"k", $"v").as[(String, Long)].collect().toSeq.sorted
+    assert(salts(facts) == salts(facts.repartition(7)))
+    val buckets = facts.filter($"k" === "HOT")
+      .withColumn("b", pmod(xxhash64(lit("skew-salt"), $"k", $"v"), lit(8L)))
+      .select($"b").distinct().count()
+    assert(buckets >= 6, s"hot key spread over only $buckets of 8 buckets")
+  }
+
   test("hotKeys flags the heavy hitter") {
     val hot = Skew.hotKeys(facts, Seq("k"), threshold = 0.05)
       .select($"k").as[String].collect()

@@ -36,6 +36,23 @@ class MixtureSpec extends SparkTestBase {
     }
   }
 
+  test("binding stratum is kept in full — exactly, not FP-probably") {
+    // shares with 1/3-style doubles are where share*(n/share) can
+    // round below n; the LEAST clamp guarantees target_n == grp_n for
+    // the binding stratum regardless
+    val third = 1.0 / 3.0
+    val out = Mixture.mixtureKeep(docs, "doc_id", "grp",
+        Seq("a" -> third, "b" -> third, "c" -> (1.0 - 2 * third)))
+      .select($"grp", $"grp_n", $"target_n").distinct()
+      .as[(String, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (g, (n, tgt)) =>
+      assert(tgt <= n, s"$g target $tgt exceeds availability $n") }
+    // binding stratum = argmin n_g/w_g = b (40/.333=120 vs a 300, c 30/.333=90)
+    // caps: a 300, b 120, c 90 -> c binds; c must be kept whole
+    assert(out("c")._2 == out("c")._1,
+      s"binding stratum subsampled: ${out("c")}")
+  }
+
   test("strata absent from the shares are dropped (share zero)") {
     val out = Mixture.mixtureKeep(docs, "doc_id", "grp",
       Seq("a" -> 0.8, "b" -> 0.2))
