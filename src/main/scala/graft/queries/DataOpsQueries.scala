@@ -1552,6 +1552,211 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- the SERVING-GRADE composed IVF-PQ stack — qs18's proven
+    // composition re-pointed at qs21's serving-grade code: float-space
+    // coarse cells (qs13's lesson), partial probe (nprobe=4 of 8), and
+    // 128-bit PQ reconstruction scoring in-cell (m=16×k=256, 16 bytes/
+    // vector, the point the qs17→qs21 bit-budget sweep located at
+    // recall 0.9 flat). This is the row that converts the measured PQ
+    // curve into the index a 100 TB corpus would actually serve from:
+    // compressed 16× in-cell, scanning only the probed cells. Oracle =
+    // qs18's cent/ca/qp/i0 probe CTEs over qs21's LIMIT-256 subDim=4
+    // codebook/encode/reconstruct CTEs. Recall vs the float brute is
+    // the pinned measurement: 0.85 at nprobe=4 vs the 0.9 flat-PQ
+    // ceiling — with only 8 cells on the test corpus the probe
+    // fraction is necessarily coarse (half); at real scale the cell
+    // count grows with the corpus and the probed FRACTION shrinks at
+    // held recall (the qs8→qs11→qs14 ladder's lesson), while the
+    // in-cell scan stays 16×-compressed. ----
+    QueryDef("qs22_ivfpq_serving",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val withRecon = e.select(col("vec_id"), col("embedding"),
+          graft.sim.Pq.reconstruct(col("embedding"), pq).as("recon"))
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val ann = Ivf.topKOn(withRecon, q, "vec_id", "embedding", "recon",
+          "query_id", "qe", cells, k = 5, nprobe = 4)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        rec AS (SELECT enc.vec_id, flatten(list(cb.ce ORDER BY enc.j)) AS re
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          GROUP BY enc.vec_id),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        i0 AS (SELECT qp.query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(r.re) + 1),
+              i -> CAST(r.re[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(r.re) + 1),
+                i -> CAST(r.re[i] AS DOUBLE) * CAST(r.re[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qp.qe) + 1),
+                i -> CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM ca JOIN rec r ON r.vec_id = ca.vec_id
+          JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        i5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM i5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
+    // ---- ADC lookup-table scoring (Pq.withAdcTables/adcCosine) at the
+    // 128-bit serving point: the SAME ranking problem as qs21 but
+    // scored the production way — per query a m×k dot table computed
+    // ONCE on the query side, per candidate m lookups + m−1 adds over
+    // the 16-byte code column, NO reconstruction materialized (the
+    // dim×4-bytes/row width the reconstruction form ships through the
+    // score join). The dot regroups per subspace, so the oracle mirrors
+    // that exact grouping (per-j list_reduce, then an ORDER BY j fold);
+    // PqSpec pins rank-identity + 1e-12 agreement against the
+    // reconstruction form, and bit-exact L2 via the distance LUT. ----
+    QueryDef("qs23_pq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val qLut = graft.sim.Pq.withAdcTables(q, "query_id", "qe", pq)
+          .select(col("query_id"), col("adc_lut"), col("adc_qnsq"))
+        val codes = graft.ops.Partitioning.spread(e)
+          .select(col("vec_id"),
+            graft.sim.Pq.codes(col("embedding"), pq).as("codes"))
+        val scored = codes.crossJoin(broadcast(qLut))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            graft.sim.Pq.adcCosine(col("codes"), col("adc_lut"),
+              col("adc_qnsq"), pq).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        val ann = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        pj AS (SELECT enc.vec_id, qv.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qv.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          CROSS JOIN qv WHERE enc.vec_id <> qv.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        p1 AS (SELECT p0.query_id, p0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p1) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

@@ -144,4 +144,113 @@ object Pq {
       model: Model): DataFrame =
     graft.ops.Partitioning.spread(corpus)
       .select(col(idCol), reconstruct(col(vecCol), model).as(vecCol))
+
+  // --------------------------------------------------------------------
+  // ADC (asymmetric distance computation) — the production serving form:
+  // score codes via per-subspace LOOKUP-TABLE sums instead of
+  // materializing the reconstruction. Per query the table is m·k dot
+  // products (KBs, computed ONCE on the small query side before the
+  // candidate join); per (query, code) pair scoring is then m lookups +
+  // m-1 adds — and, the point at 100 TB, the dim×4-bytes/row
+  // reconstruction column never rides the candidate shuffle: only the
+  // m-byte code column does.
+  //
+  // Numeric contract vs the reconstruction form ([[reconstruct]] +
+  // Similarity.cosine): the dot is regrouped per subspace —
+  // Σ_j (Σ_i q_ji·x̂_ji) instead of one flat ascending fold — so scores
+  // agree to rounding (|Δ| ~ 1e-16 relative, PqSpec pins 1e-12 and
+  // rank-identity), while L2, whose per-subspace regroup is exactly
+  // ||q-x̂||² = Σ_j ||q_j-x̂_j||², is BIT-exact when both sides group by
+  // subspace (PqSpec pins that too). Within each subspace and across
+  // subspaces the fold is ascending with the j=0 term as seed — the
+  // grouping the DuckDB list_reduce(list(... ORDER BY j)) oracle
+  // reproduces bit-for-bit.
+  //
+  // Scope: the tables score against the codebooks' DOUBLE entries,
+  // while [[reconstruct]] float-casts them. For seed-fit codebooks
+  // (verbatim float32 corpus values — the qs21/qs22/qs23 serving
+  // configuration) the cast is lossless and the two agree as stated;
+  // for [[fitLloyd]] codebooks (averaged doubles) the ADC form is the
+  // MORE precise of the two (no float truncation) and the 1e-12 pin
+  // applies only to the seed fit.
+  // --------------------------------------------------------------------
+
+  /** Attach the per-query ADC tables to a (small) query frame:
+    * `lutCol` = lut[j][c] = Σ_i asc q[j·subDim+i]·ce_i,
+    * `distCol` = distSq[j][c] = Σ_i asc (q[j·subDim+i] − ce_i)²,
+    * `qnsqCol` = Σ_i asc q_i² — all doubles, all ascending 0.0-seeded
+    * folds. A typed map, deliberately NOT an unrolled Column
+    * expression: m·k = thousands of subexpressions each referencing
+    * the query vector blow up codegen (measured: broadcast-build OOM
+    * at m=16×k=256), while the table as DATA is m·k doubles — KBs per
+    * query row, built once at query time, exactly the classic ADC
+    * serve-time table. The query side is small by contract (it is
+    * broadcast into the candidate join).
+    */
+  def withAdcTables(queries: DataFrame, qIdCol: String, qVecCol: String,
+      model: Model): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .map { case (qid, qv) =>
+        val m = bc.value
+        val lut = Array.tabulate(m.m, m.k) { (j, c) =>
+          var s = 0.0; var i = 0
+          while (i < m.subDim) {
+            s += qv(j * m.subDim + i).toDouble * m.codebooks(j)(c)(i); i += 1
+          }
+          s
+        }
+        val dist = Array.tabulate(m.m, m.k) { (j, c) =>
+          var s = 0.0; var i = 0
+          while (i < m.subDim) {
+            val d = qv(j * m.subDim + i).toDouble - m.codebooks(j)(c)(i)
+            s += d * d; i += 1
+          }
+          s
+        }
+        var qn = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
+        (qid, qv, lut.map(_.toSeq).toSeq, dist.map(_.toSeq).toSeq, qn)
+      }
+      .toDF(qIdCol, qVecCol, "adc_lut", "adc_dist", "adc_qnsq")
+  }
+
+  /** Query-independent code-norm table as a plan literal:
+    * normSq[j][c] = Σ_i asc ce_i² (m·k doubles — KBs; foldable, so
+    * Catalyst constant-folds it to one Literal, no codegen cost).
+    */
+  def adcNormSqLit(model: Model): Column =
+    array((0 until model.m).map { j =>
+      array(model.codebooks(j).map(code =>
+        lit(code.foldLeft(0.0)((a, x) => a + x * x))): _*)
+    }: _*)
+
+  private def pick(tab: Column, codes: Column, j: Int): Column =
+    element_at(element_at(tab, j + 1), element_at(codes, j + 1) + 1)
+
+  /** ADC cosine of a code row against a query: codes is [[codes]]'
+    * array<int>; dotLut/qNormSq come from [[withAdcTables]]
+    * (`adc_lut`, `adc_qnsq`). m lookups + m−1 adds per candidate —
+    * equals the reconstruction cosine to rounding (see the contract
+    * above); no reconstruction is ever materialized.
+    */
+  def adcCosine(codes: Column, dotLut: Column, qNormSq: Column,
+      model: Model): Column = {
+    val nsq = adcNormSqLit(model)
+    val num = (0 until model.m).map(pick(dotLut, codes, _)).reduceLeft(_ + _)
+    val rn = (0 until model.m).map(pick(nsq, codes, _)).reduceLeft(_ + _)
+    num / (sqrt(rn) * sqrt(qNormSq))
+  }
+
+  /** ADC squared L2 distance: Σ_j asc distLut[j][c_j] over
+    * [[withAdcTables]]' `adc_dist`. Since ||q−x̂||² = Σ_j ||q_j−x̂_j||²
+    * exactly — per-subspace difference squares, no expansion — this is
+    * BIT-exact against a reconstruction distance computed with the
+    * same per-subspace grouping (PqSpec pins it).
+    */
+  def adcL2Sq(codes: Column, distLut: Column, model: Model): Column =
+    (0 until model.m).map(pick(distLut, codes, _)).reduceLeft(_ + _)
 }
