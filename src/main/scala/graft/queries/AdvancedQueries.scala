@@ -819,10 +819,12 @@ object AdvancedQueries {
     // ---- the EMBEDDING-side release composite (the vector analogue
     // of qx5's text recipe): semantic dedup (qs9's LSH pair graph +
     // transitive closure — drop non-canonical near-dups), cluster-
-    // balanced mixing (qs16's keep), and the PQ serving code (qs17's
-    // m=4 encode) composed into one per-vector verdict + compressed
-    // representation — dedup, mix, compress, the full corpus-to-index
-    // build. Vectors in no near-dup cluster are canonical by
+    // balanced mixing (qs16's keep), and the SERVING-GRADE PQ code
+    // (qs21/qs22's m=16×k=256 — 16 bytes/vector at recall 0.9, not
+    // qs17's m=4 toy) composed into one per-vector verdict +
+    // compressed representation — dedup, mix, compress, the full
+    // corpus-to-index build emitting the artifact qs22 actually
+    // serves from. Vectors in no near-dup cluster are canonical by
     // definition (LEFT JOIN + COALESCE true). Oracle = the three
     // proven CTE families chained (WITH RECURSIVE for the closure;
     // PQ CTEs renamed pseeds/pcb/penc to dodge the Lloyd chain's
@@ -838,7 +840,7 @@ object AdvancedQueries {
         val lloyd = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 2)
         val bal = Ivf.balancedSample(e, "vec_id", "embedding", lloyd)
           .select(col("vec_id"), col("cell"), col("keep").as("b_keep"))
-        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 4, k = 8)
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
         e.select(col("vec_id"),
             concat_ws(",", transform(
               graft.sim.Pq.codes(col("embedding"), pq),
@@ -866,16 +868,16 @@ object AdvancedQueries {
           FROM reach GROUP BY na),
         $balancedSampleCtes,
         pseeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
         pcb AS (SELECT t.j, s.code,
-            list_slice(s.embedding, t.j * 16 + 1, t.j * 16 + 16) AS ce
-          FROM pseeds s CROSS JOIN range(0, 4) t(j)),
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM pseeds s CROSS JOIN range(0, 16) t(j)),
         penc AS (SELECT vec_id, j, code FROM (
           SELECT e.vec_id, pcb.j, pcb.code,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id, pcb.j ORDER BY
-              list_reduce(list_transform(range(1, 17),
-                i -> (CAST(e.embedding[CAST(pcb.j * 16 + i AS INT)] AS DOUBLE) - CAST(pcb.ce[i] AS DOUBLE))
-                   * (CAST(e.embedding[CAST(pcb.j * 16 + i AS INT)] AS DOUBLE) - CAST(pcb.ce[i] AS DOUBLE))),
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(pcb.j * 4 + i AS INT)] AS DOUBLE) - CAST(pcb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(pcb.j * 4 + i AS INT)] AS DOUBLE) - CAST(pcb.ce[i] AS DOUBLE))),
                 (x, y) -> x + y),
               pcb.code) AS rk
           FROM embeddings e CROSS JOIN pcb) WHERE rk = 1),
