@@ -1151,7 +1151,8 @@ object AdvancedQueries {
     // failure a multilingual corpus build must avoid). Scale shape: one
     // corpus scan partial-aggregates into a |languages|-row exact-
     // percentile table (per-group sort state is one language's values —
-    // at real scale swap in approx_percentile, same plan shape), joined
+    // at real scale swap in approx_percentile, same plan shape: qt23
+    // oracles that arm under its GK tolerance contract), joined
     // back by broadcast; the verdict is map-only. Spark `percentile` ≡
     // DuckDB `quantile_cont` bit-exactly on doubles (the qt7-verified
     // equivalence), and emitting keep as a column (not a filter) keeps
@@ -1171,6 +1172,45 @@ object AdvancedQueries {
         c AS (SELECT lang, quantile_cont(v, 0.2) AS lo FROM s GROUP BY lang)
         SELECT s.doc_id, s.lang, s.v, c.lo, s.v >= c.lo AS keep
         FROM s JOIN c ON c.lang = s.lang ORDER BY s.doc_id""")),
+
+    // ---- The AT-SCALE arm of qt21: the same plan shape with
+    // `approx_percentile` (Greenwald-Khanna, bounded sketch state)
+    // where qt21 uses exact `percentile` (per-group sort state — fine
+    // at bench scale, unbounded at 100 TB). A sketch value cannot be
+    // hash-matched (merge order may move it within its guarantee), so
+    // the ORACLED output is the TOLERANCE CONTRACT itself: per
+    // language, rank_ok = |rank(ap) − 0.2·n| <= n/accuracy + 1 — the
+    // GK rank-error bound LangTrimScaleSpec measures, computed in
+    // Spark from the exact distribution vs the sketch cutoff (scan →
+    // sketch agg → broadcast attach → map-side compare, exactly the
+    // 100 TB plan), while DuckDB independently emits the bound and
+    // TRUE. Any run of the sketch that honored its contract hashes
+    // identically; a GK violation flips rank_ok and trips the gate.
+    // The +1 slack covers the discrete-rank convention at group
+    // boundaries (same convention as the spec). ----
+    QueryDef("qt23_lang_trim_approx",
+      (s, dir) => {
+        val acc = 100
+        val d = t(s, dir, "documents")
+          .select(col("lang"), col("n_chars").cast("double").as("v"))
+        val cuts = d.groupBy(col("lang"))
+          .agg(expr(s"approx_percentile(v, 0.2, $acc)").as("ap"),
+            count(lit(1)).as("grp_n"))
+        d.join(broadcast(cuts), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(first(col("grp_n")).as("grp_n"),
+            sum(when(col("v") <= col("ap"), 1L).otherwise(0L)).as("rank_ap"))
+          .select(col("lang"), col("grp_n").cast("int").as("grp_n"),
+            (col("grp_n").cast("double") / acc + 1.0).as("rank_bound"),
+            (abs(col("rank_ap").cast("double") -
+                lit(0.2) * col("grp_n").cast("double")) <=
+              col("grp_n").cast("double") / acc + 1.0).as("rank_ok"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS INT) AS grp_n,
+          CAST(COUNT(*) AS DOUBLE) / 100 + CAST(1 AS DOUBLE) AS rank_bound,
+          TRUE AS rank_ok
+        FROM documents GROUP BY lang ORDER BY lang""")),
 
     // ---- Deterministic train/val/test split: content-independent
     // md5-hash bucket of the id — stable across runs and engines ----
