@@ -328,6 +328,104 @@ object ExtraQueries {
           CAST(MIN(y) AS INT) AS y_min, CAST(MAX(y) AS INT) AS y_max,
           CAST(MAX(x) - MIN(x) AS INT) AS x_span,
           CAST(MAX(y) - MIN(y) AS INT) AS y_span
-        FROM zt GROUP BY 1 ORDER BY bucket"""))
+        FROM zt GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- Bucketed co-located join (lake/Bucketed), as a driver row:
+    // orders and customer are bucket-materialized on the join key
+    // (8 buckets each, a fresh temp lake location per run), then
+    // joined through the session catalog — and the body REQUIRES the
+    // physical plan to contain zero Exchange and a SortMergeJoin with
+    // broadcast disabled, so the zero-shuffle claim is enforced every
+    // round, not just spec-asserted. At 100 TB this is the lever that
+    // joins the fact table to its factor/dimension grids without ever
+    // shuffling the big side again after the one-time bucketed write.
+    // The result hash-matches the plain join oracle (bucketing must
+    // not change semantics). ----
+    QueryDef("ql2_bucketed_join",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("ql2_bucketed").toString
+        val ob = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        val cb = t(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_nationkey"))
+        graft.lake.Bucketed.write(ob, "graft_ql2_orders", s"$tmp/orders",
+          buckets = 8, bucketCols = Seq("custkey"), sortCols = Seq("custkey"))
+        graft.lake.Bucketed.write(cb, "graft_ql2_customer", s"$tmp/customer",
+          buckets = 8, bucketCols = Seq("custkey"), sortCols = Seq("custkey"))
+        val joined = graft.lake.Bucketed.read(s, "graft_ql2_orders")
+          .join(graft.lake.Bucketed.read(s, "graft_ql2_customer"),
+            Seq("custkey"))
+          .select(col("custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("c_nationkey"))
+        // assert the co-location with broadcast off (a broadcast join
+        // would be Exchange-free trivially and prove nothing)
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val plan = joined.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            "bucketed join planned an Exchange:\n" + plan)
+          require(plan.contains("SortMergeJoin"), plan)
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        joined.orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+          c_nationkey
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_orderkey""")),
+
+    // ---- Split-window backfill (ingest/Backfill — the reference's
+    // emit_split_backfill_cmds.py:21-40 re-run scoping as dynamic
+    // partition overwrite), as a driver row: a synthetic bars lake is
+    // written from events (ticker=U<user_id>, partitioned ticker/year/
+    // month, close = value), splits are derived the q32 way (purchases
+    // with event_id % 29 == 0), and overwriteAffected rewrites ONLY
+    // the partitions within ±14 days of a split with recomputed bars
+    // (close = value·2). The read-back lake must show exactly the
+    // affected partitions at the new values and every untouched
+    // partition at the old — which is the oracle's closed-form CASE on
+    // partition membership. Values are raw doubles (v and v·2, exact),
+    // timestamps round-trip at micros. ----
+    QueryDef("ql3_backfill_overwrite",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("ql3_backfill").toString
+        val lake = s"$tmp/lake"
+        val ev = t(s, dir, "events")
+          .withColumn("ticker", concat(lit("U"), col("user_id")))
+        def bars(factor: Double) = ev.select(col("ticker"),
+          col("ts").as("datetime"),
+          (col("value") * factor).as("close"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"))
+        bars(1.0).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("ticker", "year", "month").parquet(lake)
+        val splits = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 29 === 0)
+          .select(col("ticker"), to_date(col("ts")).as("execution_date"))
+          .distinct()
+        graft.ingest.Backfill.overwriteAffected(s, bars(2.0), splits, lake,
+          windowDays = 14)
+        s.read.parquet(lake)
+          .select(col("ticker"), unix_micros(col("datetime")).as("ts_us"),
+            col("year").cast("int").as("yr"),
+            col("month").cast("int").as("mo"), col("close"))
+          .orderBy(col("ticker"), col("ts_us"), col("close"))
+      },
+      Some("""WITH ev AS (SELECT 'U'||CAST(user_id AS VARCHAR) AS ticker,
+            ts, event_id, event_type, value FROM events),
+        sp AS (SELECT DISTINCT ticker, CAST(ts AS DATE) AS ed FROM ev
+          WHERE event_type = 'purchase' AND event_id % 29 = 0),
+        dy AS (SELECT ticker,
+            unnest(generate_series(ed - 14, ed + 14, INTERVAL 1 DAY)) AS d
+          FROM sp),
+        aff AS (SELECT DISTINCT ticker, year(d) AS yr, month(d) AS mo FROM dy)
+        SELECT e.ticker, epoch_us(e.ts) AS ts_us,
+          year(e.ts) AS yr, month(e.ts) AS mo,
+          CASE WHEN a.ticker IS NOT NULL THEN e.value * 2 ELSE e.value END AS close
+        FROM ev e LEFT JOIN aff a ON a.ticker = e.ticker
+          AND a.yr = year(e.ts) AND a.mo = month(e.ts)
+        ORDER BY e.ticker, ts_us, close"""))
   )
 }
