@@ -1757,6 +1757,114 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- the END-STATE serving plan (Ivf.topKAdc): qs22's composition
+    // with qs23's scoring — float-space cells, nprobe=4 partial probe,
+    // and ADC lookup-table sums over the 16-byte code column. Unlike
+    // qs22 (which ships a 64-float reconstruction through the candidate
+    // join to reuse the proven scorer), the corpus side here carries
+    // ONLY (id, cell, codes) — at 100 TB that is the difference between
+    // shuffling 256 B/row and 16 B/row through the probe join — and
+    // each query broadcasts its KB ADC tables. Rank-identical to qs22
+    // by the pinned ADC ≡ reconstruction contract: recall 0.85, same
+    // rows, measured independently by this oracle (probe CTEs + the
+    // per-subspace ADC fold tail). ----
+    QueryDef("qs24_ivfpq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val ann = Ivf.topKAdc(e, q, "vec_id", "embedding",
+          "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        pj AS (SELECT enc.vec_id, qp.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qp.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN ca ON ca.vec_id = enc.vec_id
+          JOIN qp ON qp.cell = ca.cell AND enc.vec_id <> qp.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        p1 AS (SELECT p0.query_id, p0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p1) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

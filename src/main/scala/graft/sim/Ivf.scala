@@ -142,6 +142,43 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The full production IVF-PQ serving plan: coarse cells assigned in
+    * float space, partial probe, and ADC lookup-table scoring over the
+    * PQ CODE column — the corpus side of the candidate join carries
+    * only (id, cell, m-byte codes), never a float vector or a
+    * reconstruction, and each query ships its KB-sized ADC tables
+    * ([[Pq.withAdcTables]]) through the broadcast. Per candidate the
+    * score is m lookups + m−1 adds. Rank-identical to [[topKOn]] over
+    * [[Pq.reconstructed]] (the ADC ≡ reconstruction contract PqSpec
+    * pins), at a fraction of the shuffled width.
+    */
+  def topKAdc(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      model: Model, pq: Pq.Model, k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val corpusCells = assign(corpus, idCol, vecCol, model)
+      .select(col(idCol), Pq.codes(col(vecCol), pq).as("codes"), col("cell"))
+    val qTabs = Pq.withAdcTables(queries, qIdCol, qVecCol, pq)
+      .select(col(qIdCol), col("adc_lut"), col("adc_qnsq"))
+    val queryCells = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => bc.value.nearest(qv, nprobe).map(c => (qid, c)) }
+      .toDF(qIdCol, "cell")
+      .join(qTabs, qIdCol)
+    val scored = corpusCells.join(broadcast(queryCells), "cell")
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        Pq.adcCosine(col("codes"), col("adc_lut"), col("adc_qnsq"), pq)
+          .as("cosine"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
     * rank within candidates. With nprobe == k (all cells) this equals
     * the brute-force result.

@@ -43,6 +43,28 @@ class IvfSpec extends SparkTestBase {
     ranks.foreach { case (_, mx, n) => assert(mx == n) }
   }
 
+  test("topKAdc ranks identically to topKOn over the reconstruction") {
+    // the production code-only serving plan must return the same rows
+    // in the same order as the reconstruction-shipping composition —
+    // the ADC ≡ reconstruction contract applied end-to-end
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val adc = Ivf.topKAdc(emb, q, "vec_id", "embedding",
+        "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val withRecon = emb.select($"vec_id", $"embedding",
+      Pq.reconstruct($"embedding", pq).as("recon"))
+    val recon = Ivf.topKOn(withRecon, q, "vec_id", "embedding", "recon",
+        "query_id", "qe", cells, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(adc.nonEmpty)
+    assert(adc == recon, "ADC and reconstruction serving plans diverge")
+  }
+
   test("balancedSample: one row per vector, smallest cell fully kept") {
     val model = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
     val s = Ivf.balancedSample(emb, "vec_id", "embedding", model)
