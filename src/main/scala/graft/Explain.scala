@@ -61,7 +61,16 @@ object Explain {
         // the embedding release composite: LSH pair graph + balanced
         // keep + PQ encode joined vec-keyed; encode must ride the
         // scan, the pair graph must stay bucket-equi-join
-        "qx6_embedding_release")
+        "qx6_embedding_release",
+        // round-11 additions: the serving ANN stack (cell assignment
+        // and PQ encode must ride the corpus scan; query cells + ADC
+        // tables broadcast; candidate join a cell equi-join — qs24's
+        // corpus side must carry ONLY id/cell/codes), the bucketed
+        // join (zero Exchange — also require()d in the row itself),
+        // and the approx-percentile arm (sketch agg + broadcast
+        // attach, same shape as qt21)
+        "qs22_ivfpq_serving", "qs24_ivfpq_adc", "ql2_bucketed_join",
+        "qt23_lang_trim_approx")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
