@@ -387,19 +387,26 @@ object ExtraQueries {
     // affected partitions at the new values and every untouched
     // partition at the old — which is the oracle's closed-form CASE on
     // partition membership. Values are raw doubles (v and v·2, exact),
-    // timestamps round-trip at micros. ----
+    // timestamps round-trip at micros. Fixture sizing: tickers are
+    // user_id mod 32 (not raw user_id — 1000 tickers × months ≈ 4000
+    // partition dirs turned the writes into a 50 s metadata storm at
+    // sf0.1), and the initial write is repartitioned on the partition
+    // keys so each dir gets ONE file, not one per shuffle task — the
+    // same one-file-per-partition policy the ingest sink uses. ----
     QueryDef("ql3_backfill_overwrite",
       (s, dir) => {
         val tmp = java.nio.file.Files
           .createTempDirectory("ql3_backfill").toString
         val lake = s"$tmp/lake"
         val ev = t(s, dir, "events")
-          .withColumn("ticker", concat(lit("U"), col("user_id")))
+          .withColumn("ticker", concat(lit("U"), col("user_id") % 32))
         def bars(factor: Double) = ev.select(col("ticker"),
           col("ts").as("datetime"),
           (col("value") * factor).as("close"),
           year(col("ts")).as("year"), month(col("ts")).as("month"))
-        bars(1.0).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        bars(1.0)
+          .repartition(col("ticker"), col("year"), col("month"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("ticker", "year", "month").parquet(lake)
         val splits = ev
           .filter(col("event_type") === "purchase" && col("event_id") % 29 === 0)
@@ -413,7 +420,7 @@ object ExtraQueries {
             col("month").cast("int").as("mo"), col("close"))
           .orderBy(col("ticker"), col("ts_us"), col("close"))
       },
-      Some("""WITH ev AS (SELECT 'U'||CAST(user_id AS VARCHAR) AS ticker,
+      Some("""WITH ev AS (SELECT 'U'||CAST(user_id % 32 AS VARCHAR) AS ticker,
             ts, event_id, event_type, value FROM events),
         sp AS (SELECT DISTINCT ticker, CAST(ts AS DATE) AS ed FROM ev
           WHERE event_type = 'purchase' AND event_id % 29 = 0),
