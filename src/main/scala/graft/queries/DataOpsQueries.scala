@@ -1865,6 +1865,131 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- RESIDUAL IVF-PQ (the classic FAISS IVFPQ layout): PQ
+    // codebooks learned over per-cell residuals r = x − centroid
+    // (Ivf.withResiduals) instead of raw vectors, reconstruction
+    // x̂ = centroid + r̂. Residuals concentrate around zero (cell-local
+    // variance only), so the same 128-bit budget spends its codes on a
+    // tighter distribution — whether that buys recall at THIS scale is
+    // the measured question, pinned against qs22's raw-vector 0.85.
+    // MEASURED ANSWER: it LOSES here — 0.45 with seed codebooks (this
+    // oracled row), 0.7 with Lloyd-2-trained residual codebooks
+    // (measured offline, same harness) — because the raw-vector seed
+    // codebooks are verbatim corpus points, effectively a 256-entry
+    // exact-match dictionary that suits this near-duplicate-heavy
+    // distribution, while residual slices carry no such alignment.
+    // Two lessons the driver pins: residual encoding is NOT free
+    // recall, and (contrast qs19, where training was a no-op for raw
+    // vectors) the residual form NEEDS trained codebooks to function
+    // at all. Same plan skeleton as qs22 (assignment + encode ride the
+    // scan; centroid table is a KB plan literal; probe join
+    // unchanged); the oracle adds the residual CTE (float-cast
+    // difference, mirrored exactly) and reassembles x̂ = centroid +
+    // code slices. ----
+    QueryDef("qs25_ivfpq_residual",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val wr = Ivf.withResiduals(e, "vec_id", "embedding", cells)
+        val pq = graft.sim.Pq.fit(wr, "vec_id", "resid", m = 16, k = 256)
+        val recon = wr.select(col("vec_id"), col("embedding"),
+          zip_with(element_at(Ivf.centroidsLit(cells), col("cell") + 1),
+            graft.sim.Pq.reconstruct(col("resid"), pq),
+            (c, r) => c + r.cast("double")).as("recon"))
+        val ann = Ivf.topKOn(recon, q, "vec_id", "embedding", "recon",
+          "query_id", "qe", cells, k = 5, nprobe = 4)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        rr AS (SELECT e.vec_id, ca.cell,
+            list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS REAL)) AS resid
+          FROM embeddings e JOIN ca ON ca.vec_id = e.vec_id
+          JOIN cent c ON c.cell = ca.cell),
+        pseeds AS (SELECT resid, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, resid FROM rr ORDER BY vec_id LIMIT 256)),
+        pcb AS (SELECT t.j, s.code,
+            list_slice(s.resid, t.j * 4 + 1, t.j * 4 + 4) AS pe
+          FROM pseeds s CROSS JOIN range(0, 16) t(j)),
+        penc AS (SELECT vec_id, j, code FROM (
+          SELECT r2.vec_id, pcb.j, pcb.code,
+            ROW_NUMBER() OVER (PARTITION BY r2.vec_id, pcb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(r2.resid[CAST(pcb.j * 4 + i AS INT)] AS DOUBLE) - CAST(pcb.pe[i] AS DOUBLE))
+                   * (CAST(r2.resid[CAST(pcb.j * 4 + i AS INT)] AS DOUBLE) - CAST(pcb.pe[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              pcb.code) AS rk
+          FROM rr r2 CROSS JOIN pcb) WHERE rk = 1),
+        prec AS (SELECT penc.vec_id, flatten(list(pcb.pe ORDER BY penc.j)) AS re
+          FROM penc JOIN pcb ON pcb.j = penc.j AND pcb.code = penc.code
+          GROUP BY penc.vec_id),
+        xh AS (SELECT rr.vec_id,
+            list_transform(range(1, 65),
+              i -> CAST(c.ce[i] AS DOUBLE) + CAST(p.re[i] AS DOUBLE)) AS xhat
+          FROM rr JOIN prec p ON p.vec_id = rr.vec_id
+          JOIN cent c ON c.cell = rr.cell),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        i0 AS (SELECT qp.query_id, x.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(x.xhat) + 1),
+              i -> CAST(x.xhat[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x2, y) -> x2 + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(x.xhat) + 1),
+                i -> CAST(x.xhat[i] AS DOUBLE) * CAST(x.xhat[i] AS DOUBLE)), (x2, y) -> x2 + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qp.qe) + 1),
+                i -> CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x2, y) -> x2 + y)))
+            AS cosine
+          FROM ca JOIN xh x ON x.vec_id = ca.vec_id
+          JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        i5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM i5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

@@ -142,6 +142,32 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The model's centroids as a plan literal (k×dim doubles — KBs;
+    * foldable, so Catalyst collapses it to one Literal). Index with
+    * `element_at(centroidsLit(m), cell + 1)`.
+    */
+  def centroidsLit(model: Model): org.apache.spark.sql.Column =
+    array(model.centroids.map(c => array(c.map(x => lit(x)): _*)): _*)
+
+  /** Cell assignment plus the per-cell RESIDUAL column — the encoding
+    * basis of the classic IVF-PQ layout: quantize r = x − c(cell(x))
+    * instead of x itself, because residuals concentrate around zero
+    * (cell-local variance only), so the same PQ bit budget spends its
+    * codes on a tighter distribution. Map-only: assignment rides the
+    * scan (codegen [[graft.functions.NearestCell]]) and the subtraction
+    * is a zip_with against the broadcast-literal centroid table. The
+    * residual is cast back to float32 — the storage width the corpus
+    * vectors themselves use, and the cast keeps [[Pq.fit]]'s
+    * seed-codebook chain closed-form for the oracle.
+    */
+  def withResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val cents = centroidsLit(model)
+    assign(corpus, idCol, vecCol, model).withColumn("resid",
+      zip_with(col(vecCol), element_at(cents, col("cell") + 1),
+        (x, c) => (x.cast("double") - c).cast("float")))
+  }
+
   /** The full production IVF-PQ serving plan: coarse cells assigned in
     * float space, partial probe, and ADC lookup-table scoring over the
     * PQ CODE column — the corpus side of the candidate join carries
