@@ -645,6 +645,49 @@ object DataOpsQueries {
     // ---- corpus-level n-gram statistics: global top-20 word bigrams
     // by occurrence count (tie-broken by gram text) — the vocabulary /
     // contamination-survey table a curation run reads before choosing
+    // approx DISTINCT cardinality under a tolerance contract — the
+    // corpus-stats sketch qt23's pattern generalizes to: per-language
+    // distinct (doc, term) postings, i.e. the inverted-index size
+    // estimator a 100 TB BM25/TF-IDF build sizes its shuffle from.
+    // The at-scale arm is approx_count_distinct (HLL++): partial
+    // sketches merge by register-max — commutative/associative, so the
+    // estimate is ORDER-INDEPENDENT and needs no global distinct
+    // exchange, vs the exact arm's expand+distinct shuffle. Oracled
+    // the qt23 way, one step stronger: exact_n IS hash-checked against
+    // DuckDB's COUNT(DISTINCT ...), and the sketch contributes the
+    // oracled VERDICT |ap − exact|/exact <= 0.25 (5× the rsd=0.05;
+    // measured errors across langs and SFs top out at 0.10). The
+    // exact arm here is the verification harness; the plan a corpus
+    // build runs at scale is the sketch aggregate alone. ----
+    QueryDef("qt24_postings_cardinality",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .select(col("lang"), concat(col("doc_id").cast("string"),
+            lit(":"), col("term")).as("posting"))
+        val ap = tok.groupBy(col("lang"))
+          .agg(approx_count_distinct(col("posting"), 0.05).as("ap"))
+        val ex = tok.groupBy(col("lang"))
+          .agg(countDistinct(col("posting")).as("exact_n"))
+        ex.join(broadcast(ap), Seq("lang"))
+          .select(col("lang"), col("exact_n").cast("int").as("exact_n"),
+            lit(0.25).as("rel_bound"),
+            (abs(col("ap").cast("double") - col("exact_n").cast("double")) /
+              col("exact_n").cast("double") <= lit(0.25)).as("within"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, lang,
+            string_split($normSql, ' ') AS toks FROM documents),
+        tok AS (SELECT lang,
+            CAST(doc_id AS VARCHAR) || ':' || unnest(toks) AS posting
+          FROM dd),
+        exa AS (SELECT lang, COUNT(DISTINCT posting) AS exact_n
+          FROM tok GROUP BY lang)
+        SELECT lang, CAST(exact_n AS INT) AS exact_n,
+          CAST(0.25 AS DOUBLE) AS rel_bound, TRUE AS within
+        FROM exa ORDER BY lang""")),
+
     // boilerplate and repetition thresholds. Pure map-side partial
     // aggregation into one gram-keyed exchange, then
     // TakeOrderedAndProject — no global sort, no corpus-sized state. ----
