@@ -1908,6 +1908,117 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- BINARY center-thresholded codes + Hamming ranking (qs26):
+    // the cheapest tier of the compression curve — 64 bits/vector (vs
+    // int8's 512, PQ-128's 128), scored by bit_count(xor), one
+    // popcount per pair. Thresholds are per-dim means over the
+    // 256-lowest-id sample (deterministic sequential sum — raw sign
+    // bits MEASURED degenerate on this almost-all-positive corpus:
+    // every code identical, recall 0.175 ≈ chance; centering is what
+    // makes binary codes carry signal). TWO measurements, because the
+    // right metric depends on the ROLE: recall@5 is ~chance (0.175 —
+    // a near-duplicate-heavy corpus needs magnitude information to
+    // rank WITHIN a cluster, which 64 bits cannot carry; binary codes
+    // are NOT a serving quantizer — contrast PQ-128's 0.9), while
+    // recall@(5-in-50) measures the coarse-FILTER role binary codes
+    // actually play in production stacks: generate a cheap popcount
+    // top-50, then exact-score the survivors — MEASURED 0.8: a
+    // 50-of-499 (10%) popcount scan keeps 80% of the true top-5. Past the > threshold
+    // compare (identical doubles both engines) everything is integer
+    // — disjoint-bit OR fold mirrored by the oracle's SUM ≡ OR (bit
+    // 63's 1<<63 overflows DuckDB's checked shift, so the oracle
+    // spells the signed constant arithmetically) — the oracle is
+    // exact, no tolerance contract. ----
+    QueryDef("qs26_binary_hamming",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val thr = Similarity.signThresholds(e, "vec_id", "embedding")
+        val cb = graft.ops.Partitioning.spread(e)
+          .select(col("vec_id"),
+            Similarity.signBits(col("embedding"), thr).as("code"))
+        val qb = q.select(col("query_id"),
+          Similarity.signBits(col("qe"), thr).as("qcode"))
+        val scored = cb.crossJoin(broadcast(qb))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            bit_count(col("code").bitwiseXOR(col("qcode"))).as("dist"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))
+        val ranked = scored.withColumn("rank", row_number().over(w))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val r5 = Similarity.recallAtK(ranked.filter(col("rank") <= 5),
+          brute, k = 5)
+        val in50 = brute.filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(ranked.filter(col("rank") <= 50)
+            .select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_in50"))
+        r5.join(in50, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"),
+            coalesce(col("n_in50"), lit(0L)).cast("int").as("n_in50"),
+            (coalesce(col("n_in50"), lit(0L)).cast("double") /
+              col("n_exact")).as("recall50"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        thr AS (SELECT r.i,
+            list_reduce(list(CAST(s.embedding[r.i] AS DOUBLE) ORDER BY s.vec_id),
+              (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS t
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        cbits AS (SELECT e.vec_id, CAST(SUM(
+            CASE WHEN CAST(e.embedding[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN thr GROUP BY e.vec_id),
+        qbits AS (SELECT qv.query_id, CAST(SUM(
+            CASE WHEN CAST(qv.qe[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS qcode
+          FROM qv CROSS JOIN thr GROUP BY qv.query_id),
+        h0 AS (SELECT qb.query_id, cb2.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY qb.query_id
+              ORDER BY bit_count(xor(cb2.code, qb.qcode)), cb2.vec_id) AS rk
+          FROM cbits cb2, qbits qb WHERE cb2.vec_id <> qb.query_id),
+        h5 AS (SELECT query_id, neighbor_id FROM h0 WHERE rk <= 5),
+        h50 AS (SELECT query_id, neighbor_id FROM h0 WHERE rk <= 50),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM h5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        hit50 AS (SELECT a.query_id, COUNT(*) AS n_in50 FROM h50 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall,
+          CAST(COALESCE(hit50.n_in50, 0) AS INT) AS n_in50,
+          CAST(COALESCE(hit50.n_in50, 0) AS DOUBLE) / ex.n_exact AS recall50
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        LEFT JOIN hit50 ON hit50.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- RESIDUAL IVF-PQ (the classic FAISS IVFPQ layout): PQ
     // codebooks learned over per-cell residuals r = x − centroid
     // (Ivf.withResiduals) instead of raw vectors, reconstruction

@@ -96,6 +96,50 @@ object Similarity {
         .otherwise(floor(x.cast("double") / s + 0.5).cast("int")))
   }
 
+  /** Per-dimension binarization thresholds: the mean of each dimension
+    * over the `maxSample` lowest-id vectors, summed in id order
+    * (deterministic — the [[Ivf.fit]] bounded-sample contract; dims ×
+    * 8 bytes of driver state). Thresholding at the per-dim center is
+    * what makes binary codes informative — raw sign bits degenerate
+    * when a corpus is not zero-centered (measured here: the synthetic
+    * embeddings are almost all-positive, so sign codes collapse to one
+    * value and recall falls to ~chance).
+    */
+  def signThresholds(corpus: DataFrame, idCol: String, vecCol: String,
+      maxSample: Int = 256): Array[Double] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol)).limit(maxSample).collect()
+    require(sample.nonEmpty, "need at least one vector to fit thresholds")
+    val dim = sample.head._2.length
+    Array.tabulate(dim) { i =>
+      var s = 0.0
+      sample.foreach { case (_, v) => s += v(i).toDouble }
+      s / sample.length
+    }
+  }
+
+  /** Center-thresholded binary code: bit i set iff vec[i] > thr[i] —
+    * one 64-bit word per (up to 64-dim) vector, the cheapest tier of
+    * the compression curve (64 bits vs int8's 512 and PQ-128's 128).
+    * Ranking is Hamming distance (`bit_count(xor)`) — one xor+popcount
+    * per pair, which is why binary codes are the classic coarse-filter
+    * tier above PQ. Exact arithmetic: past the `> thr` compare (both
+    * sides the identical double) everything is integer — the bit fold
+    * is disjoint-bit OR (SUM ≡ OR in the oracle, ZOrder's trick),
+    * engine-portable with no FP rounding anywhere.
+    */
+  def signBits(vec: Column, thresholds: Array[Double]): Column = {
+    require(thresholds.length >= 1 && thresholds.length <= 64,
+      s"need 1 <= dim <= 64, got ${thresholds.length}")
+    thresholds.indices.map(i =>
+      shiftleft(when(element_at(vec, i + 1).cast("double") > lit(thresholds(i)),
+        lit(1L)).otherwise(lit(0L)), i))
+      .reduceLeft(_ bitwiseOR _)
+  }
+
   /** ANN top-k via one LSH table: candidates share the bucket key, then
     * exact cosine rank within candidates. Trades recall for avoiding the
     * full cross join — the 100 TB path.

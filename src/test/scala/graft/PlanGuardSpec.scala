@@ -82,4 +82,22 @@ class PlanGuardSpec extends SparkTestBase {
         "doc_id", "text", topN = 50, keepAt = 0.8)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
+
+  test("serving ANN candidate joins stay cell equi-joins") {
+    // the IVF family probes by CELL equi-join — a Cartesian/NLJ here
+    // means the probe degraded to scoring every (query, vector) pair
+    import graft.sim.{Ivf, Pq}
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 4, iters = 0)
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 16)
+    val withRecon = emb.select(col("vec_id"), col("embedding"),
+      Pq.reconstruct(col("embedding"), pq).as("recon"))
+    Seq[(String, DataFrame)](
+      "ivfTopK" -> Ivf.topK(emb, queries, "vec_id", "embedding",
+        "query_id", "qe", cells, k = 3, nprobe = 2),
+      "ivfTopKOnRecon" -> Ivf.topKOn(withRecon, queries, "vec_id",
+        "embedding", "recon", "query_id", "qe", cells, k = 3, nprobe = 2),
+      "ivfTopKAdc" -> Ivf.topKAdc(emb, queries, "vec_id", "embedding",
+        "query_id", "qe", cells, pq, k = 3, nprobe = 2)
+    ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
+  }
 }
