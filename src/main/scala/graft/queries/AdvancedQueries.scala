@@ -896,6 +896,115 @@ object AdvancedQueries {
         ORDER BY ca.vec_id"""
       }),
 
+    // ---- BUILD THEN SERVE (qx7) — the full lifecycle in one oracled
+    // plan: qx6's release verdicts (semantic dedup ∧ cluster-balanced
+    // keep) select the corpus, then qs24's end-state serving plan
+    // (float cells + partial probe + ADC over 16-byte codes) answers
+    // queries FROM THE RELEASED SET ONLY. Quantizer and coarse cells
+    // are fit on the full corpus (the realistic split: models train
+    // offline on a sample, the index holds the released vectors);
+    // queries are arbitrary corpus vectors (a user queries anything).
+    // Output is the actual served top-5 per query — hash-exact, no
+    // recall harness: the serving ARITHMETIC is qs24's proven chain,
+    // restricted by the release membership both engines derive
+    // identically. A query whose probed cells hold no released vector
+    // returns fewer rows in both engines alike. ----
+    QueryDef("qx7_build_then_serve",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val pairs = Similarity.lshNearDupPairs(e,
+            "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val sem = Dedup.dupClusters(pairs, pairsMaterialized = true)
+          .select(col("doc_id").as("vec_id"), col("is_canonical"))
+        val lloyd = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 2)
+        val bal = Ivf.balancedSample(e, "vec_id", "embedding", lloyd)
+          .select(col("vec_id"), col("keep").as("b_keep"))
+        val released = e.join(bal, Seq("vec_id"))
+          .join(sem, Seq("vec_id"), "left")
+          .filter(coalesce(col("is_canonical"), lit(true)) && col("b_keep"))
+          .select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        Ivf.topKAdc(released, q, "vec_id", "embedding",
+            "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("int").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        s"""WITH RECURSIVE $lshNearDupCtes,
+        p AS (SELECT id_a, id_b FROM sc WHERE cosine >= 0.45),
+        und AS (SELECT id_a AS na, id_b AS nb FROM p
+          UNION ALL SELECT id_b AS na, id_a AS nb FROM p),
+        reach(na, nb) AS (
+          SELECT na, nb FROM und
+          UNION
+          SELECT r.na, u.nb FROM reach r JOIN und u ON r.nb = u.na),
+        lab AS (SELECT na AS vec_id, LEAST(na, MIN(nb)) AS cluster_id
+          FROM reach GROUP BY na),
+        $balancedSampleCtes,
+        rel AS (SELECT ca.vec_id
+          FROM ca JOIN sz ON sz.cell = ca.cell CROSS JOIN tg
+          LEFT JOIN lab l ON l.vec_id = ca.vec_id
+          WHERE COALESCE(l.vec_id = l.cluster_id, TRUE)
+            AND ($balancedKeepSql)),
+        qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        vseeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        vcb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS pe
+          FROM vseeds s CROSS JOIN range(0, 16) t(j)),
+        venc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, vcb.j, vcb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, vcb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(vcb.j * 4 + i AS INT)] AS DOUBLE) - CAST(vcb.pe[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(vcb.j * 4 + i AS INT)] AS DOUBLE) - CAST(vcb.pe[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              vcb.code) AS rk
+          FROM embeddings e JOIN rel ON rel.vec_id = e.vec_id
+          CROSS JOIN vcb) WHERE rk = 1),
+        sca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqSql("e.embedding", "c.ce")}, c.cell) AS rk
+          FROM embeddings e JOIN rel ON rel.vec_id = e.vec_id
+          CROSS JOIN seeds c) WHERE rk = 1),
+        sqp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id
+              ORDER BY ${l2sqSql("qv.qe", "c.ce")}, c.cell) AS rk
+          FROM qv CROSS JOIN seeds c) WHERE rk <= 4),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        spj AS (SELECT venc.vec_id, sqp.query_id, venc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(sqp.qe[CAST(venc.j * 4 + i AS INT)] AS DOUBLE) * CAST(vcb.pe[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(vcb.pe[i] AS DOUBLE) * CAST(vcb.pe[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM venc JOIN vcb ON vcb.j = venc.j AND vcb.code = venc.code
+          JOIN sca ON sca.vec_id = venc.vec_id
+          JOIN sqp ON sqp.cell = sca.cell AND venc.vec_id <> sqp.query_id),
+        sp0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM spj GROUP BY vec_id, query_id),
+        sp1 AS (SELECT sp0.query_id, sp0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM sp0 JOIN qn ON qn.query_id = sp0.query_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM sp1) WHERE rk <= 5
+        ORDER BY query_id, rank"""
+      }),
+
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
     QueryDef("qm1_media_sniff",
