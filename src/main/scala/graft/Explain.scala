@@ -70,7 +70,12 @@ object Explain {
         // and the approx-percentile arm (sketch agg + broadcast
         // attach, same shape as qt21)
         "qs22_ivfpq_serving", "qs24_ivfpq_adc", "ql2_bucketed_join",
-        "qt23_lang_trim_approx")
+        "qt23_lang_trim_approx",
+        // the lifecycle composite: its serving tail must be exactly
+        // the qs24 shape (code-only corpus side, broadcast query
+        // cells/ADC tables) with release membership folded into the
+        // corpus-side scan, never a post-scoring filter
+        "qx7_build_then_serve")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

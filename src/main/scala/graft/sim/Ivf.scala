@@ -181,12 +181,27 @@ object Ivf {
   def topKAdc(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      model: Model, pq: Pq.Model, k: Int, nprobe: Int): DataFrame =
+    topKAdcOnIndex(
+      assign(corpus, idCol, vecCol, model)
+        .select(col(idCol), Pq.codes(col(vecCol), pq).as("codes"),
+          col("cell")),
+      queries, idCol, qIdCol, qVecCol, model, pq, k, nprobe)
+
+  /** [[topKAdc]] over a PREBUILT (idCol, cell, codes) index table —
+    * the entry point a production serving system actually calls: the
+    * index is a stored artifact (qx6's release output, or an existing
+    * index unioned with a freshly-encoded arrival batch — incremental
+    * maintenance is map-only encode + append, never a re-encode of
+    * existing codes).
+    */
+  def topKAdcOnIndex(
+      index: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, qVecCol: String,
       model: Model, pq: Pq.Model, k: Int, nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+    val spark = index.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val corpusCells = assign(corpus, idCol, vecCol, model)
-      .select(col(idCol), Pq.codes(col(vecCol), pq).as("codes"), col("cell"))
     val qTabs = Pq.withAdcTables(queries, qIdCol, qVecCol, pq)
       .select(col(qIdCol), col("adc_lut"), col("adc_qnsq"))
     val queryCells = queries
@@ -195,7 +210,7 @@ object Ivf {
       .flatMap { case (qid, qv) => bc.value.nearest(qv, nprobe).map(c => (qid, c)) }
       .toDF(qIdCol, "cell")
       .join(qTabs, qIdCol)
-    val scored = corpusCells.join(broadcast(queryCells), "cell")
+    val scored = index.join(broadcast(queryCells), "cell")
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).as("neighbor_id"),
         Pq.adcCosine(col("codes"), col("adc_lut"), col("adc_qnsq"), pq)
@@ -203,6 +218,70 @@ object Ivf {
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The qs24 end-state serving plan deployed against a STREAM of
+    * queries — ANN-as-a-service on Structured Streaming. `index` is
+    * the STATIC prebuilt artifact (idCol, cell, codes) — exactly what
+    * [[topKAdc]]'s corpus side carries and what qx6's release
+    * composite emits; `queries` is a streaming DataFrame carrying
+    * (qIdCol, qVecCol, tsCol).
+    *
+    * Per micro-batch: one typed flatMap expands each query into its
+    * `nprobe` probed cells AND builds its m×k ADC tables
+    * ([[Pq.adcTablesFor]] — the flatMap must carry the event-time
+    * column, which [[Pq.withAdcTables]]' DataFrame form drops); the
+    * candidate lookup is a stream-static equi-join on cell against the
+    * code-only index (16 B/row at m=16 — never a float vector);
+    * scoring is the same m-lookup ADC fold as the batch path; and
+    * top-k extraction is a windowed aggregate (streaming forbids rank
+    * windows) — collect the candidate list per (window, query), sort
+    * by (−cosine, neighbor) and slice k, the exact order [[topKAdc]]'s
+    * row_number uses. State is per in-flight (window × query) candidate
+    * lists, watermark-bounded — never the corpus.
+    *
+    * Output: (qIdCol, topk array<struct<negc,neighbor_id>>) per
+    * flushed window; explode + `pos+1` gives (query, neighbor, rank)
+    * rows identical to the batch plan's (IvfSpec pins it).
+    */
+  def serveAdcStream(index: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, qVecCol: String, tsCol: String,
+      model: Model, pq: Pq.Model, k: Int, nprobe: Int,
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour")
+      : DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcCells = spark.sparkContext.broadcast(model)
+    val bcPq = spark.sparkContext.broadcast(pq)
+    val probed = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol), col(tsCol))
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .flatMap { case (qid, qv, ts) =>
+        val (lut, _, qn) = Pq.adcTablesFor(qv, bcPq.value)
+        bcCells.value.nearest(qv, nprobe).map(c => (qid, c, lut, qn, ts))
+      }
+      .toDF(qIdCol, "cell", "adc_lut", "adc_qnsq", tsCol)
+    probed
+      .withWatermark(tsCol, watermarkDelay)
+      .join(index, Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      // A zero-norm query has no defined cosine, and under ANSI SQL
+      // the division throws — guard INSIDE the projection (CaseWhen
+      // evaluates only the matched branch) rather than filtering the
+      // row out: a deterministic filter would be pushed below the
+      // EventTimeWatermark node, silently dropping a zero-vector
+      // sentinel before its timestamp ever advances the watermark
+      // (measured: no window ever flushed). Null-scored rows land in
+      // the sentinel's own never-flushed window; state stays bounded.
+      .select(col(qIdCol), col(tsCol), col(idCol).as("neighbor_id"),
+        when(col("adc_qnsq") > 0,
+          Pq.adcCosine(col("codes"), col("adc_lut"), col("adc_qnsq"), pq))
+          .as("cosine"))
+      .groupBy(window(col(tsCol), windowDur), col(qIdCol))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cosine")).as("negc"), col("neighbor_id")))), 1, k)
+        .as("topk"))
+      .select(col(qIdCol), col("topk"))
   }
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine

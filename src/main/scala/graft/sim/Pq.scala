@@ -195,27 +195,37 @@ object Pq {
     queries.select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])]
       .map { case (qid, qv) =>
-        val m = bc.value
-        val lut = Array.tabulate(m.m, m.k) { (j, c) =>
-          var s = 0.0; var i = 0
-          while (i < m.subDim) {
-            s += qv(j * m.subDim + i).toDouble * m.codebooks(j)(c)(i); i += 1
-          }
-          s
-        }
-        val dist = Array.tabulate(m.m, m.k) { (j, c) =>
-          var s = 0.0; var i = 0
-          while (i < m.subDim) {
-            val d = qv(j * m.subDim + i).toDouble - m.codebooks(j)(c)(i)
-            s += d * d; i += 1
-          }
-          s
-        }
-        var qn = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
-        (qid, qv, lut.map(_.toSeq).toSeq, dist.map(_.toSeq).toSeq, qn)
+        val (lut, dist, qn) = adcTablesFor(qv, bc.value)
+        (qid, qv, lut, dist, qn)
       }
       .toDF(qIdCol, qVecCol, "adc_lut", "adc_dist", "adc_qnsq")
+  }
+
+  /** One query's ADC tables (dot LUT, dist LUT, ‖q‖²) — the per-row
+    * kernel behind [[withAdcTables]], shared with the streaming serve
+    * path ([[Ivf.serveAdcStream]]) whose typed flatMap must carry the
+    * event-time column through and so cannot reuse the DataFrame form.
+    */
+  private[sim] def adcTablesFor(qv: Array[Float], m: Model)
+      : (Seq[Seq[Double]], Seq[Seq[Double]], Double) = {
+    val lut = Array.tabulate(m.m, m.k) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < m.subDim) {
+        s += qv(j * m.subDim + i).toDouble * m.codebooks(j)(c)(i); i += 1
+      }
+      s
+    }
+    val dist = Array.tabulate(m.m, m.k) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < m.subDim) {
+        val d = qv(j * m.subDim + i).toDouble - m.codebooks(j)(c)(i)
+        s += d * d; i += 1
+      }
+      s
+    }
+    var qn = 0.0; var i = 0
+    while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
+    (lut.map(_.toSeq).toSeq, dist.map(_.toSeq).toSeq, qn)
   }
 
   /** Query-independent code-norm table as a plan literal:

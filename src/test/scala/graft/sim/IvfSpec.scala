@@ -65,6 +65,84 @@ class IvfSpec extends SparkTestBase {
     assert(adc == recon, "ADC and reconstruction serving plans diverge")
   }
 
+  test("incremental index: old ∪ batch encodes serve identically to a whole-corpus encode") {
+    // under FROZEN models, encoding arrivals separately and appending
+    // must be indistinguishable from re-encoding everything — the
+    // contract that makes index maintenance map-only append
+    val old = emb.filter($"vec_id" % 8 =!= 0)
+    val batch = emb.filter($"vec_id" % 8 === 0)
+    val pq = Pq.fit(old, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(old, "vec_id", "embedding", k = 8, iters = 0)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assign(df, "vec_id", "embedding", cells)
+        .select($"vec_id", Pq.codes($"embedding", pq).as("codes"), $"cell")
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val incr = Ivf.topKAdcOnIndex(enc(old).unionByName(enc(batch)), q,
+        "vec_id", "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val whole = Ivf.topKAdc(emb, q, "vec_id", "embedding",
+        "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(incr.nonEmpty)
+    assert(incr == whole, "append-encoded index diverges from full re-encode")
+  }
+
+  test("serveAdcStream serves the same rows as the batch topKAdc plan") {
+    // the streaming deployment of the end-state serving plan must
+    // return exactly the batch plan's rows: same probe set, same ADC
+    // arithmetic, and the windowed collect+sort top-k must reproduce
+    // row_number's (−cosine, neighbor) total order
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val index = Ivf.assign(emb, "vec_id", "embedding", cells)
+      .select($"vec_id", Pq.codes($"embedding", pq).as("codes"), $"cell")
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val batch = Ivf.topKAdc(emb, q, "vec_id", "embedding",
+        "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("serve_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("serve_ckpt")
+    try {
+      val sent = Seq((-1L, Array.fill(64)(0.0f))).toDF("query_id", "qe")
+        .select($"query_id", $"qe",
+          timestamp_micros(lit(4102444800000000L)).as("ts"))
+      q.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .unionByName(sent).coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val stream = spark.readStream
+        .schema("query_id LONG, qe ARRAY<FLOAT>, ts TIMESTAMP")
+        .parquet(dir.toString)
+      val out = Ivf.serveAdcStream(index, stream, "vec_id",
+        "query_id", "qe", "ts", cells, pq, k = 5, nprobe = 4)
+      out.writeStream.format("memory").queryName("serve_out")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val streamed = spark.table("serve_out")
+        .filter($"query_id" >= 0)
+        .select($"query_id", posexplode($"topk"))
+        .select($"query_id", $"col.neighbor_id".as("neighbor_id"),
+          ($"pos" + 1).cast("int").as("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      spark.catalog.dropTempView("serve_out")
+      assert(streamed.nonEmpty)
+      assert(streamed == batch, "stream and batch serving plans diverge")
+    } finally {
+      Seq(ckpt, dir).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("balancedSample: one row per vector, smallest cell fully kept") {
     val model = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
     val s = Ivf.balancedSample(emb, "vec_id", "embedding", model)
