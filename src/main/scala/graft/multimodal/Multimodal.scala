@@ -836,6 +836,86 @@ object Multimodal {
     media.join(out, "media_id")
   }
 
+  /** 64-bit average-hash (aHash) image fingerprint: decode the payload
+    * to RGB, area-average to an 8×8 grid ([[boxResample]] — the same
+    * integer floor-division kernel qm6 oracles), take per-cell gray =
+    * r+g+b, and set bit p iff gray_p is strictly above the grid mean
+    * (compared exactly as `gray_p·64 > Σgray`, no division). The
+    * classic perceptual fingerprint: brightness shifts move every
+    * gray AND the mean together, so near-identical images land within
+    * a few bits. Non-decodable or sub-8×8 payloads hash to null with
+    * the stub codec contract. Batched per-partition like every decode
+    * stage; output is 8 bytes/image however large the raster.
+    */
+  def aHash64(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            rasterPpm(payload).map(d => (d, "ppm"))
+              .orElse(rasterBmp(payload).map(d => (d, "bmp")))
+              .orElse(rasterPng(payload).map(d => (d, "png")))
+              .orElse(rasterJpeg(payload).map(d => (d, "jpeg"))) match {
+              case Some(((w, h, rgb), codec)) if w >= 8 && h >= 8 =>
+                val res = boxResample(w, h, rgb, 8, 8)
+                val grays = Array.tabulate(64) { p =>
+                  (res(p * 3) & 0xFF).toLong +
+                    (res(p * 3 + 1) & 0xFF) + (res(p * 3 + 2) & 0xFF)
+                }
+                val total = grays.sum
+                var code = 0L
+                var p = 0
+                while (p < 64) {
+                  if (grays(p) * 64 > total) code |= 1L << p; p += 1
+                }
+                (id, Some(code), codec)
+              case Some((_, codec)) => (id, None: Option[Long], codec)
+              case None => (id, None: Option[Long], "stub")
+            }
+          }
+        }
+      }.toDF("media_id", "ahash", "codec")
+    media.join(out, "media_id")
+  }
+
+  /** Perceptual near-duplicate image pairs over [[aHash64]] codes via
+    * 4×16-bit multi-index banding — the qd4/qs26 Hamming machinery
+    * applied to the image modality. EXACT for `maxDist <= 3`: a pair
+    * within Hamming 3 has its ≤3 differing bits spread over 4 bands,
+    * so some band matches verbatim (pigeonhole) and the candidate
+    * generator — a band-bucket equi-join, never all-pairs — cannot
+    * miss it; verification is one `bit_count(xor)` popcount per
+    * candidate. The hash table is persisted for its two self-join
+    * sides (the qd7 double-subtree lesson); at lake scale the decode
+    * runs once and 8 bytes/image flow through the join.
+    */
+  def imageDupPairs(media: DataFrame, maxDist: Int = 3,
+      batchSize: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16 banding is exact only for maxDist <= 3, got $maxDist")
+    val hashed = aHash64(media, batchSize)
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        (shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)) * 4 + b)
+          .as(s"k$b")): _*)).as("band_key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Frame-sampling STUB for video payloads: emits one row per sampled
     * frame — frame index every `everyNth` of a deterministic
     * payload-derived frame count, with a per-frame content key

@@ -257,6 +257,32 @@ object AdvancedQueries {
     }.toDF("media_id", "bytes")
   }
 
+  /** PPM media with CONTROLLED near-duplicates for the perceptual-hash
+    * row: content class cid = id/3 (three consecutive ids share one
+    * base raster), per-member brightness delta = id%3 added to every
+    * byte (saturating at 255), dims 8k×8k with k = 1 + cid%3 so the
+    * aHash 8×8 grid averages exact k×k tiles. Brightness shifts move
+    * every gray and the mean together, so class members differ by 0-2
+    * aHash bits — genuine near-dups the banding must find — while
+    * distinct base offsets (cid·31 mod 256 and k both vary by cid)
+    * keep unrelated classes many bits apart. Classes whose (offset, k)
+    * coincide (period lcm(256,3) in cid) are exact raster dups by
+    * construction — correctly found, correctly oracled.
+    */
+  private def nearDupPpmsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val cid = id / 3
+      val delta = (id % 3).toInt
+      val k = (1 + cid % 3).toInt
+      val w = 8 * k; val h = 8 * k
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate[Byte](w * h * 3)(i =>
+        math.min(255L, (cid * 31 + i.toLong * 7) % 256 + delta).toByte)
+      (id, header ++ px)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Documents table dressed up as a PCM audio table: every payload is
     * a well-formed RIFF/WAVE file with id-derived fmt metadata and
     * sample bytes, a third of them carrying a LIST junk chunk between
@@ -1053,6 +1079,49 @@ object AdvancedQueries {
     // BGR→RGB mapping would pass qm2's whole-raster sum and FAIL here.
     // Row reversal is invisible to sums/min/max, so bottom-up vs
     // top-down needs no oracle treatment. ----
+    // ---- Perceptual image dedup (qm8): the image-modality analogue
+    // of qd4's SimHash text dedup — aHash64 fingerprints (REAL decode
+    // + the qm6 box-filter to 8×8 + above-mean bits) and the 4×16-bit
+    // multi-index banded Hamming join. The ORACLE is the all-pairs
+    // popcount join over closed-form recomputed codes (the qd4
+    // treatment), so a green row simultaneously proves (a) the decode
+    // → resample → threshold chain byte-for-byte, (b) the disjoint-bit
+    // OR packing incl. the sign bit, and (c) the pigeonhole
+    // completeness claim: Spark's band-bucket candidates must find
+    // EVERY pair the oracle's exhaustive join finds at dist ≤ 3.
+    // Fixture: 3-member brightness-shifted duplicate classes (see
+    // nearDupPpmsFromDocs) — the cap on output volume is structural
+    // (class size), not a tuning knob. ----
+    QueryDef("qm8_image_phash_dedup",
+      (s, dir) => Multimodal.imageDupPairs(nearDupPpmsFromDocs(s, dir),
+          maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, doc_id // 3 AS cid,
+            doc_id % 3 AS delta, 1 + (doc_id // 3) % 3 AS k
+          FROM documents),
+        g AS (SELECT m.media_id, r.p,
+            list_sum(list_transform(range(0, 3), c ->
+              list_sum(list_transform(range(0, k * k), b ->
+                LEAST(255, (cid * 31 + ((((r.p // 8) * k + b // k) * (8 * k)
+                  + (r.p % 8) * k + (b % k)) * 3 + c) * 7) % 256 + delta)
+              )) // (k * k)
+            )) AS gray
+          FROM m CROSS JOIN range(0, 64) r(p)),
+        tt AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id),
+        codes AS (SELECT g.media_id, CAST(SUM(
+            CASE WHEN g.gray * 64 > tt.total
+              THEN CASE WHEN g.p = 63 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(g.p AS INT) END
+              ELSE 0 END) AS BIGINT) AS code
+          FROM g JOIN tt ON tt.media_id = g.media_id GROUP BY g.media_id)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+          CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+        FROM codes a JOIN codes b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.code, b.code)) <= 3
+        ORDER BY id_a, id_b""")),
+
     QueryDef("qm7_channel_stats",
       (s, dir) => Multimodal.channelStats(pixmapsFromDocs(s, dir))
         .select(col("media_id"), col("codec"), col("r_sum"), col("g_sum"),

@@ -351,4 +351,74 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.orderBy($"media_id", $"frame_index").collect().toSeq ===
       again.orderBy($"media_id", $"frame_index").collect().toSeq)
   }
+
+  private def flatPpm(w: Int, h: Int, pix: Int => Int): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("ASCII") ++
+      Array.tabulate[Byte](w * h * 3)(i => (pix(i) & 0xFF).toByte)
+
+  test("aHash64: hand-computed bits, sign bit, and invariances") {
+    // 8x8 image, left half bright (200) right half dark (10): bits =
+    // exactly the 32 left-half cells (gray 600 vs mean ~305)
+    def halfPix(i: Int): Int = if ((i / 3) % 8 < 4) 200 else 10
+    val expectedHalf = (0 until 64).filter(p => p % 8 < 4)
+      .foldLeft(0L)((acc, p) => acc | (1L << p))
+    // bottom-right cell alone bright: only bit 63 -> negative long
+    def cornerPix(i: Int): Int = if (i / 3 == 63) 255 else 0
+    val df = Seq(
+      (1L, flatPpm(8, 8, halfPix)),
+      (2L, flatPpm(8, 8, cornerPix)),
+      // same half image at 16x16 (each cell a 2x2 tile): box filter
+      // must make the hash SCALE-invariant
+      (3L, flatPpm(16, 16, i => if ((i / 3) % 16 < 8) 200 else 10)),
+      // uniform +5 brightness, no saturation: gray and mean shift
+      // together, zero bits flip
+      (4L, flatPpm(8, 8, i => halfPix(i) + 5)),
+      (5L, "not an image".getBytes("ASCII")))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.aHash64(df)
+      .select($"media_id", $"ahash", $"codec")
+      .as[(Long, Option[Long], String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === Some(expectedHalf))
+    assert(out(2L)._2 === Some(Long.MinValue)) // bit 63 only
+    assert(out(3L)._2 === Some(expectedHalf), "aHash must be scale-invariant")
+    assert(out(4L)._2 === Some(expectedHalf), "uniform brightness shift must not flip bits")
+    assert(out(5L)._2.isEmpty && out(5L)._3 === "stub")
+  }
+
+  test("imageDupPairs: banded candidates find every pair within Hamming 3") {
+    // base image + 1-cell flip (dist 2: one bit clears, mean moves no
+    // bit) ... construct directly: three images whose hashes are known
+    def halfPix(i: Int): Int = if ((i / 3) % 8 < 4) 200 else 10
+    // flip cell 0 dark: bits lose position 0 -> dist 1 from base
+    def flippedPix(i: Int): Int = if (i / 3 == 0) 10 else halfPix(i)
+    // far image: checkerboard, many bits away from both
+    def checkerPix(i: Int): Int =
+      if (((i / 3) % 8 + (i / 3) / 8) % 2 == 0) 200 else 10
+    val df = Seq(
+      (1L, flatPpm(8, 8, halfPix)),
+      (2L, flatPpm(8, 8, halfPix)),     // exact dup of 1
+      (3L, flatPpm(8, 8, flippedPix)),  // near dup of 1/2
+      (4L, flatPpm(8, 8, checkerPix)))  // unrelated
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.imageDupPairs(df, maxDist = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    // exhaustive reference: every pair within dist 3 must be present
+    val codes = Multimodal.aHash64(df).filter($"ahash".isNotNull)
+      .select($"media_id", $"ahash").as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- codes.keys; b <- codes.keys if a < b
+      d = java.lang.Long.bitCount(codes(a) ^ codes(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs === expected)
+    assert(pairs.contains((1L, 2L, 0)), "exact dup must surface at dist 0")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "1-cell edit must stay within the banded net")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      "checkerboard is not a near-dup of anything")
+    // the banding contract refuses distances it cannot guarantee
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDupPairs(df, maxDist = 4)
+    }
+  }
 }
