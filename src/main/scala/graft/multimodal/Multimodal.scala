@@ -893,10 +893,27 @@ object Multimodal {
     * runs once and 8 bytes/image flow through the join.
     */
   def imageDupPairs(media: DataFrame, maxDist: Int = 3,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64): DataFrame =
+    hammingDupPairs(aHash64(media, batchSize), maxDist)
+
+  /** Near-dup pairs over [[audioHash64]] envelope fingerprints — same
+    * banded-Hamming machinery, audio modality.
+    */
+  def audioDupPairs(media: DataFrame, maxDist: Int = 3,
+      batchSize: Int = 64): DataFrame =
+    hammingDupPairs(audioHash64(media, batchSize), maxDist)
+
+  /** Banded-Hamming near-dup pairs over any 64-bit fingerprint column
+    * `ahash` (null = unfingerprintable, dropped): 4×16-bit multi-index
+    * candidates — EXACT for `maxDist <= 3` by pigeonhole — verified by
+    * one popcount each. The hash table is persisted for its two
+    * self-join sides (the qd7 double-subtree lesson: the upstream is a
+    * decode pass worth running once).
+    */
+  def hammingDupPairs(fingerprinted: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16 banding is exact only for maxDist <= 3, got $maxDist")
-    val hashed = aHash64(media, batchSize)
+    val hashed = fingerprinted
       .filter(col("ahash").isNotNull)
       .select(col("media_id"), col("ahash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -914,6 +931,101 @@ object Multimodal {
     cand.select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** PCM data-chunk extraction: [[parseWav]]'s chunk walk returning the
+    * raw sample bytes instead of their sum — the decode entry the
+    * audio fingerprint needs. Same untrusted-bytes clamping.
+    */
+  private[multimodal] def pcmWav(p: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    if (p == null || p.length < 44) return None
+    def u16(at: Int): Int = (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8)
+    def u32(at: Int): Long = (p(at) & 0xFFL) | ((p(at + 1) & 0xFFL) << 8) |
+      ((p(at + 2) & 0xFFL) << 16) | ((p(at + 3) & 0xFFL) << 24)
+    def tag(at: Int): String = new String(p, at, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var pos = 12L
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[Array[Byte]] = None
+      var nonPcm = false
+      while (pos + 8 <= p.length && (fmt.isEmpty || data.isEmpty) && !nonPcm) {
+        val id = tag(pos.toInt)
+        val body = pos + 8
+        val n = math.min(u32(pos.toInt + 4), p.length - body)
+        if (id == "fmt " && n >= 16) {
+          if (u16(body.toInt) == 1)
+            fmt = Some((u16(body.toInt + 2), u32(body.toInt + 4).toInt,
+              u16(body.toInt + 14)))
+          else nonPcm = true
+        } else if (id == "data") {
+          data = Some(java.util.Arrays.copyOfRange(p, body.toInt,
+            (body + n).toInt))
+        }
+        pos = body + n + (n % 2)
+      }
+      if (nonPcm) None
+      else for { f <- fmt; d <- data } yield (f._1, f._2, f._3, d)
+    }
+  }
+
+  /** 64-bit audio envelope fingerprint — [[aHash64]]'s recipe applied
+    * to the time axis: decode PCM, split the interleaved sample stream
+    * into 64 equal frames (floor boundaries, exact frames when the
+    * count divides), per-frame energy = Σ|sample| (8-bit centered at
+    * 128; 16-bit signed LE), and set bit f iff `e_f·64 > Σe` — the
+    * exact integer above-mean compare, so a uniform gain change that
+    * scales every frame energy together flips nothing. Sub-64-sample
+    * or non-PCM payloads fingerprint to null.
+    */
+  def audioHash64(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            pcmWav(payload) match {
+              case Some((_, _, bits, data)) =>
+                val n = if (bits == 16) data.length / 2 else data.length
+                if (n < 64) (id, None: Option[Long], "wav")
+                else {
+                  val mag = new Array[Long](n)
+                  var i = 0
+                  if (bits == 16) {
+                    while (i < n) {
+                      val s = ((data(2 * i) & 0xFF) |
+                        (data(2 * i + 1) << 8)).toShort
+                      mag(i) = math.abs(s.toLong); i += 1
+                    }
+                  } else {
+                    while (i < n) {
+                      mag(i) = math.abs((data(i) & 0xFF) - 128).toLong; i += 1
+                    }
+                  }
+                  val e = Array.tabulate(64) { f =>
+                    val lo = (f.toLong * n / 64).toInt
+                    val hi = ((f + 1).toLong * n / 64).toInt
+                    var s = 0L; var j = lo
+                    while (j < hi) { s += mag(j); j += 1 }
+                    s
+                  }
+                  val total = e.sum
+                  var code = 0L
+                  var f = 0
+                  while (f < 64) {
+                    if (e(f) * 64 > total) code |= 1L << f; f += 1
+                  }
+                  (id, Some(code), "wav")
+                }
+              case None => (id, None: Option[Long], "stub")
+            }
+          }
+        }
+      }.toDF("media_id", "ahash", "codec")
+    media.join(out, "media_id")
   }
 
   /** Frame-sampling STUB for video payloads: emits one row per sampled

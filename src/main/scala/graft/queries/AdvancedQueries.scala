@@ -283,6 +283,26 @@ object AdvancedQueries {
     }.toDF("media_id", "bytes")
   }
 
+  /** WAV media with CONTROLLED near-duplicates for the audio-envelope
+    * row — the [[nearDupPpmsFromDocs]] recipe on the time axis: content
+    * class cid = id/3, member delta = id%3 added to every sample byte
+    * (saturating), 8-bit mono with exactly 64·fm samples (fm =
+    * 4 + cid%3) so every envelope frame is an exact fm-sample window.
+    * A third of the payloads carry the junk LIST chunk so the pairs
+    * row also exercises the chunk WALK.
+    */
+  private def nearDupWavsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val cid = id / 3
+      val delta = (id % 3).toInt
+      val fm = (4 + cid % 3).toInt
+      val data = Array.tabulate[Byte](64 * fm)(i =>
+        math.min(255L, (cid * 37 + i.toLong * 13) % 256 + delta).toByte)
+      (id, Multimodal.buildPcmWav(1, 8000, 8, data, junk = cid % 3 == 0))
+    }.toDF("media_id", "bytes")
+  }
+
   /** Documents table dressed up as a PCM audio table: every payload is
     * a well-formed RIFF/WAVE file with id-derived fmt metadata and
     * sample bytes, a third of them carrying a LIST junk chunk between
@@ -1114,6 +1134,43 @@ object AdvancedQueries {
             CASE WHEN g.gray * 64 > tt.total
               THEN CASE WHEN g.p = 63 THEN -9223372036854775807::BIGINT - 1::BIGINT
                 ELSE 1::BIGINT << CAST(g.p AS INT) END
+              ELSE 0 END) AS BIGINT) AS code
+          FROM g JOIN tt ON tt.media_id = g.media_id GROUP BY g.media_id)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+          CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+        FROM codes a JOIN codes b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.code, b.code)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- Audio envelope dedup (qm9): qm8's perceptual-dedup recipe
+    // on the time axis — audioHash64 splits the REAL-decoded PCM
+    // sample stream into 64 frames, per-frame energy Σ|sample|, exact
+    // above-mean bits (e_f·64 > Σe — gain-shift tolerant the way
+    // aHash is brightness-tolerant), and the SAME shared banded
+    // Hamming join (hammingDupPairs). Oracle: all-pairs popcount over
+    // closed-form recomputed envelope codes, so decode, framing,
+    // packing, AND banding completeness are all gate-checked. The
+    // fixture's junk-chunk third means a green row also pins the
+    // chunk walk inside the pairs pipeline. ----
+    QueryDef("qm9_audio_envelope_dedup",
+      (s, dir) => Multimodal.audioDupPairs(nearDupWavsFromDocs(s, dir),
+          maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH m AS (SELECT doc_id AS media_id, doc_id // 3 AS cid,
+            doc_id % 3 AS delta, 4 + (doc_id // 3) % 3 AS fm
+          FROM documents),
+        g AS (SELECT m.media_id, r.f,
+            list_sum(list_transform(range(0, fm), b ->
+              abs(LEAST(255, (cid * 37 + (r.f * fm + b) * 13) % 256 + delta) - 128)
+            )) AS e
+          FROM m CROSS JOIN range(0, 64) r(f)),
+        tt AS (SELECT media_id, SUM(e) AS total FROM g GROUP BY media_id),
+        codes AS (SELECT g.media_id, CAST(SUM(
+            CASE WHEN g.e * 64 > tt.total
+              THEN CASE WHEN g.f = 63 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(g.f AS INT) END
               ELSE 0 END) AS BIGINT) AS code
           FROM g JOIN tt ON tt.media_id = g.media_id GROUP BY g.media_id)
         SELECT a.media_id AS id_a, b.media_id AS id_b,

@@ -704,6 +704,58 @@ object DataOpsQueries {
         SELECT bigram, COUNT(*) AS n FROM bgs GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // ---- PMI collocations (qt25): lift-ranked bigrams — the
+    // association statistic qt18's raw counts cannot express (frequent
+    // pairs of frequent words rank high by count but carry no
+    // association; lift = c(ab)/(c(a)·c(b)) normalizes both margins
+    // out). Ranking by lift ≡ ranking by PMI because log is monotone —
+    // the log stays out per the determinism contract (one double
+    // division of exact longs, IEEE-identical in both engines; the
+    // bit-exact-ratio pattern qt17's rational idf established). Plan:
+    // the corpus explodes twice into two partial-agg exchanges
+    // (unigram- and bigram-vocabulary sized), the min-support filter
+    // (c_ab >= 5, standard collocation practice) cuts the scored set
+    // BEFORE any join, the unigram table broadcasts twice, and top-20
+    // is TakeOrderedAndProject — no corpus-sized join side, no global
+    // sort. ----
+    QueryDef("qt25_pmi_collocations",
+      (s, dir) => {
+        val docs = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+        val uc = docs
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        docs
+          .select(explode(TextOps.wordBigrams(col("text"))).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+          .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+          .join(broadcast(uc.select(col("w").as("w1"), col("c_w").as("c_1"))), "w1")
+          .join(broadcast(uc.select(col("w").as("w2"), col("c_w").as("c_2"))), "w2")
+          .select(col("bigram"), col("c_ab").cast("int").as("c_ab"),
+            col("c_1").cast("int").as("c_1"), col("c_2").cast("int").as("c_2"),
+            (col("c_ab").cast("double") /
+              (col("c_1") * col("c_2")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(s"""WITH d AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+        uni AS (SELECT unnest(toks) AS w FROM d),
+        uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+        bgs AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM d WHERE len(toks) >= 2),
+        bc AS (SELECT bigram, COUNT(*) AS c_ab FROM bgs GROUP BY bigram
+          HAVING COUNT(*) >= 5),
+        j AS (SELECT bc.bigram, bc.c_ab, u1.c_w AS c_1, u2.c_w AS c_2,
+            CAST(bc.c_ab AS DOUBLE) / CAST(u1.c_w * u2.c_w AS DOUBLE) AS lift
+          FROM bc
+          JOIN uc u1 ON u1.w = string_split(bc.bigram, ' ')[1]
+          JOIN uc u2 ON u2.w = string_split(bc.bigram, ' ')[2])
+        SELECT bigram, CAST(c_ab AS INT) AS c_ab, CAST(c_1 AS INT) AS c_1,
+          CAST(c_2 AS INT) AS c_2, lift
+        FROM j ORDER BY lift DESC, bigram LIMIT 20""")),
+
     // ---- dictionary-based quality (graft.text.Vocab): corpus top-200
     // vocabulary (count desc, term asc — a totally ordered cut, so the
     // vocabulary SET is engine-reproducible) → per-document fraction of

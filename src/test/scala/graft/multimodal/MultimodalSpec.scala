@@ -421,4 +421,38 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.imageDupPairs(df, maxDist = 4)
     }
   }
+
+  test("audioHash64: hand-computed envelope bits across both PCM widths") {
+    // 64 8-bit samples (one per frame): first 32 loud (|255-128|=127),
+    // last 32 silent at the 128 midpoint -> bits 0..31 exactly
+    val loudQuiet8 = Array.tabulate[Byte](64)(i =>
+      if (i < 32) 255.toByte else 128.toByte)
+    // same envelope in 16-bit LE: +/-1000 vs 0
+    val loudQuiet16 = new Array[Byte](128)
+    (0 until 32).foreach { i =>
+      loudQuiet16(2 * i) = (1000 & 0xFF).toByte
+      loudQuiet16(2 * i + 1) = ((1000 >> 8) & 0xFF).toByte
+    }
+    val expected = (0 until 32).foldLeft(0L)((a, p) => a | (1L << p))
+    val df = Seq(
+      (1L, Multimodal.buildPcmWav(1, 8000, 8, loudQuiet8, junk = false)),
+      (2L, Multimodal.buildPcmWav(1, 8000, 8, loudQuiet8, junk = true)),
+      (3L, Multimodal.buildPcmWav(1, 8000, 16, loudQuiet16, junk = false)),
+      (4L, Multimodal.buildPcmWav(1, 8000, 8, Array.fill[Byte](10)(0), junk = false)),
+      (5L, "not audio".getBytes("ASCII")))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.audioHash64(df)
+      .select($"media_id", $"ahash", $"codec")
+      .as[(Long, Option[Long], String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === Some(expected))
+    assert(out(2L)._2 === Some(expected), "junk chunk must not change the fingerprint")
+    assert(out(3L)._2 === Some(expected), "16-bit path must produce the same envelope")
+    assert(out(4L)._2.isEmpty && out(4L)._3 === "wav", "sub-64-sample audio has no envelope")
+    assert(out(5L)._2.isEmpty && out(5L)._3 === "stub")
+    // audioDupPairs on the same table: 1,2,3 are mutual exact dups
+    val pairs = Multimodal.audioDupPairs(df, maxDist = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
 }
