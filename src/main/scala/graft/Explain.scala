@@ -75,7 +75,14 @@ object Explain {
         // the qs24 shape (code-only corpus side, broadcast query
         // cells/ADC tables) with release membership folded into the
         // corpus-side scan, never a post-scoring filter
-        "qx7_build_then_serve")
+        "qx7_build_then_serve",
+        // perceptual dedup: one decode pass (persisted), band-bucket
+        // equi-join candidates, popcount verify — never an image byte
+        // or a pairwise predicate through the join
+        "qm8_image_phash_dedup", "qm9_audio_envelope_dedup",
+        // PMI collocations: two partial-agg exchanges, min-support cut
+        // before the joins, unigram table broadcast, TakeOrdered top-20
+        "qt25_pmi_collocations")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -855,31 +855,41 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload) =>
-            rasterPpm(payload).map(d => (d, "ppm"))
-              .orElse(rasterBmp(payload).map(d => (d, "bmp")))
-              .orElse(rasterPng(payload).map(d => (d, "png")))
-              .orElse(rasterJpeg(payload).map(d => (d, "jpeg"))) match {
-              case Some(((w, h, rgb), codec)) if w >= 8 && h >= 8 =>
-                val res = boxResample(w, h, rgb, 8, 8)
-                val grays = Array.tabulate(64) { p =>
-                  (res(p * 3) & 0xFF).toLong +
-                    (res(p * 3 + 1) & 0xFF) + (res(p * 3 + 2) & 0xFF)
-                }
-                val total = grays.sum
-                var code = 0L
-                var p = 0
-                while (p < 64) {
-                  if (grays(p) * 64 > total) code |= 1L << p; p += 1
-                }
-                (id, Some(code), codec)
-              case Some((_, codec)) => (id, None: Option[Long], codec)
-              case None => (id, None: Option[Long], "stub")
-            }
+            val (code, codec) = aHashOf(payload)
+            (id, code, codec)
           }
         }
       }.toDF("media_id", "ahash", "codec")
     media.join(out, "media_id")
   }
+
+  /** [[aHash64]]'s per-payload kernel — also the piece the streaming
+    * ingest path calls directly (its typed map must carry the
+    * event-time column, so it cannot use the DataFrame form's
+    * join-back). Returns (code, codec); code is None for
+    * non-decodable or sub-8×8 payloads.
+    */
+  private[graft] def aHashOf(payload: Array[Byte]): (Option[Long], String) =
+    rasterPpm(payload).map(d => (d, "ppm"))
+      .orElse(rasterBmp(payload).map(d => (d, "bmp")))
+      .orElse(rasterPng(payload).map(d => (d, "png")))
+      .orElse(rasterJpeg(payload).map(d => (d, "jpeg"))) match {
+      case Some(((w, h, rgb), codec)) if w >= 8 && h >= 8 =>
+        val res = boxResample(w, h, rgb, 8, 8)
+        val grays = Array.tabulate(64) { p =>
+          (res(p * 3) & 0xFF).toLong +
+            (res(p * 3 + 1) & 0xFF) + (res(p * 3 + 2) & 0xFF)
+        }
+        val total = grays.sum
+        var code = 0L
+        var p = 0
+        while (p < 64) {
+          if (grays(p) * 64 > total) code |= 1L << p; p += 1
+        }
+        (Some(code), codec)
+      case Some((_, codec)) => (None, codec)
+      case None => (None, "stub")
+    }
 
   /** Perceptual near-duplicate image pairs over [[aHash64]] codes via
     * 4×16-bit multi-index banding — the qd4/qs26 Hamming machinery

@@ -269,7 +269,7 @@ object AdvancedQueries {
     * coincide (period lcm(256,3) in cid) are exact raster dups by
     * construction — correctly found, correctly oracled.
     */
-  private def nearDupPpmsFromDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def nearDupPpmsFromDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
       val cid = id / 3

@@ -2904,6 +2904,70 @@ object DataOpsQueries {
             ORDER BY cosine DESC, neighbor_id) AS rk FROM p1) WHERE rk <= 5
         ORDER BY query_id, rank""")),
 
+    // ---- Streaming MEDIA dedup-on-ingest ≡ batch (the qst8/qst9/qst10
+    // treatment applied to the multimodal column): media payloads
+    // arrive as a stream, each micro-batch fingerprints them with the
+    // SAME aHash kernel the batch path uses (Multimodal.aHashOf in a
+    // typed map that carries the event-time column — no join-back, so
+    // no stream-stream self-join), and identical-fingerprint arrivals
+    // collapse in a sentinel-flushed windowed aggregate: per (window,
+    // ahash) the canonical is MIN(media_id), n_copies the group size.
+    // This is the exact-fingerprint ingest-time tier; near-dup pairs
+    // at Hamming 1-3 remain qm8's batch job, by design. The sentinel's
+    // empty payload hashes to null — it is NOT filtered before the
+    // aggregate (the qst10 lesson: a deterministic filter pushed below
+    // EventTimeWatermark starves the watermark) but groups under
+    // (2100-window, null) which never flushes. Oracle: qm8's
+    // closed-form code CTEs grouped by code. ----
+    QueryDef("qst11_stream_media_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = AdvancedQueries.nearDupPpmsFromDocs(s, dir)
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        val sent = Seq(-1L).toDF("media_id")
+          .select(col("media_id"), lit(Array.empty[Byte]).as("bytes"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, media.unionByName(sent),
+          "media_id LONG, bytes BINARY, ts TIMESTAMP") { stream =>
+          val out = stream
+            .as[(Long, Array[Byte], java.sql.Timestamp)]
+            .map { case (id, b, ts) =>
+              (id, graft.multimodal.Multimodal.aHashOf(b)._1, ts)
+            }
+            .toDF("media_id", "ahash", "ts")
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("ahash"))
+            .agg(min(col("media_id")).as("canonical_id"),
+              count(lit(1)).as("n_copies"))
+            .select(col("ahash"), col("canonical_id"),
+              col("n_copies").cast("int").as("n_copies"))
+          runAvailableNow(s, out)
+            .filter(col("canonical_id") >= 0)
+            .orderBy(col("ahash"))
+        }
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, doc_id // 3 AS cid,
+            doc_id % 3 AS delta, 1 + (doc_id // 3) % 3 AS k
+          FROM documents),
+        g AS (SELECT m.media_id, r.p,
+            list_sum(list_transform(range(0, 3), c ->
+              list_sum(list_transform(range(0, k * k), b ->
+                LEAST(255, (cid * 31 + ((((r.p // 8) * k + b // k) * (8 * k)
+                  + (r.p % 8) * k + (b % k)) * 3 + c) * 7) % 256 + delta)
+              )) // (k * k)
+            )) AS gray
+          FROM m CROSS JOIN range(0, 64) r(p)),
+        tt AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id),
+        codes AS (SELECT g.media_id, CAST(SUM(
+            CASE WHEN g.gray * 64 > tt.total
+              THEN CASE WHEN g.p = 63 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(g.p AS INT) END
+              ELSE 0 END) AS BIGINT) AS code
+          FROM g JOIN tt ON tt.media_id = g.media_id GROUP BY g.media_id)
+        SELECT code AS ahash, MIN(media_id) AS canonical_id,
+          CAST(COUNT(*) AS INT) AS n_copies
+        FROM codes GROUP BY code ORDER BY ahash""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")

@@ -79,7 +79,16 @@ class PlanGuardSpec extends SparkTestBase {
       // one-row corpus-stats attach — N / Σdl / n_docs — is a
       // documented broadcast-of-one-row cross join)
       "dictionaryQuality" -> graft.text.Vocab.dictionaryQuality(docs,
-        "doc_id", "text", topN = 50, keepAt = 0.8)
+        "doc_id", "text", topN = 50, keepAt = 0.8),
+      // the multimodal fingerprint dedup family: candidates must stay
+      // a band-bucket equi-join over the 64-bit codes (media joined
+      // only to build the fingerprint table, never pairwise)
+      "imageDupPairs" -> graft.multimodal.Multimodal.imageDupPairs(
+        docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes")), maxDist = 3),
+      "audioDupPairs" -> graft.multimodal.Multimodal.audioDupPairs(
+        docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes")), maxDist = 3)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 
