@@ -2323,6 +2323,106 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- Per-dimension scalar quantization (qs28, the FAISS SQ8
+    // layout) — the missing rung of the compression ladder between
+    // per-vector int8 (qs13, 512 bits) and PQ-128 (qs22, 128 bits):
+    // per-dim affine codes from sample min/max (Similarity.sq8Params —
+    // pure comparisons, engine-exact), round-half-up via IEEE floor
+    // (the qs7 convention), reconstruction riding the corpus scan as a
+    // literal-array expression, served through the qs13/qs22 chain
+    // (float cells, nprobe=4, score on recon). MEASURED: mean recall
+    // 0.95 — ABOVE per-vector int8's 0.9 and PQ-128's 0.85 on the
+    // same float-cell nprobe=4 chain: per-dim min/max codes carry
+    // visibly less error than a per-vector scale, at 4× PQ's bits.
+    // The compression ladder now reads binary 64 b → 0.175, PQ-128
+    // 16 B → 0.85, SQ8 64 B → 0.95, int8 64 B (per-vector) → 0.9,
+    // float 256 B → probe-bounded; SQ8's extra niche is simplicity —
+    // no codebooks, no training, exact per-dim error bounds. ----
+    QueryDef("qs28_sq8_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val (mn, mx) = Similarity.sq8Params(e, "vec_id", "embedding")
+        val withRecon = e.select(col("vec_id"), col("embedding"),
+          Similarity.sq8Reconstruct(col("embedding"), mn, mx).as("recon"))
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val ann = Ivf.topKOn(withRecon, q, "vec_id", "embedding", "recon",
+          "query_id", "qe", cells, k = 5, nprobe = 4)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        prm AS (SELECT r.i, MIN(CAST(s.embedding[r.i] AS DOUBLE)) AS mn,
+            MAX(CAST(s.embedding[r.i] AS DOUBLE)) AS mx
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        rx AS (SELECT e.vec_id, p.i,
+            CASE WHEN p.mx = p.mn THEN p.mn
+              ELSE p.mn + GREATEST(0.0, LEAST(255.0,
+                floor((CAST(e.embedding[p.i] AS DOUBLE) - p.mn) * 255.0 / (p.mx - p.mn) + 0.5)))
+                * (p.mx - p.mn) / 255.0 END AS xr
+          FROM embeddings e CROSS JOIN prm p),
+        rec AS (SELECT vec_id, list(xr ORDER BY i) AS recon FROM rx GROUP BY vec_id),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        i0 AS (SELECT qp.query_id, x.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(x.recon) + 1),
+              i -> x.recon[i] * CAST(qp.qe[i] AS DOUBLE)), (x2, y) -> x2 + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(x.recon) + 1),
+                i -> x.recon[i] * x.recon[i]), (x2, y) -> x2 + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qp.qe) + 1),
+                i -> CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)), (x2, y) -> x2 + y)))
+            AS cosine
+          FROM ca JOIN rec x ON x.vec_id = ca.vec_id
+          JOIN qp ON ca.cell = qp.cell AND ca.vec_id <> qp.query_id),
+        i5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM i0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM i5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

@@ -433,6 +433,59 @@ object ExtraQueries {
           CASE WHEN a.ticker IS NOT NULL THEN e.value * 2 ELSE e.value END AS close
         FROM ev e LEFT JOIN aff a ON a.ticker = e.ticker
           AND a.yr = year(e.ts) AND a.mo = month(e.ts)
-        ORDER BY e.ticker, ts_us, close"""))
+        ORDER BY e.ticker, ts_us, close""")),
+
+    // ---- Small-file compaction (lake/Compact), graduated from
+    // spec-only to a driver row the ql2/ql3 way: a synthetic bars lake
+    // is drip-fed in three appends (every partition dir collects up to
+    // three files — exactly the fragmentation streaming ingest leaves
+    // behind), Compact.fragmented finds the over-threshold partitions
+    // from the lake itself, Compact.partitions rewrites ONLY those via
+    // dynamic partition overwrite to one file each, and the row
+    // require()s the work list was non-empty before and empty after —
+    // compaction's job is to change FILE LAYOUT and nothing else, so
+    // the oracle is the strongest possible one: the read-back lake
+    // must hash-match the original projection row-for-row. At 100 TB
+    // every small file is a scan task + a metadata entry; this
+    // operator is the maintenance pass that keeps maxPartitionBytes
+    // packing effective. Fixture sizing, the ql3 lesson extended: the
+    // row makes SIX passes over its lake (3 appends, 2 fragmentation
+    // scans, 1 rewrite) plus the read-back, so the lake is a bounded
+    // 1-in-7 slice of events with tickers mod 8 — fragmentation
+    // behavior is dir-count- and file-count-shaped, not row-volume-
+    // shaped, so the small slice measures the same operator (the
+    // unsliced arm floored 17 s at sf0.1, all of it pass-count ×
+    // row volume). ----
+    QueryDef("ql4_compaction",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("ql4_compact").toString
+        val lake = s"$tmp/lake"
+        val ev = t(s, dir, "events")
+          .filter(col("event_id") % 7 === 0)
+          .withColumn("ticker", concat(lit("U"), col("user_id") % 8))
+        val bars = ev.select(col("ticker"), col("ts").as("datetime"),
+          col("value").as("close"), year(col("ts")).as("year"),
+          month(col("ts")).as("month"), col("event_id"))
+        (0 until 3).foreach { slice =>
+          bars.filter(col("event_id") % 3 === slice).drop("event_id")
+            .repartition(col("ticker"), col("year"), col("month"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("ticker", "year", "month").parquet(lake)
+        }
+        val work = graft.lake.Compact.fragmented(s, lake, maxFiles = 2)
+        require(work.nonEmpty, "fixture must actually fragment the lake")
+        graft.lake.Compact.partitions(s, lake, work)
+        require(graft.lake.Compact.fragmented(s, lake, maxFiles = 2).isEmpty,
+          "compaction must clear the fragmentation work list")
+        s.read.parquet(lake)
+          .select(col("ticker"), unix_micros(col("datetime")).as("ts_us"),
+            col("close"))
+          .orderBy(col("ticker"), col("ts_us"), col("close"))
+      },
+      Some("""SELECT 'U'||CAST(user_id % 8 AS VARCHAR) AS ticker,
+          epoch_us(ts) AS ts_us, value AS close
+        FROM events WHERE event_id % 7 = 0
+        ORDER BY ticker, ts_us, close"""))
   )
 }

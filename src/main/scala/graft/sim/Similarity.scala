@@ -96,6 +96,60 @@ object Similarity {
         .otherwise(floor(x.cast("double") / s + 0.5).cast("int")))
   }
 
+  /** Per-dimension SQ8 affine parameters — (min_d, max_d) over the
+    * `maxSample` lowest-id vectors (the [[Ivf.fit]] bounded-sample
+    * contract; dims × 16 bytes of driver state). Min/max are pure
+    * comparisons, so unlike a mean they are order-independent and
+    * engine-exact by construction.
+    */
+  def sq8Params(corpus: DataFrame, idCol: String, vecCol: String,
+      maxSample: Int = 256): (Array[Double], Array[Double]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol)).limit(maxSample).collect()
+    require(sample.nonEmpty, "need at least one vector to fit SQ8 params")
+    val dim = sample.head._2.length
+    val mn = Array.fill(dim)(Double.MaxValue)
+    val mx = Array.fill(dim)(Double.MinValue)
+    sample.foreach { case (_, v) =>
+      var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble
+        if (x < mn(i)) mn(i) = x
+        if (x > mx(i)) mx(i) = x
+        i += 1
+      }
+    }
+    (mn, mx)
+  }
+
+  /** Per-dimension scalar-quantized reconstruction (SQ8, the FAISS
+    * `SQ8` layout): code_d = round-half-up of (x_d−mn_d)·255/(mx_d−mn_d)
+    * clamped to [0,255] (out-of-sample values saturate), x̂_d =
+    * mn_d + code_d·(mx_d−mn_d)/255. Same IEEE-floor round-half-up as
+    * [[int8Quantize]]; a flat dimension (mx == mn) reconstructs to its
+    * constant. Params ride the plan as literal arrays (dims × 16
+    * bytes); the whole encode+decode is a map-side expression on the
+    * corpus scan — at serving time the stored artifact is the 1-byte-
+    * per-dim code row, 4× smaller than float and 4× larger than
+    * PQ-128's 16 bytes: the middle rung of the compression ladder.
+    */
+  def sq8Reconstruct(vec: Column, mn: Array[Double],
+      mx: Array[Double]): Column = {
+    val mnLit = array(mn.map(lit): _*)
+    val mxLit = array(mx.map(lit): _*)
+    transform(vec, (x, i) => {
+      val lo = element_at(mnLit, i + 1)
+      val hi = element_at(mxLit, i + 1)
+      val range = hi - lo
+      val q = greatest(lit(0.0), least(lit(255.0),
+        floor((x.cast("double") - lo) * 255.0 / range + 0.5)))
+      when(range === 0.0, lo).otherwise(lo + q * range / 255.0)
+    })
+  }
+
   /** Per-dimension binarization thresholds: the mean of each dimension
     * over the `maxSample` lowest-id vectors, summed in id order
     * (deterministic — the [[Ivf.fit]] bounded-sample contract; dims ×

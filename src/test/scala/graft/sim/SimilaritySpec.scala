@@ -122,6 +122,39 @@ class SimilaritySpec extends SparkTestBase {
     spark.catalog.clearCache() // lshNearDupPairs persists its slim table
   }
 
+  test("sq8: per-dim reconstruction error bound, flat dims exact, clamping") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f, -3.0f)),
+      (2L, Array(10.0f, 5.0f, 0.5f, 3.0f)),
+      (3L, Array(4.0f, 5.0f, 0.75f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.sq8Params(rows, "vec_id", "embedding")
+    assert(mn.toSeq === Seq(0.0, 5.0, 0.5, -3.0))
+    assert(mx.toSeq === Seq(10.0, 5.0, 1.0, 3.0))
+    val rec = rows.select($"vec_id",
+        Similarity.sq8Reconstruct($"embedding", mn, mx).as("r"))
+      .as[(Long, Array[Double])].collect().toMap
+    // in-range dims reconstruct within half a quantization step
+    val orig = Map(1L -> Array(0.0, 5.0, 1.0, -3.0),
+      2L -> Array(10.0, 5.0, 0.5, 3.0), 3L -> Array(4.0, 5.0, 0.75, 0.0))
+    orig.foreach { case (id, v) =>
+      v.indices.foreach { d =>
+        val step = (mx(d) - mn(d)) / 255.0
+        assert(math.abs(rec(id)(d) - v(d)) <= step / 2 + 1e-12,
+          s"id $id dim $d: ${rec(id)(d)} vs ${v(d)}")
+      }
+    }
+    // dim 1 is flat (all 5.0): reconstructs exactly, no 0/0
+    assert(orig.keys.forall(id => rec(id)(1) == 5.0))
+    // out-of-sample values clamp to the code range instead of escaping it
+    val far = Seq((9L, Array(100.0f, 5.0f, -100.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.sq8Reconstruct($"embedding", mn, mx).as("r"))
+      .as[Array[Double]].collect().head
+    assert(far(0) == mx(0) && far(2) == mn(2))
+  }
+
   test("multi-table candidates are deduped: at most k rows per query") {
     val multi = Similarity.lshTopKMulti(
       e, q, "vec_id", "embedding", "query_id", "qe", k = 5, planes = 4, tables = 8)
