@@ -88,6 +88,12 @@ class ParserFuzzSpec extends AnyFunSuite {
       Multimodal.parseJpeg(p).foreach { case (w, h, n, _) =>
         assert(n >= 0 && n <= w.toLong * h * 3, s"jpeg over-claims: $n of ${w}x$h")
       }
+      Multimodal.pcmWav(p).foreach { case (_, _, _, d) =>
+        assert(d.length <= p.length, s"pcmWav over-claims: ${d.length} of ${p.length}")
+      }
+      // the fingerprint kernels run the full decode+hash chain over
+      // lake bytes — they must be total too
+      Multimodal.aHashOf(p)
     }
     // ~900 payloads: a declared-size spin (the pre-r8 parseBmp bug ran
     // ~2^31 iterations on ONE hostile header) would blow far past this
