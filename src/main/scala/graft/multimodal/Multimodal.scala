@@ -847,10 +847,19 @@ object Multimodal {
     * the stub codec contract. Batched per-partition like every decode
     * stage; output is 8 bytes/image however large the raster.
     */
-  def aHash64(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def aHash64(media: DataFrame, batchSize: Int = 64): DataFrame =
+    media.join(aHashTable(media, batchSize), "media_id")
+
+  /** The bare (media_id, ahash, codec) fingerprint table — what the
+    * pairs path consumes directly: joining the payload columns back
+    * ([[aHash64]]'s contract, matching the other decode stages) would
+    * put an extra media scan + join under a consumer that only needs
+    * 8 bytes/image.
+    */
+  private def aHashTable(media: DataFrame, batchSize: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val out = media.select(col("media_id"), col("bytes"))
+    media.select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
@@ -860,7 +869,6 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "ahash", "codec")
-    media.join(out, "media_id")
   }
 
   /** [[aHash64]]'s per-payload kernel — also the piece the streaming
@@ -904,14 +912,14 @@ object Multimodal {
     */
   def imageDupPairs(media: DataFrame, maxDist: Int = 3,
       batchSize: Int = 64): DataFrame =
-    hammingDupPairs(aHash64(media, batchSize), maxDist)
+    hammingDupPairs(aHashTable(media, batchSize), maxDist)
 
   /** Near-dup pairs over [[audioHash64]] envelope fingerprints — same
     * banded-Hamming machinery, audio modality.
     */
   def audioDupPairs(media: DataFrame, maxDist: Int = 3,
       batchSize: Int = 64): DataFrame =
-    hammingDupPairs(audioHash64(media, batchSize), maxDist)
+    hammingDupPairs(audioHashTable(media, batchSize), maxDist)
 
   /** Banded-Hamming near-dup pairs over any 64-bit fingerprint column
     * `ahash` (null = unfingerprintable, dropped): 4×16-bit multi-index
@@ -989,10 +997,16 @@ object Multimodal {
     * scales every frame energy together flips nothing. Sub-64-sample
     * or non-PCM payloads fingerprint to null.
     */
-  def audioHash64(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def audioHash64(media: DataFrame, batchSize: Int = 64): DataFrame =
+    media.join(audioHashTable(media, batchSize), "media_id")
+
+  /** Bare (media_id, ahash, codec) envelope-fingerprint table — the
+    * [[aHashTable]] treatment for the audio modality.
+    */
+  private def audioHashTable(media: DataFrame, batchSize: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val out = media.select(col("media_id"), col("bytes"))
+    media.select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
@@ -1035,7 +1049,6 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "ahash", "codec")
-    media.join(out, "media_id")
   }
 
   /** Frame-sampling STUB for video payloads: emits one row per sampled
