@@ -856,7 +856,8 @@ object Multimodal {
     * put an extra media scan + join under a consumer that only needs
     * 8 bytes/image.
     */
-  private def aHashTable(media: DataFrame, batchSize: Int): DataFrame = {
+  private[graft] def aHashTable(media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("bytes"))
@@ -911,15 +912,46 @@ object Multimodal {
     * runs once and 8 bytes/image flow through the join.
     */
   def imageDupPairs(media: DataFrame, maxDist: Int = 3,
-      batchSize: Int = 64): DataFrame =
-    hammingDupPairs(aHashTable(media, batchSize), maxDist)
+      batchSize: Int = 64, maxBucket: Int = 0): DataFrame =
+    hammingDupPairs(aHashTable(media, batchSize), maxDist, maxBucket)
 
   /** Near-dup pairs over [[audioHash64]] envelope fingerprints — same
     * banded-Hamming machinery, audio modality.
     */
   def audioDupPairs(media: DataFrame, maxDist: Int = 3,
-      batchSize: Int = 64): DataFrame =
-    hammingDupPairs(audioHashTable(media, batchSize), maxDist)
+      batchSize: Int = 64, maxBucket: Int = 0): DataFrame =
+    hammingDupPairs(audioHashTable(media, batchSize), maxDist, maxBucket)
+
+  /** Band-population audit over the 4×16-bit multi-index keys of a
+    * fingerprint table — the qd13 treatment for the media modality:
+    * one row per (band ordinal, 16-bit key) bucket with its member
+    * count. A bucket holding B fingerprints emits B·(B−1)/2 candidate
+    * pairs in [[hammingDupPairs]]' self-join, so the tail of this
+    * histogram is exactly the clique mass a given `maxBucket` cap
+    * would drop — the measurement the cap is chosen from. Real media
+    * corpora make this tail fat (solid-color thumbnails, black frames,
+    * silence all collapse to a handful of degenerate codes).
+    */
+  def hammingBandStats(fingerprinted: DataFrame): DataFrame =
+    bandedKeys(fingerprinted)
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select((col("band_key") % 4).cast("int").as("band"),
+        shiftright(col("band_key"), 2).as("band_16bit_key"),
+        col("n_docs"))
+
+  /** One row per (fingerprint, band ordinal): `band_key` packs the
+    * 16-bit band value and the band ordinal as `value*4 + b`, so a
+    * single long column equi-joins candidates across all four bands
+    * at once.
+    */
+  private def bandedKeys(fingerprinted: DataFrame): DataFrame =
+    fingerprinted
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          (shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)) * 4 + b)
+            .as(s"k$b")): _*)).as("band_key"))
 
   /** Banded-Hamming near-dup pairs over any 64-bit fingerprint column
     * `ahash` (null = unfingerprintable, dropped): 4×16-bit multi-index
@@ -927,18 +959,28 @@ object Multimodal {
     * one popcount each. The hash table is persisted for its two
     * self-join sides (the qd7 double-subtree lesson: the upstream is a
     * decode pass worth running once).
+    *
+    * `maxBucket` (0 = unlimited) is the hot-bucket guard every banded
+    * candidate generator in this repo carries
+    * ([[graft.ops.Skew.capBuckets]] — aggregate + left_anti, never a
+    * per-bucket window): band buckets holding more than `maxBucket`
+    * fingerprints are dropped from candidate generation entirely,
+    * because one degenerate code clique (solid-color images, silent
+    * audio) otherwise turns the band self-join quadratic. Recall
+    * trade, eyes open: a pair whose EVERY shared band bucket is
+    * oversized is lost — choose the cap from
+    * [[hammingBandStats]]' histogram.
     */
-  def hammingDupPairs(fingerprinted: DataFrame, maxDist: Int): DataFrame = {
+  def hammingDupPairs(fingerprinted: DataFrame, maxDist: Int,
+      maxBucket: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16 banding is exact only for maxDist <= 3, got $maxDist")
     val hashed = fingerprinted
       .filter(col("ahash").isNotNull)
       .select(col("media_id"), col("ahash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = hashed.select(col("media_id"), col("ahash"),
-      explode(array((0 until 4).map(b =>
-        (shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)) * 4 + b)
-          .as(s"k$b")): _*)).as("band_key"))
+    val banded = graft.ops.Skew.capBuckets(
+      bandedKeys(hashed), "band_key", maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
@@ -994,8 +1036,13 @@ object Multimodal {
     * count divides), per-frame energy = Σ|sample| (8-bit centered at
     * 128; 16-bit signed LE), and set bit f iff `e_f·64 > Σe` — the
     * exact integer above-mean compare, so a uniform gain change that
-    * scales every frame energy together flips nothing. Sub-64-sample
-    * or non-PCM payloads fingerprint to null.
+    * scales every frame energy together flips nothing. Sub-64-sample,
+    * non-PCM, or unsupported-width (not 8/16-bit) payloads fingerprint
+    * to null — [[pcmWav]] accepts any format-code-1 width (24/32-bit
+    * PCM is valid WAV), but the envelope kernel only decodes 8/16-bit
+    * samples; treating a wider stream as bytes would emit a garbage
+    * fingerprint and fake dup candidates, so those widths take the
+    * null contract instead.
     */
   def audioHash64(media: DataFrame, batchSize: Int = 64): DataFrame =
     media.join(audioHashTable(media, batchSize), "media_id")
@@ -1003,7 +1050,8 @@ object Multimodal {
   /** Bare (media_id, ahash, codec) envelope-fingerprint table — the
     * [[aHashTable]] treatment for the audio modality.
     */
-  private def audioHashTable(media: DataFrame, batchSize: Int): DataFrame = {
+  private[graft] def audioHashTable(media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("bytes"))
@@ -1012,6 +1060,8 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload) =>
             pcmWav(payload) match {
+              case Some((_, _, bits, _)) if bits != 8 && bits != 16 =>
+                (id, None: Option[Long], "wav")
               case Some((_, _, bits, data)) =>
                 val n = if (bits == 16) data.length / 2 else data.length
                 if (n < 64) (id, None: Option[Long], "wav")

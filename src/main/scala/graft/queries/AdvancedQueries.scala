@@ -283,6 +283,34 @@ object AdvancedQueries {
     }.toDF("media_id", "bytes")
   }
 
+  /** PPM media with NON-DEGENERATE duplicate classes for the cluster
+    * row: same 3-member brightness-shift classes as
+    * [[nearDupPpmsFromDocs]], but the base pixel formula is the
+    * QUADRATIC hash `((cid·31 + i·7 + 11)² / 32) % 256` instead of the
+    * linear `(cid·31 + i·7) % 256`. The linear form is periodic in cid
+    * mod 256, collapsing ~167 content classes onto 99 distinct aHash
+    * codes (the measured degeneracy behind qx8's rejected cluster arm);
+    * the squared form decorrelates classes — measured 168 distinct
+    * codes over 168 classes at this SF, zero cross-class pairs at
+    * Hamming ≤ 3, max band bucket 3 — so connected components over the
+    * pair graph recover exactly the planted duplicate classes.
+    */
+  private def hashedDupPpmsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val cid = id / 3
+      val delta = (id % 3).toInt
+      val k = (1 + cid % 3).toInt
+      val w = 8 * k; val h = 8 * k
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate[Byte](w * h * 3) { i =>
+        val u = cid * 31 + i.toLong * 7 + 11
+        math.min(255L, (u * u / 32) % 256 + delta).toByte
+      }
+      (id, header ++ px)
+    }.toDF("media_id", "bytes")
+  }
+
   /** WAV media with CONTROLLED near-duplicates for the audio-envelope
     * row — the [[nearDupPpmsFromDocs]] recipe on the time axis: content
     * class cid = id/3, member delta = id%3 added to every sample byte
@@ -336,6 +364,57 @@ object AdvancedQueries {
         i => ((id * 31 + i.toLong * 7) % 256).toInt, r => r % 5))
     }.toDF("media_id", "bytes")
   }
+
+  /** qm8's closed-form aHash code chain (m → g → tt → codes) over
+    * [[nearDupPpmsFromDocs]] — the CTE prefix shared by the media
+    * banding rows (qm10 capped pairs, qm11 band audit).
+    */
+  private val mediaCodeCtes = """m AS (SELECT doc_id AS media_id, doc_id // 3 AS cid,
+            doc_id % 3 AS delta, 1 + (doc_id // 3) % 3 AS k
+          FROM documents),
+        g AS (SELECT m.media_id, r.p,
+            list_sum(list_transform(range(0, 3), c ->
+              list_sum(list_transform(range(0, k * k), b ->
+                LEAST(255, (cid * 31 + ((((r.p // 8) * k + b // k) * (8 * k)
+                  + (r.p % 8) * k + (b % k)) * 3 + c) * 7) % 256 + delta)
+              )) // (k * k)
+            )) AS gray
+          FROM m CROSS JOIN range(0, 64) r(p)),
+        tt AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id),
+        codes AS (SELECT g.media_id, CAST(SUM(
+            CASE WHEN g.gray * 64 > tt.total
+              THEN CASE WHEN g.p = 63 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(g.p AS INT) END
+              ELSE 0 END) AS BIGINT) AS code
+          FROM g JOIN tt ON tt.media_id = g.media_id GROUP BY g.media_id)"""
+
+  /** The same chain over [[hashedDupPpmsFromDocs]]' quadratic pixel
+    * hash — qm12's non-degenerate code table. The squared term is
+    * inlined twice (DuckDB lambdas bind no locals); everything is
+    * BIGINT-exact: u ≤ ~6.5e4 so u² ≤ ~4.2e9.
+    */
+  private val hashedMediaCodeCtes = """m AS (SELECT doc_id AS media_id, doc_id // 3 AS cid,
+            doc_id % 3 AS delta, 1 + (doc_id // 3) % 3 AS k
+          FROM documents),
+        g AS (SELECT m.media_id, r.p,
+            list_sum(list_transform(range(0, 3), c ->
+              list_sum(list_transform(range(0, k * k), b ->
+                LEAST(255,
+                  ((cid * 31 + ((((r.p // 8) * k + b // k) * (8 * k)
+                      + (r.p % 8) * k + (b % k)) * 3 + c) * 7 + 11)
+                   * (cid * 31 + ((((r.p // 8) * k + b // k) * (8 * k)
+                      + (r.p % 8) * k + (b % k)) * 3 + c) * 7 + 11)
+                   // 32) % 256 + delta)
+              )) // (k * k)
+            )) AS gray
+          FROM m CROSS JOIN range(0, 64) r(p)),
+        tt AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id),
+        codes AS (SELECT g.media_id, CAST(SUM(
+            CASE WHEN g.gray * 64 > tt.total
+              THEN CASE WHEN g.p = 63 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(g.p AS INT) END
+              ELSE 0 END) AS BIGINT) AS code
+          FROM g JOIN tt ON tt.media_id = g.media_id GROUP BY g.media_id)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1074,8 +1153,12 @@ object AdvancedQueries {
         val txt = Dedup.exactDupAnnotate(docs, "text", "doc_id")
           .select(col("doc_id"),
             (col("doc_id") === col("canonical_id")).as("text_canonical"))
+        // the bare (media_id, ahash) fingerprint table — the join-back
+        // form (aHash64) would put a second payload scan + join under a
+        // consumer that only needs 8 bytes/image, the exact
+        // inefficiency imageDupPairs/audioDupPairs shed in r11
         val media = nearDupPpmsFromDocs(s, dir)
-        val codes = Multimodal.aHash64(media)
+        val codes = Multimodal.aHashTable(media)
           .select(col("media_id"), col("ahash"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("ahash"))
@@ -1252,6 +1335,110 @@ object AdvancedQueries {
         FROM codes a JOIN codes b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.code, b.code)) <= 3
         ORDER BY id_a, id_b""")),
+
+    // ---- The hot-bucket guard applied to the MEDIA modality (qm10):
+    // qm8's banded-Hamming pairs with band buckets > 24 fingerprints
+    // DROPPED before candidate generation (Skew.capBuckets through
+    // hammingDupPairs — the qd12 treatment). On this fixture the cap
+    // GENUINELY trips: the periodic pixel formula collapses ~167
+    // content classes onto 99 codes, piling band buckets up to 30
+    // members (see qm11's histogram), and capping at 24 drops 9 of the
+    // 3352 uncapped pairs — so the oracle pins the exact recall trade
+    // the guard makes, not a no-op path. Unlike the text arms this
+    // oracle must REPRODUCE the banding itself (band keys, bucket
+    // sizes, the ≤-cap survivor join) rather than lean on pigeonhole
+    // completeness, because a capped generator is deliberately
+    // incomplete: DuckDB's >> sign-extends like Spark's shiftright, so
+    // the band keys agree bit-for-bit on negative codes. At 100 TB
+    // this is what keeps one solid-color-thumbnail clique from turning
+    // the self-join quadratic. ----
+    QueryDef("qm10_image_dedup_capped",
+      (s, dir) => Multimodal.imageDupPairs(nearDupPpmsFromDocs(s, dir),
+          maxDist = 3, maxBucket = 24)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $mediaCodeCtes,
+        bands AS (SELECT media_id, code,
+            ((code >> (16*b.b)) & 65535) * 4 + b.b AS band_key
+          FROM codes CROSS JOIN range(0, 4) b(b)),
+        bsz AS (SELECT band_key, COUNT(*) AS n FROM bands GROUP BY band_key),
+        kept AS (SELECT bands.media_id, bands.code, bands.band_key
+          FROM bands JOIN bsz ON bsz.band_key = bands.band_key
+          WHERE bsz.n <= 24),
+        cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+            a.code AS ca, b.code AS cb
+          FROM kept a JOIN kept b ON a.band_key = b.band_key
+            AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ca, cb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ca, cb)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- The band-population AUDIT the media cap is chosen from
+    // (qm11, the qd13 analogue over the 4×16-bit band keys): histogram
+    // of band-bucket sizes over qm8's fingerprint table. A bucket of B
+    // members emits B·(B−1)/2 candidates, so the tail of this
+    // histogram is exactly the clique mass qm10's maxBucket=24 drops —
+    // the measurement that turns the media hot-band story from
+    // asserted to measured (this fixture's tail reaches 30). ----
+    QueryDef("qm11_media_band_audit",
+      (s, dir) => Multimodal.hammingBandStats(
+          Multimodal.aHashTable(nearDupPpmsFromDocs(s, dir)))
+        .groupBy(col("n_docs").as("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .orderBy(col("bucket_size")),
+      Some(s"""WITH $mediaCodeCtes,
+        bands AS (SELECT media_id,
+            ((code >> (16*b.b)) & 65535) * 4 + b.b AS band_key
+          FROM codes CROSS JOIN range(0, 4) b(b)),
+        bsz AS (SELECT band_key, COUNT(*) AS n_docs FROM bands
+          GROUP BY band_key)
+        SELECT n_docs AS bucket_size, COUNT(*) AS n_buckets
+        FROM bsz GROUP BY n_docs ORDER BY bucket_size""")),
+
+    // ---- Near-dup media CLUSTERS (qm12): the operator qm8's pairs
+    // exist FOR — capped banded pairs contracted to connected
+    // components (Dedup.dupClusters, the qd6/qs9 treatment), yielding
+    // per-image cluster id, size, and the canonical keep flag a
+    // multimodal release consumes. Runs on the NON-DEGENERATE
+    // brightness-shift fixture (hashedDupPpmsFromDocs — quadratic
+    // pixel hash, so classes decorrelate; the qx8-rejected arm failed
+    // on the linear fixture's 380-code degeneracy, a fixture artifact
+    // this fixture removes): components recover exactly the planted
+    // 3-member duplicate classes, zero cross-class edges at dist ≤ 3.
+    // Oracle: closed-form codes → cap-reproducing banded pairs →
+    // recursive-CTE transitive closure. ----
+    QueryDef("qm12_media_dup_clusters",
+      (s, dir) => Dedup.dupClusters(
+          Multimodal.imageDupPairs(hashedDupPpmsFromDocs(s, dir),
+            maxDist = 3, maxBucket = 24))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $hashedMediaCodeCtes,
+        bands AS (SELECT media_id, code,
+            ((code >> (16*b.b)) & 65535) * 4 + b.b AS band_key
+          FROM codes CROSS JOIN range(0, 4) b(b)),
+        bsz AS (SELECT band_key, COUNT(*) AS n FROM bands GROUP BY band_key),
+        kept AS (SELECT bands.media_id, bands.code, bands.band_key
+          FROM bands JOIN bsz ON bsz.band_key = bands.band_key
+          WHERE bsz.n <= 24),
+        pr AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+          FROM kept a JOIN kept b ON a.band_key = b.band_key
+            AND a.media_id < b.media_id
+          WHERE bit_count(xor(a.code, b.code)) <= 3),
+        und AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b AS a, id_a AS b FROM pr),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a),
+        csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, c.cluster_size,
+          (l.doc_id = l.cluster_id) AS is_canonical
+        FROM lab l JOIN csz c ON c.cluster_id = l.cluster_id
+        ORDER BY doc_id""")),
 
     QueryDef("qm7_channel_stats",
       (s, dir) => Multimodal.channelStats(pixmapsFromDocs(s, dir))

@@ -3041,8 +3041,17 @@ object DataOpsQueries {
               count(lit(1)).as("n_copies"))
             .select(col("ahash"), col("canonical_id"),
               col("n_copies").cast("int").as("n_copies"))
+          // ahash IS NOT NULL must sit on the SINK side, not in the
+          // streaming plan: as a deterministic predicate on a grouping
+          // column Catalyst would push it through the aggregate and
+          // below EventTimeWatermark, filtering the null-hashing
+          // sentinel before its timestamp ever advances the watermark
+          // (the qst10 starvation lesson). Post-sink it restores the
+          // batch-path contract (hammingDupPairs drops null
+          // fingerprints): non-decodable payloads flushing in a normal
+          // window must not collapse into one fake dup group.
           runAvailableNow(s, out)
-            .filter(col("canonical_id") >= 0)
+            .filter(col("ahash").isNotNull && col("canonical_id") >= 0)
             .orderBy(col("ahash"))
         }
       },

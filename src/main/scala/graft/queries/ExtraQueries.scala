@@ -283,29 +283,36 @@ object ExtraQueries {
         FROM cum2 ORDER BY ticker, day""")),
 
     // ---- Z-order layout audit (lake/ZOrder): Morton-interleave
-    // (o_custkey, epoch-day(o_orderdate)) at 14 bits/dim, bucket by the
+    // (o_custkey, epoch-day(o_orderdate)), bucket by the
     // top-8-bit z prefix, and report each bucket's span in BOTH
     // dimensions — the bounded-span-in-every-dim property that makes
     // parquet min/max stats prune either key after a z-ordered write
     // (ZOrder.layout). Deterministic throughout: the prefix bucket is a
     // pure function of the keys (no range-sampler dependence), all
-    // outputs exact integers. zValue runs in strict mode: a custkey
-    // beyond 2^14 raises at execution instead of silently wrapping
-    // into a shared bucket (sf0.1 tops out at 15000 < 16383; larger
-    // SFs must raise bits — the guard makes that loud). The oracle
-    // interleaves bit-by-bit with a range(0,14) lateral sum — disjoint
-    // bit positions, so SUM ≡ OR — bit-identical to the fold by
-    // construction. ----
+    // outputs exact integers. The per-dim bit width is DERIVED from
+    // the observed key domain — bits = floor(log2(max_key)) + 1 over
+    // both dims, one driver-side 2-number aggregate, recomputed
+    // identically by the oracle — so the audit survives any
+    // scale-factor bump (sf0.1's max custkey 15000 → 14 bits; sf1
+    // would derive 18) instead of tripping zValue's strict-domain
+    // raise on a hardcoded width. The oracle interleaves bit-by-bit
+    // with a range(0,bits) lateral sum — disjoint bit positions, so
+    // SUM ≡ OR — bit-identical to the fold by construction. ----
     QueryDef("ql1_zorder_layout",
       (s, dir) => {
         import graft.lake.ZOrder
         val x = col("o_custkey")
         val y = datediff(col("o_orderdate").cast("date"),
           to_date(lit("1970-01-01")))
-        val z = ZOrder.zValue(x, y, bits = 14)
+        val dom = t(s, dir, "orders")
+          .agg(greatest(max(x), max(y)).cast("long")).head.getLong(0)
+        // floor(log2(max)) + 1 == 64 - numberOfLeadingZeros(max);
+        // prefixBits = 8 needs 2*bits >= 8, so floor at 4 bits/dim
+        val bits = math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(dom))
+        val z = ZOrder.zValue(x, y, bits = bits)
         t(s, dir, "orders")
           .select(x.as("x"), y.as("y"),
-            ZOrder.prefixBucket(z, bits = 14, prefixBits = 8).as("bucket"))
+            ZOrder.prefixBucket(z, bits = bits, prefixBits = 8).as("bucket"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
             min(col("x")).cast("int").as("x_min"),
@@ -319,16 +326,20 @@ object ExtraQueries {
       Some("""WITH p AS (SELECT o_orderkey, o_custkey AS x,
             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
           FROM orders),
+        bt AS (SELECT GREATEST(4,
+            CAST(floor(log2(GREATEST(MAX(x), MAX(y)))) AS INT) + 1) AS bits
+          FROM p),
         zt AS (SELECT p.o_orderkey, p.x, p.y,
             CAST(SUM((((p.x >> t.i) & 1) << (2*t.i))
               + (((p.y >> t.i) & 1) << (2*t.i + 1))) AS BIGINT) AS z
-          FROM p, range(0, 14) t(i) GROUP BY p.o_orderkey, p.x, p.y)
-        SELECT (z >> 20) AS bucket, COUNT(*) AS n,
+          FROM p, bt, range(0, 32) t(i) WHERE t.i < bt.bits
+          GROUP BY p.o_orderkey, p.x, p.y)
+        SELECT (z >> (2*bt.bits - 8)) AS bucket, COUNT(*) AS n,
           CAST(MIN(x) AS INT) AS x_min, CAST(MAX(x) AS INT) AS x_max,
           CAST(MIN(y) AS INT) AS y_min, CAST(MAX(y) AS INT) AS y_max,
           CAST(MAX(x) - MIN(x) AS INT) AS x_span,
           CAST(MAX(y) - MIN(y) AS INT) AS y_span
-        FROM zt GROUP BY 1 ORDER BY bucket""")),
+        FROM zt, bt GROUP BY 1, bt.bits ORDER BY bucket""")),
 
     // ---- Bucketed co-located join (lake/Bucketed), as a driver row:
     // orders and customer are bucket-materialized on the join key
@@ -458,30 +469,40 @@ object ExtraQueries {
     // row volume). ----
     QueryDef("ql4_compaction",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("ql4_compact").toString
+        val tmp = java.nio.file.Files.createTempDirectory("ql4_compact")
         val lake = s"$tmp/lake"
-        val ev = t(s, dir, "events")
-          .filter(col("event_id") % 7 === 0)
-          .withColumn("ticker", concat(lit("U"), col("user_id") % 8))
-        val bars = ev.select(col("ticker"), col("ts").as("datetime"),
-          col("value").as("close"), year(col("ts")).as("year"),
-          month(col("ts")).as("month"), col("event_id"))
-        (0 until 3).foreach { slice =>
-          bars.filter(col("event_id") % 3 === slice).drop("event_id")
-            .repartition(col("ticker"), col("year"), col("month"))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .partitionBy("ticker", "year", "month").parquet(lake)
+        try {
+          val ev = t(s, dir, "events")
+            .filter(col("event_id") % 7 === 0)
+            .withColumn("ticker", concat(lit("U"), col("user_id") % 8))
+          val bars = ev.select(col("ticker"), col("ts").as("datetime"),
+            col("value").as("close"), year(col("ts")).as("year"),
+            month(col("ts")).as("month"), col("event_id"))
+          (0 until 3).foreach { slice =>
+            bars.filter(col("event_id") % 3 === slice).drop("event_id")
+              .repartition(col("ticker"), col("year"), col("month"))
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .partitionBy("ticker", "year", "month").parquet(lake)
+          }
+          val work = graft.lake.Compact.fragmented(s, lake, maxFiles = 2)
+          require(work.nonEmpty, "fixture must actually fragment the lake")
+          graft.lake.Compact.partitions(s, lake, work)
+          require(graft.lake.Compact.fragmented(s, lake, maxFiles = 2).isEmpty,
+            "compaction must clear the fragmentation work list")
+          // collect to a LOCAL frame so the fixture lake can be deleted
+          // before the row returns (the withSentinelStream hygiene
+          // convention) — the returned plan must not reference tmp
+          val res = s.read.parquet(lake)
+            .select(col("ticker"), unix_micros(col("datetime")).as("ts_us"),
+              col("close"))
+            .orderBy(col("ticker"), col("ts_us"), col("close"))
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(res.collect().toSeq.asJava, res.schema)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
-        val work = graft.lake.Compact.fragmented(s, lake, maxFiles = 2)
-        require(work.nonEmpty, "fixture must actually fragment the lake")
-        graft.lake.Compact.partitions(s, lake, work)
-        require(graft.lake.Compact.fragmented(s, lake, maxFiles = 2).isEmpty,
-          "compaction must clear the fragmentation work list")
-        s.read.parquet(lake)
-          .select(col("ticker"), unix_micros(col("datetime")).as("ts_us"),
-            col("close"))
-          .orderBy(col("ticker"), col("ts_us"), col("close"))
       },
       Some("""SELECT 'U'||CAST(user_id % 8 AS VARCHAR) AS ticker,
           epoch_us(ts) AS ts_us, value AS close

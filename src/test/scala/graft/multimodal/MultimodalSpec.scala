@@ -455,4 +455,49 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
+
+  test("audioHash64 fingerprints only 8/16-bit PCM; wider widths go null") {
+    // 24/32-bit payloads are VALID format-code-1 WAV (pcmWav accepts
+    // them) but the envelope kernel has no decode branch for them —
+    // they must take the null contract, never a garbage fingerprint
+    val bytes24 = Array.tabulate[Byte](64 * 3)(i => (i * 11 % 256).toByte)
+    val bytes32 = Array.tabulate[Byte](64 * 4)(i => (i * 7 % 256).toByte)
+    val df = Seq(
+      (1L, Multimodal.buildPcmWav(1, 8000, 24, bytes24)),
+      (2L, Multimodal.buildPcmWav(1, 8000, 32, bytes32)),
+      (3L, Multimodal.buildPcmWav(1, 8000, 8,
+        Array.tabulate[Byte](64)(i => if (i < 32) 255.toByte else 128.toByte))))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.audioHash64(df)
+      .select($"media_id", $"ahash", $"codec")
+      .as[(Long, Option[Long], String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2.isEmpty && out(1L)._3 === "wav")
+    assert(out(2L)._2.isEmpty && out(2L)._3 === "wav")
+    assert(out(3L)._2.nonEmpty, "8-bit PCM still fingerprints")
+  }
+
+  test("hammingDupPairs maxBucket drops hot-band cliques; stats measure them") {
+    // a 5-member identical-code clique (every band bucket holds 5) plus
+    // a dist-1 pair whose codes share no band with the clique
+    val c6 = 0x0001000200030004L
+    val c7 = c6 ^ 1L // band 0 differs; bands 1-3 still match c6
+    val fp = (Seq.tabulate(5)(i => (i + 1L, 0L)) ++
+      Seq((6L, c6), (7L, c7)))
+      .toDF("media_id", "ahash")
+    val uncapped = Multimodal.hammingDupPairs(fp, maxDist = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped.size === 11) // C(5,2) clique pairs + (6,7)
+    val capped = Multimodal.hammingDupPairs(fp, maxDist = 3, maxBucket = 4)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === Set((6L, 7L, 1)),
+      "cap must drop exactly the hot-bucket clique, keep the cold pair")
+    // the audit sees the clique's four size-5 buckets, the pair's three
+    // shared size-2 buckets, and the two split band-0 singletons
+    val hist = Multimodal.hammingBandStats(fp)
+      .groupBy($"n_docs").count()
+      .as[(Long, Long)].collect().toMap
+    assert(hist === Map(5L -> 4L, 2L -> 3L, 1L -> 2L))
+  }
 }
