@@ -82,7 +82,17 @@ object Explain {
         "qm8_image_phash_dedup", "qm9_audio_envelope_dedup",
         // PMI collocations: two partial-agg exchanges, min-support cut
         // before the joins, unigram table broadcast, TakeOrdered top-20
-        "qt25_pmi_collocations")
+        "qt25_pmi_collocations",
+        // round-12 additions: the capped media pairs (the cap must be
+        // an aggregate + left_anti equi-join riding the persisted
+        // fingerprint table, never a per-bucket window), the media
+        // cluster contraction over them, the two-stage composite
+        // (stage 1 is the deliberate broadcast popcount scan; stages
+        // 2-3 must be id equi-joins with the float fetch LAST), and
+        // tombstone serving (anti-join below the probe join, broadcast
+        // tombstones)
+        "qm10_image_dedup_capped", "qm12_media_dup_clusters",
+        "qs29_two_stage", "qs30_tombstone_serving")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -2423,6 +2423,257 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- TWO-STAGE retrieval composite (qs29): the production
+    // pattern the compression ladder implies, composed end-to-end as
+    // ONE oracled plan — binary popcount prefilter (qs26's measured
+    // coarse role: top-50 of 499, a 10% scan) → ADC lookup-table
+    // shortlist over the candidates' PQ codes (qs24's scorer, top-20)
+    // → exact cosine re-rank on the floats of the 20 survivors only
+    // (the single full-width read). MEASURED: mean recall 0.65 vs
+    // brute — the composite's recall is the PRODUCT of stage
+    // retentions (stage 1 ceilings it at qs26's 0.8; the 50→20 ADC
+    // cut pays another 0.15; widening shortK back to coarseK recovers
+    // the 0.8 ceiling exactly, the property ServingSpec pins). The
+    // knobs are explicit and every stage's quality has its own driver
+    // row. At 100 TB the scan side carries 24 B/row (8 B sign code +
+    // 16 B PQ code, built in ONE corpus pass), and full vectors are
+    // fetched for exactly k·|Q| ids. Oracle: qs26's cbits/qbits chain
+    // → candidate CTE → qs24's enc/ADC fold restricted to candidates
+    // → an exact-cosine tail over the shortlist. ----
+    QueryDef("qs29_two_stage",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val thr = Similarity.signThresholds(e, "vec_id", "embedding")
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val ann = graft.sim.Serving.twoStageTopK(e, q,
+          "vec_id", "embedding", "query_id", "qe", thr, pq,
+          k = 5, coarseK = 50, shortK = 20)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        thr AS (SELECT r.i,
+            list_reduce(list(CAST(s.embedding[r.i] AS DOUBLE) ORDER BY s.vec_id),
+              (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS t
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        cbits AS (SELECT e.vec_id, CAST(SUM(
+            CASE WHEN CAST(e.embedding[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN thr GROUP BY e.vec_id),
+        qbits AS (SELECT qv.query_id, CAST(SUM(
+            CASE WHEN CAST(qv.qe[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS qcode
+          FROM qv CROSS JOIN thr GROUP BY qv.query_id),
+        c50 AS (SELECT query_id, neighbor_id FROM (
+          SELECT qb.query_id, cb2.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY qb.query_id
+              ORDER BY bit_count(xor(cb2.code, qb.qcode)), cb2.vec_id) AS rk
+          FROM cbits cb2, qbits qb WHERE cb2.vec_id <> qb.query_id) WHERE rk <= 50),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        pj AS (SELECT enc.vec_id, qv.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qv.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN c50 ON c50.neighbor_id = enc.vec_id
+          JOIN qv ON qv.query_id = c50.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        s20 AS (SELECT query_id, neighbor_id FROM (
+          SELECT p0.query_id, p0.neighbor_id, ROW_NUMBER() OVER (PARTITION BY p0.query_id
+            ORDER BY num / (sqrt(rn) * sqrt(qn.qnsq)) DESC, p0.neighbor_id) AS rk
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id) WHERE rk <= 20),
+        x0 AS (SELECT s20.query_id, s20.neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM s20 JOIN embeddings e ON e.vec_id = s20.neighbor_id
+          JOIN qv ON qv.query_id = s20.query_id),
+        f5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM f5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
+    // ---- TOMBSTONE deletion at serve time (qs30): the story qs27's
+    // append-only maintenance leaves open — released docs later
+    // retracted (a 1-in-8 slice here) must never be served, and a
+    // 100 TB code index is not re-encoded to forget them. Models and
+    // index are built on the FULL corpus (the retraction arrives
+    // AFTER the build — the realistic order); the tombstone table
+    // anti-joins the index BEFORE the probe join
+    // (Ivf.topKAdcOnIndexWithTombstones), so retracted codes never
+    // enter the candidate shuffle, and the index artifact stays
+    // immutable. MEASURED: mean recall 0.825 vs brute over the LIVE
+    // corpus — serving around the holes costs ~0.025 against qs24's
+    // 0.85 (the probe sets shift slightly when true neighbors vanish).
+    // The row also require()s zero tombstoned ids in the output — the
+    // deletion contract as an executable claim, independent of the
+    // oracle. Oracle: qs24's chain with the tombstone filter on brute
+    // and candidates. ----
+    QueryDef("qs30_tombstone_serving",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val live = e.filter(col("vec_id") % 8 =!= 3)
+        val brute = Similarity.bruteTopK(live, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val index = Ivf.assign(e, "vec_id", "embedding", cells)
+          .select(col("vec_id"),
+            graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
+            col("cell"))
+        val tomb = e.filter(col("vec_id") % 8 === 3).select(col("vec_id"))
+        val ann = Ivf.topKAdcOnIndexWithTombstones(index, tomb, q,
+            "vec_id", "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        require(ann.filter(col("neighbor_id") % 8 === 3).isEmpty,
+          "serving must never return a tombstoned id")
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id AND e.vec_id % 8 <> 3),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        pj AS (SELECT enc.vec_id, qp.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qp.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN ca ON ca.vec_id = enc.vec_id AND ca.vec_id % 8 <> 3
+          JOIN qp ON qp.cell = ca.cell AND enc.vec_id <> qp.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        p1 AS (SELECT p0.query_id, p0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id),
+        p5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p1) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM p5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

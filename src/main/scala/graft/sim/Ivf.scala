@@ -220,6 +220,28 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[topKAdcOnIndex]] over a RETRACTION set — the deletion story the
+    * append-only incremental index (qs27) leaves open: when released
+    * docs are later retracted (the qx6→qx7 lifecycle makes this
+    * reachable), serving must never return them, and a 100 TB index is
+    * not re-built to forget 0.1% of its rows. The tombstone table
+    * (idCol only — 8 B/row) anti-joins the code index BEFORE the probe
+    * join, so retracted codes never enter the candidate shuffle; with
+    * a dim-sized tombstone set AQE broadcasts the anti-join and the
+    * cost is one map-side hash probe per index row. The index artifact
+    * itself stays immutable — tombstones are the mutable (and tiny)
+    * part, compacted into the index only when a scheduled rebuild
+    * happens anyway. qs30 measures the recall effect of serving around
+    * the holes; IvfSpec pins that no tombstoned id is ever served.
+    */
+  def topKAdcOnIndexWithTombstones(
+      index: DataFrame, tombstones: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, qVecCol: String,
+      model: Model, pq: Pq.Model, k: Int, nprobe: Int): DataFrame =
+    topKAdcOnIndex(
+      index.join(tombstones.select(col(idCol)), Seq(idCol), "left_anti"),
+      queries, idCol, qIdCol, qVecCol, model, pq, k, nprobe)
+
   /** The qs24 end-state serving plan deployed against a STREAM of
     * queries — ANN-as-a-service on Structured Streaming. `index` is
     * the STATIC prebuilt artifact (idCol, cell, codes) — exactly what

@@ -86,6 +86,10 @@ class PlanGuardSpec extends SparkTestBase {
       "imageDupPairs" -> graft.multimodal.Multimodal.imageDupPairs(
         docs.select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes")), maxDist = 3),
+      "imageDupPairsCapped" -> graft.multimodal.Multimodal.imageDupPairs(
+        docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes")), maxDist = 3,
+        maxBucket = 8),
       "audioDupPairs" -> graft.multimodal.Multimodal.audioDupPairs(
         docs.select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes")), maxDist = 3)
@@ -106,7 +110,20 @@ class PlanGuardSpec extends SparkTestBase {
       "ivfTopKOnRecon" -> Ivf.topKOn(withRecon, queries, "vec_id",
         "embedding", "recon", "query_id", "qe", cells, k = 3, nprobe = 2),
       "ivfTopKAdc" -> Ivf.topKAdc(emb, queries, "vec_id", "embedding",
-        "query_id", "qe", cells, pq, k = 3, nprobe = 2)
+        "query_id", "qe", cells, pq, k = 3, nprobe = 2),
+      // tombstone serving: the anti-join must stay an equi-join and
+      // the probe must stay a cell equi-join — a NLJ here would mean
+      // retraction degraded the serving plan
+      "ivfTopKAdcTombstones" -> Ivf.topKAdcOnIndexWithTombstones(
+        Ivf.assign(emb, "vec_id", "embedding", cells)
+          .select(col("vec_id"), Pq.codes(col("embedding"), pq).as("codes"),
+            col("cell")),
+        emb.filter(col("vec_id") % 8 === 3).select(col("vec_id")),
+        queries, "vec_id", "query_id", "qe", cells, pq, k = 3, nprobe = 2)
+      // (Serving.twoStageTopK is deliberately absent: its stage-1
+      // popcount scan IS a broadcast-nested-loop over the 8-byte code
+      // column by design — the qs26 coarse-filter shape; stages 2-3
+      // are id equi-joins)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 }

@@ -90,6 +90,33 @@ class IvfSpec extends SparkTestBase {
     assert(incr == whole, "append-encoded index diverges from full re-encode")
   }
 
+  test("tombstone serving: retracted ids never served, ≡ rebuild without them") {
+    // deletion via tombstone anti-join must be indistinguishable from
+    // the rebuild it avoids: serving (full index ∖ tombstones) equals
+    // serving an index that never contained the retracted rows, under
+    // the same frozen models — and no retracted id ever surfaces
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assign(df, "vec_id", "embedding", cells)
+        .select($"vec_id", Pq.codes($"embedding", pq).as("codes"), $"cell")
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val tomb = emb.filter($"vec_id" % 8 === 3).select($"vec_id")
+    val served = Ivf.topKAdcOnIndexWithTombstones(enc(emb), tomb, q,
+        "vec_id", "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served.nonEmpty)
+    assert(!served.exists(_._2 % 8 == 3), "a tombstoned id was served")
+    val rebuilt = Ivf.topKAdcOnIndex(enc(emb.filter($"vec_id" % 8 =!= 3)),
+        q, "vec_id", "query_id", "qe", cells, pq, k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == rebuilt,
+      "tombstone-serve diverges from the rebuild it stands in for")
+  }
+
   test("serveAdcStream serves the same rows as the batch topKAdc plan") {
     // the streaming deployment of the end-state serving plan must
     // return exactly the batch plan's rows: same probe set, same ADC

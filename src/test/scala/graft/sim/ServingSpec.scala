@@ -1,0 +1,62 @@
+package graft.sim
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ServingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter($"vec_id" < 8)
+    .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+
+  test("shortK = coarseK degrades to exact re-rank over the coarse candidates") {
+    // with the ADC cut widened to the full coarse set, the composite's
+    // answer must be EXACTLY the brute-force ranking restricted to the
+    // popcount top-coarseK — the stage-1-ceiling property: the two
+    // middle stages may only ever reorder-then-cut, never add
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val got = Serving.twoStageTopK(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", thr, pq,
+        k = 5, coarseK = 50, shortK = 50)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: popcount top-50 (same key order), then exact cosine
+    val codes = emb.select($"vec_id",
+      Similarity.signBits($"embedding", thr).as("code"))
+    val qCodes = queries.select($"query_id",
+      Similarity.signBits($"qe", thr).as("qcode"))
+    val wC = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor_id")
+    val coarse = codes.crossJoin(broadcast(qCodes))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        bit_count($"code".bitwiseXOR($"qcode")).as("dist"))
+      .withColumn("rk", row_number().over(wC)).filter($"rk" <= 50)
+      .select($"query_id", $"neighbor_id")
+    val wX = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id")
+    val expected = coarse
+      .join(emb.select($"vec_id".as("neighbor_id"),
+        $"embedding".as("nvec")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select($"query_id", $"neighbor_id",
+        Similarity.cosine($"nvec", $"qe").as("cosine"))
+      .withColumn("rank", row_number().over(wX)).filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("stage widths must nest: k <= shortK <= coarseK") {
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    intercept[IllegalArgumentException] {
+      Serving.twoStageTopK(emb, queries, "vec_id", "embedding",
+        "query_id", "qe", thr, pq, k = 5, coarseK = 20, shortK = 50)
+    }
+  }
+}
