@@ -92,7 +92,8 @@ object Explain {
         // tombstone serving (anti-join below the probe join, broadcast
         // tombstones)
         "qm10_image_dedup_capped", "qm12_media_dup_clusters",
-        "qs29_two_stage", "qs30_tombstone_serving")
+        "qs29_two_stage", "qs30_tombstone_serving",
+        "qx9_multimodal_release_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

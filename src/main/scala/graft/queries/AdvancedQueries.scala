@@ -1208,6 +1208,77 @@ object AdvancedQueries {
         FROM tx t LEFT JOIN ic ON ic.media_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // ---- MULTIMODAL release, NEAR-DUP arm (qx9): the cluster-based
+    // verdict qx8 built and rejected on the linear fixture's code
+    // degeneracy — now shippable because (a) the banding is capped
+    // (qm10) and (b) the fixture artifact is fixed, not the operator
+    // (hashedDupPpmsFromDocs decorrelates classes). Canonical-in-image
+    // here means canonical of a Hamming-≤3 CLUSTER (capped
+    // imageDupPairs → dupClusters — brightness-shifted variants
+    // collapse even when their exact codes differ), composed with
+    // qd1's exact text groups: a doc ships only if canonical in BOTH
+    // modalities. Images in no pair (singleton classes) are their own
+    // canonical via the COALESCE(TRUE), identically in both engines.
+    // Oracle: the qm12 closure chain folded into the qx8 verdict
+    // join — the whole near-dup verdict recomputed from first
+    // principles. ----
+    QueryDef("qx9_multimodal_release_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val txt = Dedup.exactDupAnnotate(docs, "text", "doc_id")
+          .select(col("doc_id"),
+            (col("doc_id") === col("canonical_id")).as("text_canonical"))
+        // pair pipeline materializes once; dupClusters is told so
+        val pairs = Multimodal.imageDupPairs(hashedDupPpmsFromDocs(s, dir),
+            maxDist = 3, maxBucket = 24)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        val clusters = Dedup.dupClusters(pairs, pairsMaterialized = true)
+          .select(col("doc_id").as("m_id"),
+            col("is_canonical").as("img_canonical"))
+        docs.select(col("doc_id"))
+          .join(txt, "doc_id")
+          .join(clusters, col("doc_id") === col("m_id"), "left")
+          .select(col("doc_id"), col("text_canonical"),
+            coalesce(col("img_canonical"), lit(true)).as("image_canonical"))
+          .withColumn("keep",
+            col("text_canonical") && col("image_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $hashedMediaCodeCtes,
+        bands AS (SELECT media_id, code,
+            ((code >> (16*b.b)) & 65535) * 4 + b.b AS band_key
+          FROM codes CROSS JOIN range(0, 4) b(b)),
+        bsz AS (SELECT band_key, COUNT(*) AS n FROM bands GROUP BY band_key),
+        kept AS (SELECT bands.media_id, bands.code, bands.band_key
+          FROM bands JOIN bsz ON bsz.band_key = bands.band_key
+          WHERE bsz.n <= 24),
+        pr AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+          FROM kept a JOIN kept b ON a.band_key = b.band_key
+            AND a.media_id < b.media_id
+          WHERE bit_count(xor(a.code, b.code)) <= 3),
+        und AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b AS a, id_a AS b FROM pr),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a),
+        ic AS (SELECT doc_id AS media_id,
+            (doc_id = cluster_id) AS img_canonical FROM lab),
+        d AS (SELECT doc_id,
+            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+          FROM documents),
+        tx AS (SELECT doc_id,
+            doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS text_canonical
+          FROM d)
+        SELECT t.doc_id, t.text_canonical,
+          COALESCE(ic.img_canonical, TRUE) AS image_canonical,
+          (t.text_canonical AND COALESCE(ic.img_canonical, TRUE)) AS keep
+        FROM tx t LEFT JOIN ic ON ic.media_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // ---- Multimodal: container-format sniffing over binary payloads
     // (magic numbers constructed from documents — see mediaFromDocs) ----
     QueryDef("qm1_media_sniff",
