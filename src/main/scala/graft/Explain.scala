@@ -93,7 +93,11 @@ object Explain {
         // tombstones)
         "qm10_image_dedup_capped", "qm12_media_dup_clusters",
         "qs29_two_stage", "qs30_tombstone_serving",
-        "qx9_multimodal_release_neardup")
+        "qx9_multimodal_release_neardup",
+        // semantic decontamination must stay broadcast-eval + one
+        // struct-max agg (no window); the domain cap is the one
+        // domain-keyed rank exchange
+        "qs31_semantic_decontamination", "qt27_domain_cap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -115,6 +115,49 @@ object DataOpsQueries {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** Documents dressed up as a crawl-URL table: deterministic
+    * id-derived URLs exercising every canonicalization rule — mixed
+    * scheme/host case, www, default (:443) and non-default (:8080)
+    * ports, trailing slashes, tracking + unsorted query params,
+    * fragments, and co.uk-style second-level registries across 40
+    * registrable domains.
+    */
+  private def urlsFromDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id")).withColumn("url", concat(
+      when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(col("doc_id") % 5 === 0, "WWW.").otherwise(""),
+      when(col("doc_id") % 3 === 0, "news.").otherwise(""),
+      lit("Site"), (col("doc_id") % 40).cast("string"), lit("."),
+      when(col("doc_id") % 4 === 0, "com")
+        .when(col("doc_id") % 4 === 1, "org")
+        .when(col("doc_id") % 4 === 2, "co.uk").otherwise("io"),
+      when(col("doc_id") % 6 === 0, ":443")
+        .when(col("doc_id") % 6 === 3, ":8080").otherwise(""),
+      lit("/articles/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&ref="), (col("doc_id") % 3).cast("string"),
+      lit("&utm_campaign=x&b=2&a=1"),
+      when(col("doc_id") % 8 === 0, "#sec").otherwise("")))
+
+  /** [[urlsFromDocs]]' closed-form SQL twin (a SELECT, used as a CTE
+    * body by the qt26/qt27 oracles).
+    */
+  private val urlFixtureSql = """SELECT doc_id,
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+      (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END) ||
+      'Site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+      (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+         WHEN 2 THEN 'co.uk' ELSE 'io' END) ||
+      (CASE WHEN doc_id % 6 = 0 THEN ':443'
+            WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END) ||
+      '/articles/' || CAST(doc_id AS VARCHAR) ||
+      (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR) ||
+      '&utm_campaign=x&b=2&a=1' ||
+      (CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END) AS url
+    FROM documents"""
+
   /** The MinHash band-index CTE chain (d → tok → mh → band) shared by
     * the pair oracles and qd13's bucket histogram. `band` carries one
     * row per (doc, band ordinal, band key) — grouping on (b, bk)
@@ -2673,6 +2716,134 @@ object DataOpsQueries {
           CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
+
+    // ---- SEMANTIC decontamination (qs31): the paraphrase-leakage
+    // guard the n-gram family (qt9/qt13/qt15) cannot provide — a
+    // reworded eval answer shares no 8-gram with the original but
+    // lands next to it in embedding space. NOT an ANN problem: the
+    // eval side is benchmark-sized and broadcasts whole; the corpus
+    // is scanned ONCE and the per-row nearest eval doc falls out of a
+    // map-side-combining struct-max aggregate — no window, no sort,
+    // the one shuffle carries |corpus| pre-folded rows
+    // (Similarity.semanticContaminated). Threshold 0.35 calibrated
+    // from the fixture's max-cosine distribution (p95 0.31 / p99
+    // 0.37), so the flag GENUINELY trips: 8 of 500 flagged at sf0.01,
+    // 35 of 2000 at sf0.1. Oracle: brute cosine + row_number top-1
+    // (ties to lowest eval id — the struct max's (c, −eval_id)
+    // ordering spelled as a window). ----
+    QueryDef("qs31_semantic_decontamination",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ev = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+        Similarity.semanticContaminated(e, ev,
+            "vec_id", "embedding", "eval_id", "ee", threshold = 0.35)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ee FROM embeddings WHERE vec_id < 8),
+        sc AS (SELECT e.vec_id, ev.eval_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ev.ee[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(ev.ee) + 1),
+                i -> CAST(ev.ee[i] AS DOUBLE) * CAST(ev.ee[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e CROSS JOIN ev WHERE e.vec_id <> ev.eval_id)
+        SELECT vec_id, eval_id AS nearest_eval_id,
+          cosine AS max_eval_cosine, (cosine >= 0.35) AS contaminated
+        FROM (SELECT vec_id, eval_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cosine DESC, eval_id) AS rk FROM sc)
+        WHERE rk = 1 ORDER BY vec_id""")),
+
+    // ---- URL canonicalization + registrable domain (qt26): the
+    // provenance half of a web-corpus build — the same page fetched
+    // through tracking-parameter variants must collapse to ONE key
+    // before any URL-level dedup, and curation strata act on the
+    // registrable domain, not the raw host. All rules (case, www,
+    // default ports, fragment, utm_* strip, bytewise param sort,
+    // trailing slash, co.uk-style second-level registries) are codegen
+    // built-ins riding the scan and mirrored exactly by the oracle.
+    // Fixture: deterministic id-derived URLs exercising every rule,
+    // including the non-stripped :8080 and the http://host:443 case
+    // (non-default for http, so it stays). ----
+    QueryDef("qt26_url_canonicalize",
+      (s, dir) => urlsFromDocs(s, dir)
+        .select(col("doc_id"), col("url"),
+          graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"),
+          graft.text.Urls.registrableDomain(col("url")).as("domain"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH u AS ($urlFixtureSql),
+        p AS (SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM u),
+        h AS (SELECT doc_id, url, scheme, path, query,
+            CASE WHEN scheme = 'https'
+                THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+              WHEN scheme = 'http'
+                THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+          FROM p),
+        c AS (SELECT doc_id, url, scheme, host,
+            CASE WHEN path = '' THEN '/'
+              WHEN len(path) > 1 THEN regexp_replace(path, '/$$', '')
+              ELSE path END AS cpath,
+            array_to_string(list_sort(list_filter(string_split(query, '&'),
+              q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') AS cquery
+          FROM h),
+        r AS (SELECT doc_id, url,
+            scheme || '://' || host || cpath ||
+              (CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END) AS canonical_url,
+            string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS labels
+          FROM c)
+        SELECT doc_id, url, canonical_url,
+          CASE WHEN len(labels) >= 3
+                AND list_contains(['co','com','org','net','ac','gov','edu'],
+                  labels[len(labels)-1])
+                AND len(labels[len(labels)]) <= 3
+            THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+            ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
+        FROM r ORDER BY doc_id""")),
+
+    // ---- Per-domain volume cap (qt27): no single site may dominate
+    // the mix — keep at most 8 docs per registrable domain, chosen by
+    // salted deterministic hash order, ties by id (Urls.domainCap).
+    // The exact-cap semantic costs one shuffle on the domain key (the
+    // honest price of "at most N"; qt14's map-only hash threshold is
+    // the expected-rate alternative). The cap GENUINELY trips: the
+    // fixture's 40 domains hold ~12 docs each at sf0.01, so every
+    // domain loses rows at cap 8. ----
+    QueryDef("qt27_domain_cap",
+      (s, dir) => graft.text.Urls.domainCap(
+          urlsFromDocs(s, dir).select(col("doc_id"),
+            graft.text.Urls.registrableDomain(col("url")).as("domain")),
+          "doc_id", "domain", cap = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH u AS ($urlFixtureSql),
+        p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport
+          FROM u),
+        d AS (SELECT doc_id,
+            string_split(regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+              ':[0-9]+$$', ''), '.') AS labels
+          FROM p),
+        dom AS (SELECT doc_id,
+            CASE WHEN len(labels) >= 3
+                  AND list_contains(['co','com','org','net','ac','gov','edu'],
+                    labels[len(labels)-1])
+                  AND len(labels[len(labels)]) <= 3
+              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+              ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
+          FROM d),
+        r AS (SELECT doc_id, domain, ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              doc_id) AS rk
+          FROM dom)
+        SELECT doc_id, domain, (rk <= 8) AS keep FROM r ORDER BY doc_id""")),
 
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can

@@ -194,6 +194,41 @@ object Similarity {
       .reduceLeft(_ bitwiseOR _)
   }
 
+  /** Semantic decontamination: flag corpus vectors whose embedding is
+    * too close (cosine >= threshold) to ANY benchmark/eval vector —
+    * the paraphrase-leakage guard n-gram decontamination
+    * ([[graft.text.Decontaminate]]) cannot catch, because a reworded
+    * eval answer shares no 8-gram with the original but lands next to
+    * it in embedding space.
+    *
+    * Scale shape — the reason this is NOT an ANN problem: the eval
+    * side is benchmark-sized (thousands), so it broadcasts whole and
+    * the corpus is scanned ONCE; per corpus row the max-similarity
+    * eval doc is found by a struct max AGGREGATE (max over
+    * (cosine, −eval_id) pairs — lexicographic struct ordering gives
+    * highest cosine, ties to the lowest eval id), which partial-
+    * aggregates map-side: the one shuffle carries |corpus| pre-folded
+    * rows, no window, no sort, no pair materialization. Output one
+    * row per corpus vector: (id, nearest_eval_id, max_eval_cosine,
+    * contaminated).
+    */
+  def semanticContaminated(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, evalIdCol: String, evalVecCol: String,
+      threshold: Double): DataFrame = {
+    val scored = spread(corpus).crossJoin(broadcast(evalSet))
+      .filter(col(idCol) =!= col(evalIdCol))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col(evalVecCol)).as("c"),
+          (-col(evalIdCol)).as("neg")).as("ce"))
+    scored.groupBy(col(idCol))
+      .agg(max(col("ce")).as("m"))
+      .select(col(idCol),
+        (-col("m.neg")).as("nearest_eval_id"),
+        col("m.c").as("max_eval_cosine"),
+        (col("m.c") >= lit(threshold)).as("contaminated"))
+  }
+
   /** ANN top-k via one LSH table: candidates share the bucket key, then
     * exact cosine rank within candidates. Trades recall for avoiding the
     * full cross join — the 100 TB path.

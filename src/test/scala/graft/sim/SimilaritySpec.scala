@@ -166,4 +166,35 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getLong(1) === r.getLong(2))
     }
   }
+
+  test("semanticContaminated: nearest eval, tie to lowest id, >= boundary") {
+    import spark.implicits._
+    // corpus 10 is a verbatim copy of eval 1 AND eval 2 (cosine 1.0
+    // to both — the tie must resolve to the LOWER eval id); corpus 11
+    // is orthogonal to everything; corpus 12 sits at exactly the
+    // threshold (cos 45° vs eval 1) — >= must flag it
+    val ev = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("eval_id", "ee")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f)),   // scaled copy: cosine 1.0
+      (11L, Array(0.0f, 0.0f, 5.0f)),   // orthogonal: cosine 0.0
+      (12L, Array(1.0f, 1.0f, 0.0f)))   // cos 45° = 0.7071.. to 1/2/3
+      .toDF("vec_id", "embedding")
+    val thr = math.sqrt(0.5) // exactly the cosine of corpus 12
+    val out = Similarity.semanticContaminated(corpus, ev,
+        "vec_id", "embedding", "eval_id", "ee", threshold = thr)
+      .select($"vec_id", $"nearest_eval_id", $"max_eval_cosine",
+        $"contaminated")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L)._2 === 1L, "tie must resolve to the lowest eval id")
+    assert(out(10L)._3 === 1.0 && out(10L)._4)
+    assert(out(11L)._3 === 0.0 && !out(11L)._4)
+    assert(out(12L)._2 === 1L)
+    assert(out(12L)._4 === (out(12L)._3 >= thr),
+      "boundary flag must follow the >= contract")
+  }
 }
