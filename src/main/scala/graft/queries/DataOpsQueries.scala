@@ -2845,6 +2845,36 @@ object DataOpsQueries {
           FROM dom)
         SELECT doc_id, domain, (rk <= 8) AS keep FROM r ORDER BY doc_id""")),
 
+    // ---- Model-based quality filtering (qt28): the hashing-trick
+    // linear classifier EVERY production corpus build runs (a trained
+    // fasttext/logreg quality or language filter) in its exact
+    // serving shape — token → salted hash → bucket → weight lookup in
+    // a dim-sized PLAN-LITERAL weight vector → ordered fold → mean
+    // score → keep verdict. Inference is a pure codegen expression
+    // riding the scan: no UDF, no join, no shuffle; swapping in
+    // trained weights is a new literal. The stub weights are
+    // closed-form ((b mod 997)/997 − 0.5) so the oracle recomputes
+    // the whole model arithmetically; the threshold (0.0) keeps 10%
+    // on this corpus — the flag genuinely partitions. ----
+    QueryDef("qt28_quality_classifier",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.hashedClassifierScore(col("text"),
+            TextOps.stubQualityWeights()).as("score"))
+        .withColumn("keep", col("score") >= 0.0)
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        FROM documents),
+      sc AS (SELECT doc_id,
+          list_reduce(list_transform(toks,
+            t -> CAST((('0x' || substr(md5('qc:' || t), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
+                 / 997.0 - 0.5),
+            (x, y) -> x + y) / len(toks) AS score
+        FROM d)
+      SELECT doc_id, score, (score >= 0.0) AS keep FROM sc
+      ORDER BY doc_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

@@ -46,6 +46,42 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Hashing-trick linear classifier inference — the fasttext/logreg
+    * quality- (or language-) filter shape every large corpus build
+    * runs: token → salted 60-bit hash → bucket in [0, dim) → weight
+    * lookup in a dim-sized literal weight vector → ordered fold →
+    * mean. The weight vector is the MODEL — KBs, living in the plan
+    * as a literal (the [[graft.sim.Ivf.centroidsLit]] pattern), so
+    * inference is a pure codegen expression riding the corpus scan:
+    * no UDF, no join, no shuffle, model swap = new literal. Hashing
+    * rides [[graft.functions.TokenHashes60]] (one codegen md5 pass
+    * over the salted token array). The fold is left-to-right in token
+    * order with a 0.0 seed — engine-exact against a SQL
+    * `list_reduce` ((0+w1)+w2 ≡ (w1+w2) in IEEE).
+    */
+  def hashedClassifierScore(text: Column, weights: Array[Double],
+      salt: String = "qc"): Column = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    val wLit = array(weights.map(lit): _*)
+    val dim = weights.length.toLong
+    bindOnce(tokens(text)) { toks =>
+      val hs = graft.functions.TokenHashes60.token_hashes60(
+        transform(toks, t => concat(lit(salt + ":"), t)))
+      aggregate(hs, lit(0.0), (acc, h) =>
+        acc + element_at(wLit, (h % lit(dim)).cast("int") + 1)) / size(toks)
+    }
+  }
+
+  /** Deterministic stand-in weight vector for
+    * [[hashedClassifierScore]] — w(b) = (b mod 997)/997 − 0.5,
+    * engine-recomputable closed-form (the qt28 oracle derives the
+    * same values arithmetically). A production deployment replaces
+    * this with trained fasttext/logreg weights; the inference shape
+    * is identical.
+    */
+  def stubQualityWeights(dim: Int = 4096): Array[Double] =
+    Array.tabulate(dim)(b => (b % 997).toDouble / 997.0 - 0.5)
+
   /** BPE-ish regex token count: letter runs, digit runs, single other
     * non-space symbols (a cheap proxy for subword token counting).
     */
