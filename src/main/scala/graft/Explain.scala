@@ -96,8 +96,10 @@ object Explain {
         "qx9_multimodal_release_neardup",
         // semantic decontamination must stay broadcast-eval + one
         // struct-max agg (no window); the domain cap is the one
-        // domain-keyed rank exchange
-        "qs31_semantic_decontamination", "qt27_domain_cap")
+        // domain-keyed rank exchange; the web-corpus composite joins
+        // its three subtrees doc-keyed with no corpus-sized build side
+        "qs31_semantic_decontamination", "qt27_domain_cap",
+        "qx10_web_corpus_release")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

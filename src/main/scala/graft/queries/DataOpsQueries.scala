@@ -2875,6 +2875,79 @@ object DataOpsQueries {
       SELECT doc_id, score, (score >= 0.0) AS keep FROM sc
       ORDER BY doc_id""")),
 
+    // ---- WEB-CORPUS release composite (qx10): the provenance half of
+    // a corpus build as ONE lazy plan — registrable domain off the
+    // canonicalized URL, a broadcast-literal domain blocklist
+    // (membership filter, the robots/spam-list stage), the per-domain
+    // volume cap applied to UNBLOCKED docs only (cap slots are not
+    // spent on rows the blocklist already dropped — stage order is
+    // semantics, mirrored exactly), and the hashing-trick quality
+    // floor; keep = unblocked ∧ in-cap ∧ quality ≥ −0.08. Every stage
+    // genuinely trips on the fixture (2 of 40 domains blocked, every
+    // domain over cap 8, quality floor near p25). The qx5-style
+    // composite for the qt26/qt27/qt28 family: three aggregate/window
+    // subtrees joined doc-keyed, nothing corpus-sized on a build side.
+    // ----
+    QueryDef("qx10_web_corpus_release",
+      (s, dir) => {
+        val blocklist = Seq("site12.com", "site26.co.uk")
+        val dom = urlsFromDocs(s, dir).select(col("doc_id"),
+            graft.text.Urls.registrableDomain(col("url")).as("domain"))
+          .withColumn("blocked", col("domain").isin(blocklist: _*))
+        val inCap = graft.text.Urls.domainCap(
+            dom.filter(!col("blocked")), "doc_id", "domain", cap = 8)
+          .select(col("doc_id"), col("keep").as("in_cap"))
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          TextOps.hashedClassifierScore(col("text"),
+            TextOps.stubQualityWeights()).as("score"))
+        dom.join(inCap, Seq("doc_id"), "left")
+          .join(scored, "doc_id")
+          .select(col("doc_id"), col("domain"), col("blocked"),
+            coalesce(col("in_cap"), lit(false)).as("in_cap"), col("score"),
+            (!col("blocked") && coalesce(col("in_cap"), lit(false)) &&
+              col("score") >= -0.08).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS ($urlFixtureSql),
+        p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport
+          FROM u),
+        d0 AS (SELECT doc_id,
+            string_split(regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+              ':[0-9]+$$', ''), '.') AS labels
+          FROM p),
+        dom AS (SELECT doc_id,
+            CASE WHEN len(labels) >= 3
+                  AND list_contains(['co','com','org','net','ac','gov','edu'],
+                    labels[len(labels)-1])
+                  AND len(labels[len(labels)]) <= 3
+              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+              ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
+          FROM d0),
+        b AS (SELECT doc_id, domain,
+            list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
+          FROM dom),
+        r AS (SELECT doc_id, (rk <= 8) AS in_cap FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              doc_id) AS rk
+          FROM b WHERE NOT blocked)),
+        t AS (SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        sc AS (SELECT doc_id,
+            list_reduce(list_transform(toks,
+              t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
+                   / 997.0 - 0.5),
+              (x, y) -> x + y) / len(toks) AS score
+          FROM t)
+        SELECT b.doc_id, b.domain, b.blocked,
+          COALESCE(r.in_cap, FALSE) AS in_cap, sc.score,
+          (NOT b.blocked AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS keep
+        FROM b LEFT JOIN r ON r.doc_id = b.doc_id
+        JOIN sc ON sc.doc_id = b.doc_id
+        ORDER BY b.doc_id""")),
+
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
     // never straddle train/eval (the classic benchmark-leakage guard).

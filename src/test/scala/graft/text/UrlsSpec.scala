@@ -59,6 +59,29 @@ class UrlsSpec extends SparkTestBase {
     assert(out(6L)._2 === "co.example", "len(tld) > 3 must not trigger the registry split")
   }
 
+  test("canonicalizeUrl/registrableDomain are total on junk input") {
+    // lake URL columns carry whatever the crawler scraped — both
+    // expressions must stay null-safe-total (no throw, deterministic)
+    // on arbitrary strings; same seeded-fuzz convention as the media
+    // ParserFuzzSpec
+    val rnd = new scala.util.Random(90210L)
+    val junk = (1 to 200).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, new String(Array.fill(n)((rnd.nextInt(94) + 33).toChar)))
+    } ++ Seq(
+      (900L, ""), (901L, "://"), (902L, "https://"), (903L, "nohost"),
+      (904L, "https://:443"), (905L, "ftp://x.y/#?#"), (906L, "https://a"),
+      (907L, "https://..//?&&&#"), (908L, "http://[::1]:80/p"))
+    val df = junk.toDF("id", "url")
+      .select($"id", Urls.canonicalizeUrl($"url").as("c"),
+        Urls.registrableDomain($"url").as("d"))
+    val once = df.collect()
+    val twice = df.collect()
+    assert(once.length === junk.length)
+    assert(once.map(_.toString).toSeq === twice.map(_.toString).toSeq,
+      "junk canonicalization must be deterministic")
+  }
+
   test("domainCap: exactly min(cap, n) keeps per domain, deterministic") {
     val docs = (0L until 30L).map(i => (i, s"dom${i % 3}.com"))
       .toDF("doc_id", "domain")
