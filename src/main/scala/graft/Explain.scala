@@ -100,6 +100,8 @@ object Explain {
         // its three subtrees doc-keyed with no corpus-sized build side
         "qs31_semantic_decontamination", "qt27_domain_cap",
         "qx10_web_corpus_release")
+    // (ql5_index_roundtrip is deliberately absent: its body WRITES a
+    // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
