@@ -51,6 +51,26 @@ class ServingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("widening shortK only improves the exact-cosine mass of the final top-k") {
+    // the staged cuts are monotone: candidates(shortK=a) ⊆
+    // candidates(shortK=b) for a <= b at fixed coarseK, and an exact
+    // re-rank over a superset can only raise (never lower) the summed
+    // cosine of the final top-k — the property that makes shortK a
+    // safe recall knob at serve time
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    def mass(shortK: Int): Map[Long, Double] =
+      Serving.twoStageTopK(emb, queries, "vec_id", "embedding",
+          "query_id", "qe", thr, pq, k = 5, coarseK = 50, shortK = shortK)
+        .groupBy($"query_id").agg(sum($"cosine").as("m"))
+        .as[(Long, Double)].collect().toMap
+    val m10 = mass(10); val m20 = mass(20); val m50 = mass(50)
+    m10.keys.foreach { q =>
+      assert(m10(q) <= m20(q) + 1e-12 && m20(q) <= m50(q) + 1e-12,
+        s"query $q: cosine mass must be non-decreasing in shortK")
+    }
+  }
+
   test("stage widths must nest: k <= shortK <= coarseK") {
     val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
     val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
