@@ -31,6 +31,49 @@ import org.apache.spark.sql.functions._
   */
 object Serving {
 
+  /** Stage 1 of [[twoStageTopK]], exposed for plan pinning: the
+    * popcount coarse filter as a BOUNDED per-query top-k. The scan
+    * side carries (id, 8 B sign code, 16 B PQ codes) against the
+    * broadcast query codes — that popcount scan is the design. What
+    * must NOT happen is ranking it with a per-query window: that
+    * would shuffle all N·|Q| candidate rows on the query id and sort
+    * each query's FULL corpus in one task. [[graft.ops.TopK]] replaces
+    * the rank — map-side combine folds each task down to ≤ coarseK
+    * entries per query before the one |Q|-keyed exchange, the final
+    * merge touches ≤ coarseK·P pre-sorted entries, and the plan
+    * contains an ObjectHashAggregate and no Window at all (ServingSpec
+    * pins both the plan shape and rank-equivalence to the window
+    * form). Order inside the aggregate is (dist asc, neighbor asc) —
+    * exactly the window form's key, so qs29's oracle is unchanged.
+    */
+  def binaryCoarseCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      thresholds: Array[Double], pq: Pq.Model, coarseK: Int): DataFrame = {
+    // the stored serving artifact: one corpus pass emits both code
+    // columns (24 B/row total); float vectors stay in the base table
+    // and are touched again only by the stage-3 fetch
+    val art = graft.ops.Partitioning.spread(corpus)
+      .select(col(idCol),
+        Similarity.signBits(col(vecCol), thresholds).as("bincode"),
+        Pq.codes(col(vecCol), pq).as("pqcodes"))
+    val qBin = queries.select(col(qIdCol),
+      Similarity.signBits(col(qVecCol), thresholds).as("qbin"))
+    // carrying the 16-byte pqcodes through the scan (and the bounded
+    // buffers) saves stage 2 a corpus join
+    val tk = graft.ops.TopK.topK(coarseK)
+    art.crossJoin(broadcast(qBin))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("pqcodes"),
+        bit_count(col("bincode").bitwiseXOR(col("qbin"))).as("dist"))
+      .groupBy(col(qIdCol))
+      .agg(tk(col("dist").cast("double"), lit(0L), col("neighbor_id"),
+        col("pqcodes")).as("tk"))
+      .select(col(qIdCol), explode(col("tk")).as("e"))
+      .select(col(qIdCol), col("e.id").as("neighbor_id"),
+        col("e.pay").as("pqcodes"))
+  }
+
   /** Binary-prefilter → ADC-shortlist → exact-re-rank top-k.
     *
     * @param thresholds per-dim centering thresholds
@@ -46,27 +89,12 @@ object Serving {
       k: Int, coarseK: Int, shortK: Int): DataFrame = {
     require(k <= shortK && shortK <= coarseK,
       s"need k <= shortK <= coarseK, got $k / $shortK / $coarseK")
-    // the stored serving artifact: one corpus pass emits both code
-    // columns (24 B/row total); float vectors stay in the base table
-    // and are touched again only by the stage-3 fetch
-    val art = graft.ops.Partitioning.spread(corpus)
-      .select(col(idCol),
-        Similarity.signBits(col(vecCol), thresholds).as("bincode"),
-        Pq.codes(col(vecCol), pq).as("pqcodes"))
-    val qBin = queries.select(col(qIdCol),
-      Similarity.signBits(col(qVecCol), thresholds).as("qbin"))
     val qTabs = Pq.withAdcTables(queries, qIdCol, qVecCol, pq)
       .select(col(qIdCol), col("adc_lut"), col("adc_qnsq"))
-    // stage 1: one popcount per (corpus row, query); carrying the
-    // 16-byte pqcodes through the scan saves stage 2 a corpus join
-    val wCoarse = Window.partitionBy(col(qIdCol))
-      .orderBy(col("dist"), col("neighbor_id"))
-    val coarse = art.crossJoin(broadcast(qBin))
-      .filter(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("pqcodes"),
-        bit_count(col("bincode").bitwiseXOR(col("qbin"))).as("dist"))
-      .withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") <= coarseK)
+    // stage 1: one popcount per (corpus row, query), bounded top-k
+    // per query via map-side-combining aggregate — never a window
+    val coarse = binaryCoarseCandidates(corpus, queries,
+      idCol, vecCol, qIdCol, qVecCol, thresholds, pq, coarseK)
     // stage 2: ADC fold over the candidates only — same scorer, same
     // tie order ((cosine desc, id)) as the qs24 serving plan
     val wShort = Window.partitionBy(col(qIdCol))

@@ -71,6 +71,49 @@ class ServingSpec extends SparkTestBase {
     }
   }
 
+  test("stage 1 plans as a bounded aggregate — no corpus-wide window sort") {
+    // the coarse filter's popcount scan is the design; ranking it with
+    // a per-query Window would shuffle all N·|Q| candidate rows and
+    // sort each query's full corpus in ONE task. The bounded top-k
+    // aggregate must appear as an ObjectHashAggregate (partial +
+    // final — map-side combine), and stage 1's plan must contain no
+    // Window node at all
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val plan = Serving.binaryCoarseCandidates(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", thr, pq, coarseK = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"stage 1 must be the bounded top-k aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"stage 1 must not rank through a window:\n$plan")
+  }
+
+  test("stage 1 candidates are exactly the window-rank top-coarseK") {
+    // the primitive ≡ window pin on the real corpus: same entries per
+    // query, same (dist asc, neighbor asc) key — the bounded aggregate
+    // may never change WHICH candidates survive the coarse cut
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val got = Serving.binaryCoarseCandidates(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", thr, pq, coarseK = 50)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val codes = emb.select($"vec_id",
+      Similarity.signBits($"embedding", thr).as("code"))
+    val qCodes = queries.select($"query_id",
+      Similarity.signBits($"qe", thr).as("qcode"))
+    val wC = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor_id")
+    val expected = codes.crossJoin(broadcast(qCodes))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        bit_count($"code".bitwiseXOR($"qcode")).as("dist"))
+      .withColumn("rk", row_number().over(wC)).filter($"rk" <= 50)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("stage widths must nest: k <= shortK <= coarseK") {
     val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
     val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
