@@ -82,6 +82,68 @@ class UrlsSpec extends SparkTestBase {
       "junk canonicalization must be deterministic")
   }
 
+  test("userinfo and trailing host dot are transport noise") {
+    val out = canon(
+      // userinfo stripped before the www./port rules so they apply
+      1L -> "https://user:pw@WWW.Example.com:443/x",
+      2L -> "http://bob@site.co.uk/y",
+      // fully-qualified trailing dot stripped — also when it sits
+      // before the port
+      3L -> "https://example.com./x",
+      4L -> "http://Site7.io.:443/z",
+      5L -> "https://u:p@www.news.site.co.uk.:8443/a")
+    assert(out(1L)._1 === "https://example.com/x")
+    assert(out(1L)._2 === "example.com")
+    assert(out(2L)._1 === "http://site.co.uk/y")
+    assert(out(2L)._2 === "site.co.uk")
+    assert(out(3L)._1 === "https://example.com/x")
+    assert(out(3L)._2 === "example.com")
+    assert(out(4L)._1 === "http://site7.io:443/z",
+      ":443 stays for http; the dot before it goes")
+    assert(out(4L)._2 === "site7.io")
+    assert(out(5L)._1 === "https://news.site.co.uk:8443/a")
+    assert(out(5L)._2 === "site.co.uk")
+  }
+
+  test("registrableDomains: PSL hits beat the label heuristic, fallback otherwise") {
+    val df = Seq(
+      (1L, "https://alice.github.io/p"),          // PSL: user site IS the domain
+      (2L, "https://www.news.bob.github.io/p"),   // subdomained user site
+      (3L, "https://news.site.co.uk/p"),          // ccTLD registry via PSL
+      (4L, "https://a.b.site.com/p"),             // plain TLD -> last 2
+      (5L, "https://site.ac.zz/p"),               // unlisted registry-ish -> heuristic last 3
+      (6L, "https://github.io/p"))                // bare suffix (n=2) -> fallback
+      .toDF("id", "url")
+    val out = Urls.registrableDomains(df, "url", "domain",
+        Urls.pslTable(spark))
+      .select($"id", $"domain").as[(Long, String)].collect().toMap
+    assert(out(1L) === "alice.github.io")
+    assert(out(2L) === "bob.github.io")
+    assert(out(3L) === "site.co.uk")
+    assert(out(4L) === "site.com")
+    assert(out(5L) === "site.ac.zz", "unlisted ac.zz takes the 7-label fallback")
+    assert(out(6L) === "github.io")
+    // the heuristic alone gets the shared-hosting cases WRONG — the
+    // measured difference that motivates the table
+    val heur = df.select($"id",
+        Urls.registrableDomain($"url").as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(heur(1L) === "github.io" && heur(2L) === "github.io",
+      "fallback collapses all user sites into the suffix — the PSL fixes this")
+  }
+
+  test("registrableDomains: lookup is a broadcast join, no corpus shuffle") {
+    val df = (0L until 50L).map(i => (i, s"https://s$i.github.io/x"))
+      .toDF("id", "url")
+    val plan = Urls.registrableDomains(df, "url", "domain",
+        Urls.pslTable(spark))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"PSL lookup must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"PSL lookup must not shuffle the corpus:\n$plan")
+  }
+
   test("domainCap: exactly min(cap, n) keeps per domain, deterministic") {
     val docs = (0L until 30L).map(i => (i, s"dom${i % 3}.com"))
       .toDF("doc_id", "domain")
@@ -99,5 +161,40 @@ class UrlsSpec extends SparkTestBase {
     val small = Urls.domainCap(Seq((1L, "one.com")).toDF("doc_id", "domain"),
       "doc_id", "domain", cap = 4)
     assert(small.filter($"keep").count() === 1L)
+  }
+
+  test("domainCap: threshold form keeps EXACTLY the window-rank keep set") {
+    // the keep semantics are defined as rank <= cap under
+    // (salted hash asc, id asc) — the threshold-aggregate rewrite may
+    // never change which rows survive, including hash ties (forced
+    // here by duplicate ids across domains sharing the salt input —
+    // same id => same hash, distinct domains)
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 200L).map(i => (i % 67, s"dom${i % 5}.com"))
+      .toDF("doc_id", "domain").repartition(7)
+    val got = Urls.domainCap(docs, "doc_id", "domain", cap = 8)
+      .select($"doc_id", $"domain", $"keep")
+      .as[(Long, String, Boolean)].collect().sorted.toSeq
+    val w = Window.partitionBy($"domain").orderBy(
+      TextOps.hash60(concat(lit("domcap:"), $"doc_id".cast("string"))),
+      $"doc_id")
+    val want = docs.withColumn("rk", row_number().over(w))
+      .select($"doc_id", $"domain", ($"rk" <= 8).as("keep"))
+      .as[(Long, String, Boolean)].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("domainCap: plans as a bounded aggregate, never a domain window") {
+    // registrable domain is the most skewed key in a web corpus; a
+    // per-domain rank window would pin the head domain's full sort on
+    // one task (the Skew.capBuckets standard). The plan must carry the
+    // bounded top-cap ObjectHashAggregate and no Window node
+    val docs = (0L until 50L).map(i => (i, s"dom${i % 3}.com"))
+      .toDF("doc_id", "domain")
+    val plan = Urls.domainCap(docs, "doc_id", "domain", cap = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the bounded top-cap aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
   }
 }
