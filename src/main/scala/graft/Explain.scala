@@ -95,9 +95,11 @@ object Explain {
         "qs29_two_stage", "qs30_tombstone_serving",
         "qx9_multimodal_release_neardup",
         // semantic decontamination must stay broadcast-eval + one
-        // struct-max agg (no window); the domain cap is the one
-        // domain-keyed rank exchange; the web-corpus composite joins
-        // its three subtrees doc-keyed with no corpus-sized build side
+        // struct-max agg (no window); the domain cap must be the
+        // bounded top-cap ObjectHashAggregate + threshold join-back
+        // (no per-domain rank window — the Skew.capBuckets standard);
+        // the web-corpus composite joins its subtrees doc-keyed with
+        // no corpus-sized build side
         "qs31_semantic_decontamination", "qt27_domain_cap",
         "qx10_web_corpus_release")
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a

@@ -117,46 +117,123 @@ object DataOpsQueries {
 
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
-    * scheme/host case, www, default (:443) and non-default (:8080)
+    * scheme/host case, userinfo, www, trailing host dots, https (:443
+    * stripped), http (:443 KEPT — non-default) and non-default (:8080)
     * ports, trailing slashes, tracking + unsorted query params,
-    * fragments, and co.uk-style second-level registries across 40
-    * registrable domains.
+    * fragments, co.uk-style second-level registries, and *.github.io
+    * shared-hosting sites (the arm only the public-suffix table gets
+    * right) across 40 registrable domains.
+    *
+    * `pathMod > 0` folds the article path onto `doc_id % pathMod`:
+    * every canonicalization-RELEVANT arm divides pathMod (2, 3, 4, 6,
+    * 8, 40 | 120) while the transport-noise arms (www %5, slash %7,
+    * userinfo %9, dot %11, fragment %8-partial) vary freely — so docs
+    * in one residue class carry DIFFERENT raw URLs that canonicalize
+    * to ONE key, the genuine duplicate structure qt30/qx10 dedup on.
     */
-  private def urlsFromDocs(s: SparkSession, dir: String): DataFrame =
+  private def urlsFromDocs(s: SparkSession, dir: String,
+      pathMod: Int = 0): DataFrame = {
+    val pathId =
+      if (pathMod > 0) col("doc_id") % pathMod else col("doc_id")
     t(s, dir, "documents").select(col("doc_id")).withColumn("url", concat(
       when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(col("doc_id") % 9 === 4,
+        concat(lit("u"), (col("doc_id") % 5).cast("string"), lit(":pw@")))
+        .otherwise(""),
       when(col("doc_id") % 5 === 0, "WWW.").otherwise(""),
       when(col("doc_id") % 3 === 0, "news.").otherwise(""),
       lit("Site"), (col("doc_id") % 40).cast("string"), lit("."),
       when(col("doc_id") % 4 === 0, "com")
         .when(col("doc_id") % 4 === 1, "org")
-        .when(col("doc_id") % 4 === 2, "co.uk").otherwise("io"),
+        .when(col("doc_id") % 4 === 2, "co.uk")
+        .when(col("doc_id") % 8 === 3, "github.io").otherwise("io"),
+      when(col("doc_id") % 11 === 7, ".").otherwise(""),
       when(col("doc_id") % 6 === 0, ":443")
+        .when(col("doc_id") % 6 === 1, ":443")
         .when(col("doc_id") % 6 === 3, ":8080").otherwise(""),
-      lit("/articles/"), col("doc_id").cast("string"),
+      lit("/articles/"), pathId.cast("string"),
       when(col("doc_id") % 7 === 0, "/").otherwise(""),
       lit("?utm_source=feed&ref="), (col("doc_id") % 3).cast("string"),
       lit("&utm_campaign=x&b=2&a=1"),
       when(col("doc_id") % 8 === 0, "#sec").otherwise("")))
+  }
 
   /** [[urlsFromDocs]]' closed-form SQL twin (a SELECT, used as a CTE
-    * body by the qt26/qt27 oracles).
+    * body by the qt26/qt27/qt29/qt30/qx10 oracles). `pathExpr`
+    * mirrors the `pathMod` arm.
     */
-  private val urlFixtureSql = """SELECT doc_id,
+  private def urlFixtureSql(pathExpr: String = "doc_id") = s"""SELECT doc_id,
       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      (CASE WHEN doc_id % 9 = 4 THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || ':pw@' ELSE '' END) ||
       (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
       (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END) ||
       'Site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
       (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-         WHEN 2 THEN 'co.uk' ELSE 'io' END) ||
-      (CASE WHEN doc_id % 6 = 0 THEN ':443'
+         WHEN 2 THEN 'co.uk'
+         ELSE (CASE WHEN doc_id % 8 = 3 THEN 'github.io' ELSE 'io' END) END) ||
+      (CASE WHEN doc_id % 11 = 7 THEN '.' ELSE '' END) ||
+      (CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 1 THEN ':443'
             WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END) ||
-      '/articles/' || CAST(doc_id AS VARCHAR) ||
+      '/articles/' || CAST($pathExpr AS VARCHAR) ||
       (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
       '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR) ||
       '&utm_campaign=x&b=2&a=1' ||
       (CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END) AS url
     FROM documents"""
+
+  /** graft.text.Urls.PslSubset as a DuckDB VALUES table body —
+    * identical list, so the oracle's suffix lookup IS the engine's.
+    */
+  private val pslValuesSql = graft.text.Urls.PslSubset
+    .map(sfx => s"('$sfx')").mkString(", ")
+
+  /** The canonicalize + PSL-domain CTE chain shared by every URL
+    * oracle: mirrors Urls.canonicalizeUrl (userinfo / trailing-dot /
+    * www / default-port / tracking-param / slash rules) and
+    * Urls.registrableDomains (PSL 2-label lookup, then the 7-label
+    * heuristic fallback). Expects a `u(doc_id, url)` CTE upstream;
+    * emits `dom(doc_id, url, canonical_url, domain)`.
+    */
+  private val urlDomainCtes = s"""
+        psl(suffix) AS (VALUES $pslValuesSql),
+        up AS (SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_replace(regexp_replace(
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                '^.*@', ''), '\\.(:[0-9]+)?$$', '\\1')) AS hostport,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM u),
+        uh AS (SELECT doc_id, url, scheme, path, query,
+            CASE WHEN scheme = 'https'
+                THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+              WHEN scheme = 'http'
+                THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+          FROM up),
+        uc AS (SELECT doc_id, url, scheme, host,
+            CASE WHEN path = '' THEN '/'
+              WHEN len(path) > 1 THEN regexp_replace(path, '/$$', '')
+              ELSE path END AS cpath,
+            array_to_string(list_sort(list_filter(string_split(query, '&'),
+              q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') AS cquery
+          FROM uh),
+        ul AS (SELECT doc_id, url,
+            scheme || '://' || host || cpath ||
+              (CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END) AS canonical_url,
+            string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS labels
+          FROM uc),
+        dom AS (SELECT doc_id, url, canonical_url,
+            CASE WHEN len(labels) >= 3 AND EXISTS (SELECT 1 FROM psl
+                  WHERE psl.suffix = labels[len(labels)-1] || '.' || labels[len(labels)])
+              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+              WHEN len(labels) >= 3
+                  AND list_contains(['co','com','org','net','ac','gov','edu'],
+                    labels[len(labels)-1])
+                  AND len(labels[len(labels)]) <= 3
+              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+              ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
+          FROM ul)"""
 
   /** The MinHash band-index CTE chain (d → tok → mh → band) shared by
     * the pair oracles and qd13's bucket histogram. `band` carries one
@@ -2761,89 +2838,104 @@ object DataOpsQueries {
     // provenance half of a web-corpus build — the same page fetched
     // through tracking-parameter variants must collapse to ONE key
     // before any URL-level dedup, and curation strata act on the
-    // registrable domain, not the raw host. All rules (case, www,
-    // default ports, fragment, utm_* strip, bytewise param sort,
-    // trailing slash, co.uk-style second-level registries) are codegen
-    // built-ins riding the scan and mirrored exactly by the oracle.
-    // Fixture: deterministic id-derived URLs exercising every rule,
-    // including the non-stripped :8080 and the http://host:443 case
-    // (non-default for http, so it stays). ----
+    // registrable domain, not the raw host. Canonicalization rules
+    // (case, userinfo, trailing host dot, www, default ports,
+    // fragment, utm_* strip, bytewise param sort, trailing slash) are
+    // codegen built-ins riding the scan; the domain comes from the
+    // PUBLIC-SUFFIX TABLE via a broadcast lookup join (KB-sized
+    // full-scale — one map-side hash probe per row), with the 7-label
+    // heuristic as the documented fallback for unlisted TLDs. The
+    // fixture's *.github.io arm is the case the heuristic gets wrong
+    // (it collapses every user site into one 'github.io' stratum);
+    // http://host:443 (id%6==1 — odd, so genuinely http) pins the
+    // non-default-port keep path. Oracle mirrors the PSL list
+    // verbatim. ----
     QueryDef("qt26_url_canonicalize",
-      (s, dir) => urlsFromDocs(s, dir)
-        .select(col("doc_id"), col("url"),
-          graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"),
-          graft.text.Urls.registrableDomain(col("url")).as("domain"))
+      (s, dir) => graft.text.Urls.registrableDomains(
+          urlsFromDocs(s, dir)
+            .select(col("doc_id"), col("url"),
+              graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url")),
+          "url", "domain", graft.text.Urls.pslTable(s))
         .orderBy(col("doc_id")),
-      Some(s"""WITH u AS ($urlFixtureSql),
-        p AS (SELECT doc_id, url,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
-            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-            regexp_extract(url, '\\?([^#]*)', 1) AS query
-          FROM u),
-        h AS (SELECT doc_id, url, scheme, path, query,
-            CASE WHEN scheme = 'https'
-                THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
-              WHEN scheme = 'http'
-                THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
-              ELSE regexp_replace(hostport, '^www\\.', '') END AS host
-          FROM p),
-        c AS (SELECT doc_id, url, scheme, host,
-            CASE WHEN path = '' THEN '/'
-              WHEN len(path) > 1 THEN regexp_replace(path, '/$$', '')
-              ELSE path END AS cpath,
-            array_to_string(list_sort(list_filter(string_split(query, '&'),
-              q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') AS cquery
-          FROM h),
-        r AS (SELECT doc_id, url,
-            scheme || '://' || host || cpath ||
-              (CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END) AS canonical_url,
-            string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS labels
-          FROM c)
-        SELECT doc_id, url, canonical_url,
-          CASE WHEN len(labels) >= 3
-                AND list_contains(['co','com','org','net','ac','gov','edu'],
-                  labels[len(labels)-1])
-                AND len(labels[len(labels)]) <= 3
-            THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
-            ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
-        FROM r ORDER BY doc_id""")),
+      Some(s"""WITH u AS (${urlFixtureSql()}),$urlDomainCtes
+        SELECT doc_id, url, canonical_url, domain
+        FROM dom ORDER BY doc_id""")),
 
     // ---- Per-domain volume cap (qt27): no single site may dominate
     // the mix — keep at most 8 docs per registrable domain, chosen by
     // salted deterministic hash order, ties by id (Urls.domainCap).
-    // The exact-cap semantic costs one shuffle on the domain key (the
-    // honest price of "at most N"; qt14's map-only hash threshold is
-    // the expected-rate alternative). The cap GENUINELY trips: the
+    // Physical shape: the bounded top-cap aggregate + threshold
+    // join-back (graft.ops.TopK) — never a per-domain rank window,
+    // which would pin a head domain's full sort on one task (domain
+    // is the most skewed key a web corpus has; the Skew.capBuckets
+    // standard). The keep set is provably the rank's (total (hash,
+    // id) order; UrlsSpec pins window-equivalence), so the oracle
+    // stays the row_number form. The cap GENUINELY trips: the
     // fixture's 40 domains hold ~12 docs each at sf0.01, so every
-    // domain loses rows at cap 8. ----
+    // domain loses rows at cap 8 (qt29 measures the histogram the
+    // cap is chosen from). ----
     QueryDef("qt27_domain_cap",
       (s, dir) => graft.text.Urls.domainCap(
-          urlsFromDocs(s, dir).select(col("doc_id"),
-            graft.text.Urls.registrableDomain(col("url")).as("domain")),
+          graft.text.Urls.registrableDomains(urlsFromDocs(s, dir),
+              "url", "domain", graft.text.Urls.pslTable(s))
+            .select(col("doc_id"), col("domain")),
           "doc_id", "domain", cap = 8)
         .orderBy(col("doc_id")),
-      Some(s"""WITH u AS ($urlFixtureSql),
-        p AS (SELECT doc_id,
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport
-          FROM u),
-        d AS (SELECT doc_id,
-            string_split(regexp_replace(regexp_replace(hostport, '^www\\.', ''),
-              ':[0-9]+$$', ''), '.') AS labels
-          FROM p),
-        dom AS (SELECT doc_id,
-            CASE WHEN len(labels) >= 3
-                  AND list_contains(['co','com','org','net','ac','gov','edu'],
-                    labels[len(labels)-1])
-                  AND len(labels[len(labels)]) <= 3
-              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
-              ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
-          FROM d),
+      Some(s"""WITH u AS (${urlFixtureSql()}),$urlDomainCtes,
         r AS (SELECT doc_id, domain, ROW_NUMBER() OVER (PARTITION BY domain
             ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
               doc_id) AS rk
           FROM dom)
         SELECT doc_id, domain, (rk <= 8) AS keep FROM r ORDER BY doc_id""")),
+
+    // ---- Domain-skew audit (qt29, the qd13 analogue on the
+    // provenance key): the per-domain volume histogram the cap is
+    // CHOSEN from — domain sizes grouped into (domain_size,
+    // n_domains) rows, the same measure-before-capping discipline
+    // every banded dedup generator follows (qd13/qm11). At 100 TB
+    // this is one partial-agg exchange over (domain) then a tiny
+    // second fold — the head-domain row lands here long before it can
+    // hurt the cap plan. ----
+    QueryDef("qt29_domain_skew_audit",
+      (s, dir) => graft.text.Urls.registrableDomains(urlsFromDocs(s, dir),
+          "url", "domain", graft.text.Urls.pslTable(s))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        .groupBy(col("n_docs").as("domain_size"))
+        .agg(count(lit(1)).as("n_domains"))
+        .orderBy(col("domain_size")),
+      Some(s"""WITH u AS (${urlFixtureSql()}),$urlDomainCtes,
+        ds AS (SELECT domain, COUNT(*) AS n_docs FROM dom GROUP BY domain)
+        SELECT n_docs AS domain_size, COUNT(*) AS n_domains
+        FROM ds GROUP BY n_docs ORDER BY domain_size""")),
+
+    // ---- URL-keyed exact dedup (qt30): the C4 step between
+    // canonicalization and the domain cap — collapse refetches of the
+    // SAME page (tracking-param / www / slash / userinfo variants all
+    // canonicalize to one key) onto the lowest doc_id, the qd1
+    // canonical-keep treatment on the provenance key instead of the
+    // content hash. Fixture: the pathMod=120 arm folds article paths
+    // onto doc_id % 120 — every canonicalization-relevant arm divides
+    // 120, so each residue class's ~4 docs at sf0.01 carry different
+    // raw URLs and ONE canonical key: the dedup genuinely trips
+    // (500 → 120 canonical reps). One groupBy(canonical_url) min —
+    // partial-aggregable, no window, linear at any corpus size. ----
+    QueryDef("qt30_url_dedup",
+      (s, dir) => {
+        val canon = urlsFromDocs(s, dir, pathMod = 120)
+          .select(col("doc_id"),
+            graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+        val reps = canon.groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        canon.join(reps, "canonical_url")
+          .select(col("doc_id"), col("canonical_url"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes
+        SELECT doc_id, canonical_url,
+          MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+          (doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)) AS keep
+        FROM dom ORDER BY doc_id""")),
 
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained
@@ -2876,63 +2968,63 @@ object DataOpsQueries {
       ORDER BY doc_id""")),
 
     // ---- WEB-CORPUS release composite (qx10): the provenance half of
-    // a corpus build as ONE lazy plan — registrable domain off the
-    // canonicalized URL, a broadcast-literal domain blocklist
-    // (membership filter, the robots/spam-list stage), the per-domain
-    // volume cap applied to UNBLOCKED docs only (cap slots are not
-    // spent on rows the blocklist already dropped — stage order is
-    // semantics, mirrored exactly), and the hashing-trick quality
-    // floor; keep = unblocked ∧ in-cap ∧ quality ≥ −0.08. Every stage
-    // genuinely trips on the fixture (2 of 40 domains blocked, every
-    // domain over cap 8, quality floor near p25). The qx5-style
-    // composite for the qt26/qt27/qt28 family: three aggregate/window
-    // subtrees joined doc-keyed, nothing corpus-sized on a build side.
-    // ----
+    // a corpus build as ONE lazy plan, the full C4-style chain —
+    // canonical URL + PSL registrable domain, URL-KEYED EXACT DEDUP
+    // on the canonical key (qt30's stage: refetch variants collapse
+    // to the lowest doc_id BEFORE any volume accounting), a
+    // broadcast-literal domain blocklist (the robots/spam-list
+    // stage), the per-domain volume cap applied to canonical
+    // UNBLOCKED reps only (cap slots are spent on neither duplicates
+    // nor blocked rows — stage order is semantics, mirrored exactly),
+    // and the hashing-trick quality floor; keep = canonical ∧
+    // unblocked ∧ in-cap ∧ quality ≥ −0.08. Every stage genuinely
+    // trips on the pathMod=120 fixture at sf0.01 (500 docs → 120
+    // canonical reps, 2 of 40 domains blocked, every domain's 3
+    // canonical reps over cap 2, quality floor near p25). Aggregate
+    // subtrees joined doc-keyed, nothing corpus-sized on a build
+    // side; the cap inherits qt27's bounded-aggregate shape. ----
     QueryDef("qx10_web_corpus_release",
       (s, dir) => {
         val blocklist = Seq("site12.com", "site26.co.uk")
-        val dom = urlsFromDocs(s, dir).select(col("doc_id"),
-            graft.text.Urls.registrableDomain(col("url")).as("domain"))
+        val dom = graft.text.Urls.registrableDomains(
+            urlsFromDocs(s, dir, pathMod = 120), "url", "domain",
+            graft.text.Urls.pslTable(s))
+          .select(col("doc_id"), col("domain"),
+            graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
           .withColumn("blocked", col("domain").isin(blocklist: _*))
+        val reps = dom.groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        val ann = dom.join(reps, "canonical_url")
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
         val inCap = graft.text.Urls.domainCap(
-            dom.filter(!col("blocked")), "doc_id", "domain", cap = 8)
+            ann.filter(col("is_canonical") && !col("blocked"))
+              .select(col("doc_id"), col("domain")),
+            "doc_id", "domain", cap = 2)
           .select(col("doc_id"), col("keep").as("in_cap"))
         val scored = t(s, dir, "documents").select(col("doc_id"),
           TextOps.hashedClassifierScore(col("text"),
             TextOps.stubQualityWeights()).as("score"))
-        dom.join(inCap, Seq("doc_id"), "left")
+        ann.join(inCap, Seq("doc_id"), "left")
           .join(scored, "doc_id")
           .select(col("doc_id"), col("domain"), col("blocked"),
+            col("is_canonical"),
             coalesce(col("in_cap"), lit(false)).as("in_cap"), col("score"),
-            (!col("blocked") && coalesce(col("in_cap"), lit(false)) &&
+            (col("is_canonical") && !col("blocked") &&
+              coalesce(col("in_cap"), lit(false)) &&
               col("score") >= -0.08).as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH u AS ($urlFixtureSql),
-        p AS (SELECT doc_id,
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport
-          FROM u),
-        d0 AS (SELECT doc_id,
-            string_split(regexp_replace(regexp_replace(hostport, '^www\\.', ''),
-              ':[0-9]+$$', ''), '.') AS labels
-          FROM p),
-        dom AS (SELECT doc_id,
-            CASE WHEN len(labels) >= 3
-                  AND list_contains(['co','com','org','net','ac','gov','edu'],
-                    labels[len(labels)-1])
-                  AND len(labels[len(labels)]) <= 3
-              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
-              ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
-          FROM d0),
-        b AS (SELECT doc_id, domain,
+      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes,
+        b AS (SELECT doc_id, domain, canonical_url,
+            MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
             list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
           FROM dom),
-        r AS (SELECT doc_id, (rk <= 8) AS in_cap FROM (
+        r AS (SELECT doc_id, (rk <= 2) AS in_cap FROM (
           SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
             ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
               doc_id) AS rk
-          FROM b WHERE NOT blocked)),
-        t AS (SELECT doc_id,
+          FROM b WHERE doc_id = canonical_id AND NOT blocked)),
+        tx AS (SELECT doc_id,
             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents),
         sc AS (SELECT doc_id,
@@ -2940,10 +3032,12 @@ object DataOpsQueries {
               t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
                    / 997.0 - 0.5),
               (x, y) -> x + y) / len(toks) AS score
-          FROM t)
+          FROM tx)
         SELECT b.doc_id, b.domain, b.blocked,
+          (b.doc_id = b.canonical_id) AS is_canonical,
           COALESCE(r.in_cap, FALSE) AS in_cap, sc.score,
-          (NOT b.blocked AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS keep
+          ((b.doc_id = b.canonical_id) AND NOT b.blocked
+            AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS keep
         FROM b LEFT JOIN r ON r.doc_id = b.doc_id
         JOIN sc ON sc.doc_id = b.doc_id
         ORDER BY b.doc_id""")),
