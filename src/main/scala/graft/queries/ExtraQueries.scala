@@ -612,6 +612,133 @@ object ExtraQueries {
         SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
           SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rk FROM p1) WHERE rk <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---- Tombstone COMPACTION (ql6): the scheduled rebuild the
+    // serve-time anti-join (qs30) defers to, composed over ql5's
+    // persisted artifact — build the cell-partitioned index lake on
+    // the FULL corpus, retract a 1-in-8 slice, serve around the holes
+    // (qs30's path, from the lake), then Ivf.compactTombstones folds
+    // the tombstones into the lake (affected-cell discovery on a
+    // 12 B/row projection scan; only affected `cell=` partitions
+    // re-read + rewritten via dynamic partition overwrite) and the
+    // row require()s the three contract claims: rows were actually
+    // removed, NO tombstoned id survives in the lake (the emptied-
+    // tombstone-table precondition), and post-compaction serving
+    // through the PLAIN topKAdcOnIndex entry is row-identical to
+    // pre-compaction tombstoned serving — compaction changes file
+    // layout and the tombstone table, never a served result. Output
+    // is the served ranking; oracle is qs30's tombstone-filtered
+    // probe+ADC chain emitting ranked rows. Temp lake deleted in
+    // finally, result collected local first (the ql4/ql5 hygiene). ----
+    QueryDef("ql6_tombstone_compaction",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("ql6_index")
+        val lake = s"$tmp/index"
+        try {
+          val e = t(s, dir, "embeddings")
+          val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+          val cells = graft.sim.Ivf.fit(e, "vec_id", "embedding",
+            k = 8, iters = 0)
+          graft.sim.Ivf.assign(e, "vec_id", "embedding", cells)
+            .select(col("vec_id"),
+              graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
+              col("cell"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .partitionBy("cell").parquet(lake)
+          val tomb = e.filter(col("vec_id") % 8 === 3).select(col("vec_id"))
+          val q = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          def ranked(df: DataFrame): Array[org.apache.spark.sql.Row] =
+            df.select(col("query_id"), col("neighbor_id"),
+                col("rank").cast("int").as("rank"))
+              .orderBy(col("query_id"), col("rank")).collect()
+          val before = ranked(graft.sim.Ivf.topKAdcOnIndexWithTombstones(
+            s.read.parquet(lake), tomb, q,
+            "vec_id", "query_id", "qe", cells, pq, k = 5, nprobe = 4))
+          val removed = graft.sim.Ivf.compactTombstones(s, lake, tomb, "vec_id")
+          require(removed > 0, "fixture must actually retract rows")
+          val stored = s.read.parquet(lake)
+          require(stored.join(tomb, Seq("vec_id"), "left_semi").isEmpty,
+            "compaction must leave no tombstoned row in the lake")
+          val after = ranked(graft.sim.Ivf.topKAdcOnIndex(stored, q,
+            "vec_id", "query_id", "qe", cells, pq, k = 5, nprobe = 4))
+          require(before.toSeq == after.toSeq,
+            "rebuilt-index serving must equal tombstoned serving")
+          import scala.jdk.CollectionConverters._
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType)))
+          s.createDataFrame(after.toSeq.asJava, schema)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        pj AS (SELECT enc.vec_id, qp.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qp.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN ca ON ca.vec_id = enc.vec_id AND ca.vec_id % 8 <> 3
+          JOIN qp ON qp.cell = ca.cell AND enc.vec_id <> qp.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        p1 AS (SELECT p0.query_id, p0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM p1) WHERE rk <= 5
         ORDER BY query_id, rank"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,9 +230,10 @@ object Ivf {
     * a dim-sized tombstone set AQE broadcasts the anti-join and the
     * cost is one map-side hash probe per index row. The index artifact
     * itself stays immutable — tombstones are the mutable (and tiny)
-    * part, compacted into the index only when a scheduled rebuild
-    * happens anyway. qs30 measures the recall effect of serving around
-    * the holes; IvfSpec pins that no tombstoned id is ever served.
+    * part, folded into the index lake only by the scheduled
+    * [[compactTombstones]] rebuild. qs30 measures the recall effect of
+    * serving around the holes; IvfSpec pins that no tombstoned id is
+    * ever served.
     */
   def topKAdcOnIndexWithTombstones(
       index: DataFrame, tombstones: DataFrame, queries: DataFrame,
@@ -241,6 +242,70 @@ object Ivf {
     topKAdcOnIndex(
       index.join(tombstones.select(col(idCol)), Seq(idCol), "left_anti"),
       queries, idCol, qIdCol, qVecCol, model, pq, k, nprobe)
+
+  /** The scheduled tombstone COMPACTION the serve-time anti-join
+    * ([[topKAdcOnIndexWithTombstones]]) defers to: fold the tombstone
+    * set into the cell-partitioned index lake (ql5's stored artifact)
+    * so the tombstone table can be emptied and serving returns to the
+    * plain [[topKAdcOnIndex]] path. Returns the number of index rows
+    * removed.
+    *
+    * Scale shape: (1) ONE projection-pruned scan of the index's
+    * (id, cell) columns joined against the tombstone ids finds the
+    * AFFECTED cells — the only full pass, and it reads 12 B/row of a
+    * 24 B/row artifact on a compaction schedule, not per query;
+    * (2) only the affected `cell=` partitions are re-read (hive
+    * partition pruning via explicit paths, the ql4 Compact pattern),
+    * anti-joined against the broadcast tombstone ids, and (3)
+    * rewritten in place via dynamic partition overwrite — untouched
+    * cells are never rewritten, and the rewrite is the same
+    * one-file-per-partition layout the original write used. A cell
+    * whose every row is tombstoned would vanish from the written set
+    * and dynamic overwrite would leave its stale files — that cell's
+    * directory is deleted explicitly (a driver FS metadata op, same
+    * class as Compact.fragmented's walk). Affected-cell discovery
+    * collects only cell ids — bounded by the model's k (KB driver
+    * fit).
+    */
+  def compactTombstones(spark: SparkSession, indexRoot: String,
+      tombstones: DataFrame, idCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val tomb = tombstones.select(col(idCol))
+    val affected = spark.read.parquet(indexRoot)
+      .select(col(idCol), col("cell"))
+      .join(broadcast(tomb), idCol)
+      .select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).sorted
+    if (affected.isEmpty) return 0L
+    val paths = affected.map(c => s"$indexRoot/cell=$c")
+    val slice = spark.read.option("basePath", indexRoot)
+      .parquet(paths.toSeq: _*)
+    val removed = slice.join(broadcast(tomb), Seq(idCol), "left_semi").count()
+    val kept = slice.join(broadcast(tomb), Seq(idCol), "left_anti")
+    val keptCells = kept.select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      kept.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("cell").parquet(indexRoot)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // fully-tombstoned cells wrote no partition — drop their dirs
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    affected.filterNot(keptCells).foreach { c =>
+      fs.delete(new Path(s"$indexRoot/cell=$c"), true)
+    }
+    removed
+  }
 
   /** The qs24 end-state serving plan deployed against a STREAM of
     * queries — ANN-as-a-service on Structured Streaming. `index` is

@@ -117,6 +117,44 @@ class IvfSpec extends SparkTestBase {
       "tombstone-serve diverges from the rebuild it stands in for")
   }
 
+  test("compactTombstones: rewrites only affected cells, drops dead ones") {
+    // the scheduled rebuild behind the serve-time anti-join: tombstoned
+    // rows leave the lake, untouched cells keep their files, and a cell
+    // whose EVERY row is tombstoned disappears entirely (dynamic
+    // overwrite alone would leave its stale files behind)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_compact")
+    val lake = s"$tmp/index"
+    try {
+      val rows = (0L until 40L).map(i =>
+        (i, Seq.fill(16)((i % 7).toInt), (i % 4).toInt))
+      rows.toDF("vec_id", "codes", "cell")
+        .write.partitionBy("cell").parquet(lake)
+      // cell 2: fully tombstoned; cell 1: partially; cells 0/3 untouched
+      val tomb = ((0L until 40L).filter(_ % 4 == 2) ++ Seq(1L, 5L))
+        .toDF("vec_id")
+      val untouchedBefore = new java.io.File(s"$lake/cell=0")
+        .listFiles().map(f => (f.getName, f.lastModified)).toSet
+      val removed = Ivf.compactTombstones(spark, lake, tomb, "vec_id")
+      assert(removed === 12L)
+      val back = spark.read.parquet(lake)
+      assert(back.count() === 28L)
+      assert(back.join(tomb, Seq("vec_id"), "left_semi").isEmpty,
+        "a tombstoned row survived compaction")
+      assert(!new java.io.File(s"$lake/cell=2").exists,
+        "a fully-tombstoned cell must lose its partition directory")
+      val untouchedAfter = new java.io.File(s"$lake/cell=0")
+        .listFiles().map(f => (f.getName, f.lastModified)).toSet
+      assert(untouchedAfter === untouchedBefore,
+        "an unaffected cell was rewritten")
+      // idempotent: a second pass finds nothing to do
+      assert(Ivf.compactTombstones(spark, lake, tomb, "vec_id") === 0L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("serveAdcStream serves the same rows as the batch topKAdc plan") {
     // the streaming deployment of the end-state serving plan must
     // return exactly the batch plan's rows: same probe set, same ADC
