@@ -209,24 +209,30 @@ object Similarity {
     * highest cosine, ties to the lowest eval id), which partial-
     * aggregates map-side: the one shuffle carries |corpus| pre-folded
     * rows, no window, no sort, no pair materialization. Output one
-    * row per corpus vector: (id, nearest_eval_id, max_eval_cosine,
-    * contaminated).
+    * row per EVERY corpus vector: (id, nearest_eval_id,
+    * max_eval_cosine, contaminated). Self-pairs (a corpus id that is
+    * also an eval id) are excluded from the max by turning them into
+    * NULL entries rather than filtering the row set — max() skips
+    * nulls, so a corpus row whose ONLY pair is itself (an |eval| = 1
+    * degenerate) still surfaces, with null nearest/cosine and
+    * contaminated = false, instead of silently vanishing from the
+    * audit.
     */
   def semanticContaminated(
       corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, evalIdCol: String, evalVecCol: String,
       threshold: Double): DataFrame = {
     val scored = spread(corpus).crossJoin(broadcast(evalSet))
-      .filter(col(idCol) =!= col(evalIdCol))
       .select(col(idCol),
-        struct(cosine(col(vecCol), col(evalVecCol)).as("c"),
-          (-col(evalIdCol)).as("neg")).as("ce"))
+        when(col(idCol) =!= col(evalIdCol),
+          struct(cosine(col(vecCol), col(evalVecCol)).as("c"),
+            (-col(evalIdCol)).as("neg"))).as("ce"))
     scored.groupBy(col(idCol))
       .agg(max(col("ce")).as("m"))
       .select(col(idCol),
         (-col("m.neg")).as("nearest_eval_id"),
         col("m.c").as("max_eval_cosine"),
-        (col("m.c") >= lit(threshold)).as("contaminated"))
+        coalesce(col("m.c") >= lit(threshold), lit(false)).as("contaminated"))
   }
 
   /** ANN top-k via one LSH table: candidates share the bucket key, then

@@ -197,4 +197,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(12L)._4 === (out(12L)._3 >= thr),
       "boundary flag must follow the >= contract")
   }
+
+  test("semanticContaminated: every corpus row surfaces, even the |eval|=1 self-pair") {
+    import spark.implicits._
+    // a corpus row whose id equals the ONLY eval id has no non-self
+    // pair — it must still appear in the audit (null nearest/cosine,
+    // contaminated = false), never be silently dropped; and an id
+    // shared with ONE of several eval docs scores against the rest
+    val ev = Seq((10L, Array(1.0f, 0.0f))).toDF("eval_id", "ee")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),         // self-only: no scorable pair
+      (11L, Array(1.0f, 0.0f)))         // genuine hit
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContaminated(corpus, ev,
+        "vec_id", "embedding", "eval_id", "ee", threshold = 0.5)
+      .select($"vec_id", $"nearest_eval_id", $"max_eval_cosine",
+        $"contaminated")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2, "one output row per corpus vector, always")
+    assert(out(10L).isNullAt(1) && out(10L).isNullAt(2))
+    assert(!out(10L).getBoolean(3),
+      "a row with no scorable eval pair is not contaminated")
+    assert(out(11L).getLong(1) === 10L && out(11L).getBoolean(3))
+  }
 }
