@@ -3696,6 +3696,144 @@ object DataOpsQueries {
           CAST(COUNT(*) AS INT) AS n_copies
         FROM codes GROUP BY code ORDER BY ahash""")),
 
+    // ---- Streaming TWO-STAGE retrieval ≡ batch (qst12): qs29's
+    // composite on the qst10 deployment pattern. Queries ARRIVE as a
+    // stream against the static 24 B/row code artifact; stage 1's
+    // coarse cut is the BOUNDED top-k aggregate (ops/TopK) as a
+    // windowed streaming aggregate — state is per in-flight
+    // (window × query) buffers of ≤ coarseK entries, never the
+    // corpus, and streaming forbids rank windows anyway, so the
+    // scale-safe batch shape is the only expressible one; stage 2's
+    // ADC shortlist is a stateless typed map over each flushed row
+    // (LUT fold order identical to the batch scorer — ServingSpec
+    // pins streamed shortlist ≡ batch stage 2 member-for-member);
+    // stage 3's exact re-rank runs at the STATELESS EDGE downstream
+    // of the sink — an id equi-join fetching floats for shortK·|Q|
+    // FINAL rows only, exactly where a serving fleet puts its
+    // re-ranker. Oracle is qs29's chain emitting the final ranked
+    // rows, so the driver gate pins the whole stream+edge composition
+    // against the batch composite every round. The sentinel's
+    // zero-vector query scores NaN inside its never-flushed 2100
+    // window; the filter is defensive. ----
+    QueryDef("qst12_stream_two_stage",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val thr = Similarity.signThresholds(e, "vec_id", "embedding")
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val art = e.select(col("vec_id"),
+            Similarity.signBits(col("embedding"), thr).as("bincode"),
+            graft.sim.Pq.codes(col("embedding"), pq).as("pqcodes"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sent = Seq(-1L).toDF("query_id")
+          .select(col("query_id"), array_repeat(lit(0.0f), 64).as("qe"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "query_id LONG, qe ARRAY<FLOAT>, ts TIMESTAMP") { sentArm =>
+          val qs0 = replayTable(s, dir, "embeddings")
+            .filter(col("vec_id") < 8)
+            .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("qe"), col("ts"))
+            .unionByName(sentArm)
+          val out = graft.sim.Serving.shortlistStream(art, qs0, "vec_id",
+            "query_id", "qe", "ts", thr, pq, coarseK = 50, shortK = 20)
+          val short = runAvailableNow(s, out).filter(col("query_id") >= 0)
+          // the edge re-ranker: floats fetched for final rows only
+          val floats = e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("__nvec"))
+          val qf = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))
+          short.select(col("query_id"),
+              explode(col("shortlist")).as("neighbor_id"))
+            .join(floats, "neighbor_id")
+            .join(broadcast(qf), "query_id")
+            .select(col("query_id"), col("neighbor_id"),
+              Similarity.cosine(col("__nvec"), col("qe")).as("cosine"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank").cast("int").as("rank"))
+            .orderBy(col("query_id"), col("rank"))
+        }
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        thr AS (SELECT r.i,
+            list_reduce(list(CAST(s.embedding[r.i] AS DOUBLE) ORDER BY s.vec_id),
+              (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS t
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        cbits AS (SELECT e.vec_id, CAST(SUM(
+            CASE WHEN CAST(e.embedding[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN thr GROUP BY e.vec_id),
+        qbits AS (SELECT qv.query_id, CAST(SUM(
+            CASE WHEN CAST(qv.qe[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS qcode
+          FROM qv CROSS JOIN thr GROUP BY qv.query_id),
+        c50 AS (SELECT query_id, neighbor_id FROM (
+          SELECT qb.query_id, cb2.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY qb.query_id
+              ORDER BY bit_count(xor(cb2.code, qb.qcode)), cb2.vec_id) AS rk
+          FROM cbits cb2, qbits qb WHERE cb2.vec_id <> qb.query_id) WHERE rk <= 50),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        pj AS (SELECT enc.vec_id, qv.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qv.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN c50 ON c50.neighbor_id = enc.vec_id
+          JOIN qv ON qv.query_id = c50.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        s20 AS (SELECT query_id, neighbor_id FROM (
+          SELECT p0.query_id, p0.neighbor_id, ROW_NUMBER() OVER (PARTITION BY p0.query_id
+            ORDER BY num / (sqrt(rn) * sqrt(qn.qnsq)) DESC, p0.neighbor_id) AS rk
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id) WHERE rk <= 20),
+        x0 AS (SELECT s20.query_id, s20.neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM s20 JOIN embeddings e ON e.vec_id = s20.neighbor_id
+          JOIN qv ON qv.query_id = s20.query_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5
+        ORDER BY query_id, rank""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")

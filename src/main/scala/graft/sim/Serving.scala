@@ -74,6 +74,100 @@ object Serving {
         col("e.pay").as("pqcodes"))
   }
 
+  /** Stages 1-2 of [[twoStageTopK]] deployed against a STREAM of
+    * queries — the qst10 deployment pattern applied to the two-stage
+    * composite. `art` is the STATIC stored serving artifact
+    * (idCol, `bincode` 8 B sign code, `pqcodes` 16 B PQ codes) — the
+    * 24 B/row table one corpus pass emits.
+    *
+    * Per micro-batch: a typed map derives each query's sign code (the
+    * query vector rides along for the ADC step); candidates come from
+    * the stream-static scan of the code artifact — the popcount scan
+    * IS stage 1, there is no key to probe by design; the coarse cut
+    * is the BOUNDED top-k aggregate ([[graft.ops.TopK]]) as a
+    * windowed streaming aggregate, so state is per in-flight
+    * (window × query) buffers of ≤ coarseK entries — never the
+    * corpus (streaming forbids rank windows anyway: the scale-safe
+    * batch shape is also the only expressible one); and the ADC
+    * shortlist is a STATELESS typed map over each flushed
+    * (query, top-coarseK) row — the carried codes are scored with
+    * LUTs derived from the query vector on the spot, in exactly
+    * [[Pq.adcCosine]]'s fold order (left fold over subspaces,
+    * norm-table entries folded ascending), sorted by
+    * (cosine desc, id) and cut to shortK.
+    *
+    * The stage-3 exact re-rank is deliberately NOT in the stream:
+    * full-width float fetch is the stateless edge re-ranker's job —
+    * an id equi-join over shortK·|Q| FINAL rows, downstream of the
+    * sink (qst12 composes it post-sink and its oracle pins the whole
+    * chain against the batch composite; a second in-stream rank
+    * would need a chained stateful aggregate for no state benefit —
+    * the shortlist rows are already final).
+    *
+    * Output per flushed window: (qIdCol, shortlist array<long> in
+    * (adc cosine desc, id) order).
+    */
+  def shortlistStream(art: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, qVecCol: String, tsCol: String,
+      thresholds: Array[Double], pq: Pq.Model, coarseK: Int, shortK: Int,
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour")
+      : DataFrame = {
+    require(shortK <= coarseK,
+      s"need shortK <= coarseK, got $shortK / $coarseK")
+    val spark = art.sparkSession
+    import spark.implicits._
+    val bcPq = spark.sparkContext.broadcast(pq)
+    val bcThr = spark.sparkContext.broadcast(thresholds)
+    val probed = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol), col(tsCol))
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .map { case (qid, qv, ts) =>
+        // the sign code, bit-identical to Similarity.signBits' column
+        // form (same double cast, same strict >)
+        val thr = bcThr.value
+        var bits = 0L
+        var i = 0
+        while (i < thr.length) {
+          if (qv(i).toDouble > thr(i)) bits |= (1L << i)
+          i += 1
+        }
+        (qid, bits, qv, ts)
+      }
+      .toDF(qIdCol, "qbin", "__qvec", tsCol)
+    val tk = graft.ops.TopK.topK(coarseK)
+    val flushed = probed.withWatermark(tsCol, watermarkDelay)
+      .crossJoin(art)
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(tsCol), col("__qvec"),
+        col(idCol).as("neighbor_id"), col("pqcodes"),
+        bit_count(col("bincode").bitwiseXOR(col("qbin"))).as("dist"))
+      .groupBy(window(col(tsCol), windowDur), col(qIdCol))
+      .agg(tk(col("dist").cast("double"), lit(0L), col("neighbor_id"),
+          col("pqcodes")).as("tk"),
+        first(col("__qvec")).as("__qvec"))
+    flushed.select(col(qIdCol), col("tk"), col("__qvec"))
+      .as[(Long, Seq[graft.ops.TopKEntry], Array[Float])]
+      .map { case (qid, entries, qv) =>
+        val m = bcPq.value
+        val (lut, _, qnsq) = Pq.adcTablesFor(qv, m)
+        // normSq(j)(c) mirrors Pq.adcNormSqLit's foldLeft exactly
+        val nsq = m.codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+        val scored = entries.map { e =>
+          var num = 0.0; var rn = 0.0; var j = 0
+          while (j < m.m) {
+            val c = e.pay(j); num += lut(j)(c); rn += nsq(j)(c); j += 1
+          }
+          (num / (math.sqrt(rn) * math.sqrt(qnsq)), e.id)
+        }
+        // (cosine desc, id asc) via primitive compares — ==/-0.0
+        // semantics match Spark's normalized double ordering
+        val short = scored.sortWith((a, b) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(shortK)
+        (qid, short.map(_._2))
+      }
+      .toDF(qIdCol, "shortlist")
+  }
+
   /** Binary-prefilter → ADC-shortlist → exact-re-rank top-k.
     *
     * @param thresholds per-dim centering thresholds

@@ -114,6 +114,66 @@ class ServingSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("shortlistStream flushes exactly the batch composite's stage-2 shortlist") {
+    // stream ≡ batch for the streamed portion: per query, the flushed
+    // shortlist must be the batch plan's srank <= shortK survivors in
+    // the same (adc cosine desc, id) order — the popcount scan, the
+    // bounded coarse aggregate, and the Scala-side ADC fold must all
+    // reproduce the column-expression arithmetic bit-for-bit
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    // batch reference: stages 1-2 of twoStageTopK at shortK = k so the
+    // final exact re-rank touches exactly the shortlist (its member
+    // set per query IS the stage-2 cut)
+    val batch = Serving.twoStageTopK(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", thr, pq,
+        k = 20, coarseK = 50, shortK = 20)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val art = emb.select($"vec_id",
+      Similarity.signBits($"embedding", thr).as("bincode"),
+      Pq.codes($"embedding", pq).as("pqcodes"))
+    val dir = java.nio.file.Files.createTempDirectory("short_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("short_ckpt")
+    try {
+      val sent = Seq((-1L, Array.fill(64)(0.0f))).toDF("query_id", "qe")
+        .select($"query_id", $"qe",
+          timestamp_micros(lit(4102444800000000L)).as("ts"))
+      queries.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .unionByName(sent).coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val stream = spark.readStream
+        .schema("query_id LONG, qe ARRAY<FLOAT>, ts TIMESTAMP")
+        .parquet(dir.toString)
+      val out = Serving.shortlistStream(art, stream, "vec_id",
+        "query_id", "qe", "ts", thr, pq, coarseK = 50, shortK = 20)
+      out.writeStream.format("memory").queryName("short_out")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val streamed = spark.table("short_out")
+        .filter($"query_id" >= 0)
+        .select($"query_id", $"shortlist")
+        .as[(Long, Seq[Long])].collect().toMap
+      spark.catalog.dropTempView("short_out")
+      assert(streamed.nonEmpty)
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (q, ids) =>
+        assert(ids.size === 20, s"query $q shortlist must hold shortK ids")
+        assert(ids.toSet === batch(q),
+          s"query $q: streamed shortlist diverges from batch stage 2")
+      }
+    } finally {
+      Seq(ckpt, dir).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("stage widths must nest: k <= shortK <= coarseK") {
     val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
     val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
