@@ -101,7 +101,14 @@ object Explain {
         // the web-corpus composite joins its subtrees doc-keyed with
         // no corpus-sized build side
         "qs31_semantic_decontamination", "qt27_domain_cap",
-        "qx10_web_corpus_release")
+        "qx10_web_corpus_release",
+        // round-13 additions: the PSL domain lookup must stay a
+        // broadcast hash join (never a shuffled corpus); URL dedup is
+        // one partial hash agg + a doc-keyed join back; the
+        // domain-skew audit is two partial-agg folds; qs29's stage 1
+        // must show the bounded ObjectHashAggregate and no Window
+        // (ServingSpec pins it too — here it stays visible)
+        "qt29_domain_skew_audit", "qt30_url_dedup")
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()
