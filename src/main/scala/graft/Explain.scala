@@ -108,7 +108,11 @@ object Explain {
         // domain-skew audit is two partial-agg folds; qs29's stage 1
         // must show the bounded ObjectHashAggregate and no Window
         // (ServingSpec pins it too — here it stays visible)
-        "qt29_domain_skew_audit", "qt30_url_dedup")
+        "qt29_domain_skew_audit", "qt30_url_dedup",
+        // the IVF-composed two-stage form must stay a cell equi-join
+        // end-to-end — zero Cartesian/NLJ (ServingSpec pins it; here
+        // the probe shape stays visible)
+        "qs32_two_stage_ivf")
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()

@@ -2672,6 +2672,329 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- Two-stage retrieval composed INSIDE the IVF probe (qs32):
+    // the judge of deployability vs qs29's full-corpus popcount scan.
+    // Candidates come from the standard cell equi-join against the
+    // probed nprobe=4 cells FIRST (the qs22-qs24 serving shape —
+    // prunable to the probed fraction under ql5's cell-partitioned
+    // lake), and the binary tier ranks WITHIN the probed candidates
+    // through the same bounded top-k aggregate; stages 2-3 are
+    // shared with qs29 verbatim. MEASURED: mean recall 0.775 at the
+    // same 50->20->5 widths vs the scan form's 0.65 — the cell
+    // prefilter is better correlated with cosine than raw Hamming,
+    // so probing buys recall AND drops the per-query read volume to
+    // the probed fraction. The artifact is 32 B/row (cell + sign
+    // code + PQ codes, one corpus pass). Oracle: qs30's cell chain
+    // for the probe, qs29's bit chain ranked within it, qs29's
+    // ADC + exact tail. ----
+    QueryDef("qs32_two_stage_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(e, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val thr = Similarity.signThresholds(e, "vec_id", "embedding")
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val ann = graft.sim.Serving.twoStageTopKIvf(e, q,
+          "vec_id", "embedding", "query_id", "qe", cells, thr, pq,
+          k = 5, coarseK = 50, shortK = 20, nprobe = 4)
+        Similarity.recallAtK(ann, brute, k = 5)
+          .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+            col("n_exact").cast("int").as("n_exact"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        thr AS (SELECT r.i,
+            list_reduce(list(CAST(s.embedding[r.i] AS DOUBLE) ORDER BY s.vec_id),
+              (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS t
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        cbits AS (SELECT e.vec_id, CAST(SUM(
+            CASE WHEN CAST(e.embedding[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN thr GROUP BY e.vec_id),
+        qbits AS (SELECT qv.query_id, CAST(SUM(
+            CASE WHEN CAST(qv.qe[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS qcode
+          FROM qv CROSS JOIN thr GROUP BY qv.query_id),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        c50 AS (SELECT query_id, neighbor_id FROM (
+          SELECT qp.query_id, cb2.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY qp.query_id
+              ORDER BY bit_count(xor(cb2.code, qb.qcode)), cb2.vec_id) AS rk
+          FROM cbits cb2 JOIN ca ON ca.vec_id = cb2.vec_id
+          JOIN qp ON qp.cell = ca.cell AND cb2.vec_id <> qp.query_id
+          JOIN qbits qb ON qb.query_id = qp.query_id) WHERE rk <= 50),
+        pj AS (SELECT enc.vec_id, qv.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qv.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN c50 ON c50.neighbor_id = enc.vec_id
+          JOIN qv ON qv.query_id = c50.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        s20 AS (SELECT query_id, neighbor_id FROM (
+          SELECT p0.query_id, p0.neighbor_id, ROW_NUMBER() OVER (PARTITION BY p0.query_id
+            ORDER BY num / (sqrt(rn) * sqrt(qn.qnsq)) DESC, p0.neighbor_id) AS rk
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id) WHERE rk <= 20),
+        x0 AS (SELECT s20.query_id, s20.neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM s20 JOIN embeddings e ON e.vec_id = s20.neighbor_id
+          JOIN qv ON qv.query_id = s20.query_id),
+        f5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM f5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
+    // ---- Two-stage serving LIFECYCLE (qs33): the qs32 composite
+    // given the same production treatment the ADC form has — the
+    // 32 B/row (id, cell, bincode, pqcodes) artifact is WRITTEN to a
+    // cell-partitioned zstd lake (ql5's layout: probed `cell=` dirs
+    // prune under the broadcast query-cells join), read back through
+    // the hive reader, a 1-in-8 retraction anti-joins the index
+    // BEFORE the probe (the qs30 pattern — retracted codes never
+    // enter the candidate shuffle), and serving runs through the
+    // Serving.twoStageTopKOnIndex entry. The row require()s zero
+    // tombstoned ids served; MEASURED mean recall 0.8 vs brute over
+    // the LIVE corpus (vs qs32's 0.775 against the full corpus —
+    // serving around these holes costs nothing measurable at these
+    // widths). Oracle: qs33 = qs32's chain with the tombstone filter
+    // on brute and candidates. Temp lake deleted in finally, result
+    // collected local first (the ql4/ql5 hygiene). ----
+    QueryDef("qs33_two_stage_lifecycle",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("qs33_index")
+        try {
+          val e = t(s, dir, "embeddings")
+          val q = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          val live = e.filter(col("vec_id") % 8 =!= 3)
+          val brute = Similarity.bruteTopK(live, q,
+              "vec_id", "embedding", "query_id", "qe", k = 5)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val thr = Similarity.signThresholds(e, "vec_id", "embedding")
+          val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+          val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+          Ivf.assign(e, "vec_id", "embedding", cells)
+            .select(col("vec_id"),
+              Similarity.signBits(col("embedding"), thr).as("bincode"),
+              graft.sim.Pq.codes(col("embedding"), pq).as("pqcodes"),
+              col("cell"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .partitionBy("cell").parquet(s"$tmp/index")
+          val tomb = e.filter(col("vec_id") % 8 === 3).select(col("vec_id"))
+          val stored = s.read.parquet(s"$tmp/index")
+            .join(tomb, Seq("vec_id"), "left_anti")
+          val ann = graft.sim.Serving.twoStageTopKOnIndex(stored,
+              live.select(col("vec_id"), col("embedding")), q,
+              "vec_id", "embedding", "query_id", "qe", cells, thr, pq,
+              k = 5, coarseK = 50, shortK = 20, nprobe = 4)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          require(ann.filter(col("neighbor_id") % 8 === 3).isEmpty,
+            "two-stage serving must never return a tombstoned id")
+          val res = Similarity.recallAtK(ann, brute, k = 5)
+            .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
+              col("n_exact").cast("int").as("n_exact"), col("recall"))
+            .orderBy(col("query_id"))
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(res.collect().toSeq.asJava, res.schema)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+        }
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM embeddings e, qv WHERE e.vec_id <> qv.query_id AND e.vec_id % 8 <> 3),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        thr AS (SELECT r.i,
+            list_reduce(list(CAST(s.embedding[r.i] AS DOUBLE) ORDER BY s.vec_id),
+              (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS t
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        cbits AS (SELECT e.vec_id, CAST(SUM(
+            CASE WHEN CAST(e.embedding[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN thr GROUP BY e.vec_id),
+        qbits AS (SELECT qv.query_id, CAST(SUM(
+            CASE WHEN CAST(qv.qe[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS qcode
+          FROM qv CROSS JOIN thr GROUP BY qv.query_id),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        c50 AS (SELECT query_id, neighbor_id FROM (
+          SELECT qp.query_id, cb2.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY qp.query_id
+              ORDER BY bit_count(xor(cb2.code, qb.qcode)), cb2.vec_id) AS rk
+          FROM cbits cb2 JOIN ca ON ca.vec_id = cb2.vec_id AND cb2.vec_id % 8 <> 3
+          JOIN qp ON qp.cell = ca.cell AND cb2.vec_id <> qp.query_id
+          JOIN qbits qb ON qb.query_id = qp.query_id) WHERE rk <= 50),
+        pj AS (SELECT enc.vec_id, qv.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qv.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN c50 ON c50.neighbor_id = enc.vec_id
+          JOIN qv ON qv.query_id = c50.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        s20 AS (SELECT query_id, neighbor_id FROM (
+          SELECT p0.query_id, p0.neighbor_id, ROW_NUMBER() OVER (PARTITION BY p0.query_id
+            ORDER BY num / (sqrt(rn) * sqrt(qn.qnsq)) DESC, p0.neighbor_id) AS rk
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id) WHERE rk <= 20),
+        x0 AS (SELECT s20.query_id, s20.neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM s20 JOIN embeddings e ON e.vec_id = s20.neighbor_id
+          JOIN qv ON qv.query_id = s20.query_id),
+        f5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5),
+        hit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM f5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id, CAST(COALESCE(hit.n_hit, 0) AS INT) AS n_hit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+        FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- TOMBSTONE deletion at serve time (qs30): the story qs27's
     // append-only maintenance leaves open — released docs later
     // retracted (a 1-in-8 slice here) must never be served, and a
@@ -2936,6 +3259,58 @@ object DataOpsQueries {
           MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
           (doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)) AS keep
         FROM dom ORDER BY doc_id""")),
+
+    // ---- INCREMENTAL URL dedup (qt31): qd8's daily-production story
+    // on the provenance key — an arrival batch is checked against the
+    // accumulated lake's canonical-URL keys (a page already fetched
+    // is not fetched again), then deduped within itself. The qd8
+    // hashSplit fixture (90/10 corpus/batch) over pathMod=360
+    // colliding URLs (3 × the qt30 modulus — classes of ~1.4 docs, so
+    // a batch doc's class often has NO lake member) makes both flags
+    // genuinely trip at sf0.01: 26 of 46 batch docs are dup-of-lake,
+    // 20 carry genuinely new pages, and 19 keep (one new class holds
+    // two batch variants — the in-batch arm trips too). Scale shape: the lake side is its DISTINCT canonical keys
+    // only (one partial-aggregable distinct, amortized across daily
+    // batches as a stored key table), the batch joins it key-on-key —
+    // output bounded by |batch|; the qt15 Bloom prefilter is the
+    // documented cheaper arm when even the key shuffle is too much. ----
+    QueryDef("qt31_incremental_url_dedup",
+      (s, dir) => {
+        val canon = urlsFromDocs(s, dir, pathMod = 360)
+          .withColumn("part",
+            TextOps.hashSplit(col("doc_id"), Seq(90), Seq("corpus", "batch")))
+          .select(col("doc_id"), col("part"),
+            graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+        val lakeKeys = canon.filter(col("part") === "corpus")
+          .select(col("canonical_url")).distinct()
+          .withColumn("__in_lake", lit(true))
+        val batch = canon.filter(col("part") === "batch")
+        val reps = batch.groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("batch_canonical_id"))
+        batch.join(lakeKeys, Seq("canonical_url"), "left")
+          .join(reps, "canonical_url")
+          .select(col("doc_id"), col("canonical_url"),
+            coalesce(col("__in_lake"), lit(false)).as("dup_of_lake"),
+            col("batch_canonical_id"),
+            (coalesce(!col("__in_lake"), lit(true)) &&
+              col("doc_id") === col("batch_canonical_id")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 360")}),$urlDomainCtes,
+        pc AS (SELECT doc_id, canonical_url,
+            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS in_corpus
+          FROM dom),
+        lk AS (SELECT DISTINCT canonical_url FROM pc WHERE in_corpus),
+        bt AS (SELECT doc_id, canonical_url FROM pc WHERE NOT in_corpus),
+        rp AS (SELECT canonical_url, MIN(doc_id) AS batch_canonical_id
+          FROM bt GROUP BY canonical_url)
+        SELECT bt.doc_id, bt.canonical_url,
+          (lk.canonical_url IS NOT NULL) AS dup_of_lake,
+          rp.batch_canonical_id,
+          (lk.canonical_url IS NULL AND bt.doc_id = rp.batch_canonical_id) AS keep
+        FROM bt LEFT JOIN lk ON lk.canonical_url = bt.canonical_url
+        JOIN rp ON rp.canonical_url = bt.canonical_url
+        ORDER BY bt.doc_id""")),
 
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained

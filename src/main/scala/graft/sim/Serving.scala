@@ -183,14 +183,112 @@ object Serving {
       k: Int, coarseK: Int, shortK: Int): DataFrame = {
     require(k <= shortK && shortK <= coarseK,
       s"need k <= shortK <= coarseK, got $k / $shortK / $coarseK")
-    val qTabs = Pq.withAdcTables(queries, qIdCol, qVecCol, pq)
-      .select(col(qIdCol), col("adc_lut"), col("adc_qnsq"))
     // stage 1: one popcount per (corpus row, query), bounded top-k
     // per query via map-side-combining aggregate — never a window
     val coarse = binaryCoarseCandidates(corpus, queries,
       idCol, vecCol, qIdCol, qVecCol, thresholds, pq, coarseK)
-    // stage 2: ADC fold over the candidates only — same scorer, same
-    // tie order ((cosine desc, id)) as the qs24 serving plan
+    adcExactTail(coarse, corpus, queries,
+      idCol, vecCol, qIdCol, qVecCol, pq, k, shortK)
+  }
+
+  /** [[twoStageTopK]] with the coarse tier composed INSIDE the IVF
+    * probe — the judge of deployability at 100 TB: instead of a full
+    * popcount scan per query batch (the qs29 form — every code read,
+    * however cheap each read is), the candidates come from the
+    * standard cell equi-join against the probed `nprobe` cells first
+    * (the qs22-qs24 serving shape, prunable down to the probed
+    * fraction under ql5's cell-partitioned lake layout), and the
+    * binary tier ranks WITHIN the probed candidates through the same
+    * bounded top-k aggregate. The artifact grows to 32 B/row
+    * (cell + 8 B sign code + 16 B PQ codes, still ONE corpus pass);
+    * stages 2-3 are shared with the scan form verbatim.
+    *
+    * MEASURED (qs32 vs qs29, same widths 50→20→5 on the test corpus):
+    * mean recall 0.775 vs the full-scan form's 0.65 — the cell
+    * prefilter is better correlated with cosine than raw Hamming, so
+    * probing buys recall AND drops the per-query scan to the probed
+    * fraction. The scan form remains the reference when no cell
+    * model exists (e.g. before the first index build).
+    */
+  def twoStageTopKIvf(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      cells: Ivf.Model, thresholds: Array[Double], pq: Pq.Model,
+      k: Int, coarseK: Int, shortK: Int, nprobe: Int): DataFrame = {
+    // the 32 B/row artifact: cell + both code columns, one corpus pass
+    val art = Ivf.assign(graft.ops.Partitioning.spread(corpus),
+        idCol, vecCol, cells)
+      .select(col(idCol), col("cell"),
+        Similarity.signBits(col(vecCol), thresholds).as("bincode"),
+        Pq.codes(col(vecCol), pq).as("pqcodes"))
+    twoStageTopKOnIndex(art,
+      corpus.select(col(idCol), col(vecCol)), queries,
+      idCol, vecCol, qIdCol, qVecCol, cells, thresholds, pq,
+      k, coarseK, shortK, nprobe)
+  }
+
+  /** [[twoStageTopKIvf]] over a PREBUILT (idCol, cell, bincode,
+    * pqcodes) index table — the entry point a serving system calls:
+    * the index is the stored 32 B/row artifact (persisted through
+    * ql5's cell-partitioned lake layout, so the probe join prunes to
+    * the probed `cell=` partitions), `floats` is the base float store
+    * touched only by the stage-3 fetch, and deletion composes exactly
+    * as it does for the ADC form — anti-join tombstones against the
+    * index BEFORE calling this (the qs30 pattern; qs33 drives the
+    * whole lifecycle: build → persist → retract → serve).
+    */
+  def twoStageTopKOnIndex(index: DataFrame, floats: DataFrame,
+      queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      cells: Ivf.Model, thresholds: Array[Double], pq: Pq.Model,
+      k: Int, coarseK: Int, shortK: Int, nprobe: Int): DataFrame = {
+    require(k <= shortK && shortK <= coarseK,
+      s"need k <= shortK <= coarseK, got $k / $shortK / $coarseK")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cells)
+    val qBin = queries.select(col(qIdCol),
+      Similarity.signBits(col(qVecCol), thresholds).as("qbin"))
+    val queryCells = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        bc.value.nearest(qv, nprobe).map(c => (qid, c))
+      }
+      .toDF(qIdCol, "cell")
+      .join(qBin, qIdCol)
+    // coarse tier: popcount WITHIN the probed cells only — the
+    // candidate join is the standard cell equi-join (PlanGuardSpec
+    // pins no Cartesian/NLJ), the rank the same bounded aggregate
+    val tk = graft.ops.TopK.topK(coarseK)
+    val coarse = index.join(broadcast(queryCells), "cell")
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("pqcodes"),
+        bit_count(col("bincode").bitwiseXOR(col("qbin"))).as("dist"))
+      .groupBy(col(qIdCol))
+      .agg(tk(col("dist").cast("double"), lit(0L), col("neighbor_id"),
+        col("pqcodes")).as("tk"))
+      .select(col(qIdCol), explode(col("tk")).as("e"))
+      .select(col(qIdCol), col("e.id").as("neighbor_id"),
+        col("e.pay").as("pqcodes"))
+    adcExactTail(coarse, floats, queries,
+      idCol, vecCol, qIdCol, qVecCol, pq, k, shortK)
+  }
+
+  /** Stages 2-3, shared by both coarse tiers: ADC-fold the candidate
+    * codes down to shortK (same scorer, same (cosine desc, id) tie
+    * order as the qs24 serving plan), then the only full-width read —
+    * fetch shortK float vectors per query by equi-join (AQE
+    * broadcasts the shortlist side) and rank exactly. The rank
+    * windows here are per-query over coarseK-bounded inputs — bounded
+    * task state by construction, not by corpus size.
+    */
+  private def adcExactTail(coarse: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      pq: Pq.Model, k: Int, shortK: Int): DataFrame = {
+    val qTabs = Pq.withAdcTables(queries, qIdCol, qVecCol, pq)
+      .select(col(qIdCol), col("adc_lut"), col("adc_qnsq"))
     val wShort = Window.partitionBy(col(qIdCol))
       .orderBy(col("adc_cosine").desc, col("neighbor_id"))
     val short = coarse.join(broadcast(qTabs), qIdCol)
@@ -199,9 +297,6 @@ object Serving {
           .as("adc_cosine"))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortK)
-    // stage 3: the only full-width read — fetch shortK float vectors
-    // per query by equi-join (AQE broadcasts the shortlist side) and
-    // rank exactly
     val floats = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__nvec"))
     val qFloat = queries.select(col(qIdCol), col(qVecCol))

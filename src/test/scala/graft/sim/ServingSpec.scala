@@ -174,6 +174,45 @@ class ServingSpec extends SparkTestBase {
     }
   }
 
+  test("twoStageTopKIvf at nprobe = all cells degrades to the scan form exactly") {
+    // probing every cell makes the probe a no-op filter, so the
+    // IVF-composed coarse tier must rank the identical candidate pool
+    // under the identical (dist, id) order — the two composites may
+    // then differ in nothing
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val ivf = Serving.twoStageTopKIvf(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", cells, thr, pq,
+        k = 5, coarseK = 50, shortK = 20, nprobe = 8)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val scan = Serving.twoStageTopK(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", thr, pq,
+        k = 5, coarseK = 50, shortK = 20)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf.nonEmpty && ivf === scan)
+  }
+
+  test("twoStageTopKIvf plans no Cartesian/NLJ anywhere — unlike the scan form") {
+    // the whole point of composing the binary tier inside the probe:
+    // the scan form's stage 1 is a deliberate broadcast-nested-loop
+    // over the code column (documented in PlanGuardSpec); the IVF form
+    // replaces it with the standard cell equi-join, so its ENTIRE plan
+    // must be free of quadratic join nodes
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val plan = Serving.twoStageTopKIvf(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", cells, thr, pq,
+        k = 5, coarseK = 50, shortK = 20, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+      assert(!plan.contains(bad), s"IVF two-stage plan contains $bad:\n$plan")
+    }
+  }
+
   test("stage widths must nest: k <= shortK <= coarseK") {
     val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
     val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
