@@ -4209,6 +4209,165 @@ object DataOpsQueries {
             ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5
         ORDER BY query_id, rank""")),
 
+    // ---- Streaming IVF two-stage retrieval ≡ batch (qst13): qs32's
+    // deployable composite on the stream — the best-of-both serving
+    // stream. Where qst12's stage 1 must re-scan the whole code
+    // artifact per micro-batch (no key to probe), here each query
+    // expands into its nprobe=4 probed cells and the candidate
+    // lookup is a stream-static EQUI-join on cell (the qst10 shape —
+    // under ql5's cell-partitioned layout a probed read, not a
+    // scan), the popcount rank within probed candidates is the
+    // bounded windowed aggregate, the ADC shortlist the stateless
+    // typed map, and the exact re-rank runs at the stateless edge
+    // post-sink. Oracle: qs32's probe+bit+ADC chain emitting the
+    // final ranked rows — the gate pins stream+edge ≡ batch every
+    // round. ----
+    QueryDef("qst13_stream_two_stage_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val thr = Similarity.signThresholds(e, "vec_id", "embedding")
+        val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
+        val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
+        val index = Ivf.assign(e, "vec_id", "embedding", cells)
+          .select(col("vec_id"),
+            Similarity.signBits(col("embedding"), thr).as("bincode"),
+            graft.sim.Pq.codes(col("embedding"), pq).as("pqcodes"),
+            col("cell"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sent = Seq(-1L).toDF("query_id")
+          .select(col("query_id"), array_repeat(lit(0.0f), 64).as("qe"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "query_id LONG, qe ARRAY<FLOAT>, ts TIMESTAMP") { sentArm =>
+          val qs0 = replayTable(s, dir, "embeddings")
+            .filter(col("vec_id") < 8)
+            .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("qe"), col("ts"))
+            .unionByName(sentArm)
+          val out = graft.sim.Serving.shortlistStreamIvf(index, qs0,
+            "vec_id", "query_id", "qe", "ts", cells, thr, pq,
+            coarseK = 50, shortK = 20, nprobe = 4)
+          val short = runAvailableNow(s, out).filter(col("query_id") >= 0)
+          val floats = e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("__nvec"))
+          val qf = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))
+          short.select(col("query_id"),
+              explode(col("shortlist")).as("neighbor_id"))
+            .join(floats, "neighbor_id")
+            .join(broadcast(qf), "query_id")
+            .select(col("query_id"), col("neighbor_id"),
+              Similarity.cosine(col("__nvec"), col("qe")).as("cosine"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank").cast("int").as("rank"))
+            .orderBy(col("query_id"), col("rank"))
+        }
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        smp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+        thr AS (SELECT r.i,
+            list_reduce(list(CAST(s.embedding[r.i] AS DOUBLE) ORDER BY s.vec_id),
+              (x, y) -> x + y) / CAST(COUNT(*) AS DOUBLE) AS t
+          FROM smp s CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+        cbits AS (SELECT e.vec_id, CAST(SUM(
+            CASE WHEN CAST(e.embedding[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS code
+          FROM embeddings e CROSS JOIN thr GROUP BY e.vec_id),
+        qbits AS (SELECT qv.query_id, CAST(SUM(
+            CASE WHEN CAST(qv.qe[thr.i] AS DOUBLE) > thr.t
+              THEN CASE WHEN thr.i = 64 THEN -9223372036854775807::BIGINT - 1::BIGINT
+                ELSE 1::BIGINT << CAST(thr.i - 1 AS INT) END
+              ELSE 0::BIGINT END) AS BIGINT) AS qcode
+          FROM qv CROSS JOIN thr GROUP BY qv.query_id),
+        cent AS (SELECT embedding AS ce,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        ca AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+        qp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN cent c) WHERE rk <= 4),
+        seeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
+        cb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM seeds s CROSS JOIN range(0, 16) t(j)),
+        enc AS (SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(e.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM embeddings e CROSS JOIN cb) WHERE rk = 1),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        c50 AS (SELECT query_id, neighbor_id FROM (
+          SELECT qp.query_id, cb2.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY qp.query_id
+              ORDER BY bit_count(xor(cb2.code, qb.qcode)), cb2.vec_id) AS rk
+          FROM cbits cb2 JOIN ca ON ca.vec_id = cb2.vec_id
+          JOIN qp ON qp.cell = ca.cell AND cb2.vec_id <> qp.query_id
+          JOIN qbits qb ON qb.query_id = qp.query_id) WHERE rk <= 50),
+        pj AS (SELECT enc.vec_id, qv.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qv.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM enc JOIN cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN c50 ON c50.neighbor_id = enc.vec_id
+          JOIN qv ON qv.query_id = c50.query_id),
+        p0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM pj GROUP BY vec_id, query_id),
+        s20 AS (SELECT query_id, neighbor_id FROM (
+          SELECT p0.query_id, p0.neighbor_id, ROW_NUMBER() OVER (PARTITION BY p0.query_id
+            ORDER BY num / (sqrt(rn) * sqrt(qn.qnsq)) DESC, p0.neighbor_id) AS rk
+          FROM p0 JOIN qn ON qn.query_id = p0.query_id) WHERE rk <= 20),
+        x0 AS (SELECT s20.query_id, s20.neighbor_id,
+            list_reduce(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM s20 JOIN embeddings e ON e.vec_id = s20.neighbor_id
+          JOIN qv ON qv.query_id = s20.query_id),
+        f5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5)
+  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5
+  ORDER BY query_id, rank""")),
+
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
       (s, dir) => Dedup.tokenSetGroups(t(s, dir, "documents"), "text", "doc_id")

@@ -145,6 +145,21 @@ object Serving {
       .agg(tk(col("dist").cast("double"), lit(0L), col("neighbor_id"),
           col("pqcodes")).as("tk"),
         first(col("__qvec")).as("__qvec"))
+    adcShortlistMap(flushed, qIdCol, bcPq, shortK)
+  }
+
+  /** The stateless post-flush ADC shortlist shared by both streaming
+    * forms: per flushed (query, bounded top-coarseK, query vector)
+    * row, score the carried 16 B codes with LUTs derived on the spot
+    * — fold order identical to [[Pq.adcCosine]]'s column form — and
+    * cut to shortK in (cosine desc, id) order.
+    */
+  private def adcShortlistMap(
+      flushed: DataFrame, qIdCol: String,
+      bcPq: org.apache.spark.broadcast.Broadcast[Pq.Model],
+      shortK: Int): DataFrame = {
+    val spark = flushed.sparkSession
+    import spark.implicits._
     flushed.select(col(qIdCol), col("tk"), col("__qvec"))
       .as[(Long, Seq[graft.ops.TopKEntry], Array[Float])]
       .map { case (qid, entries, qv) =>
@@ -166,6 +181,61 @@ object Serving {
         (qid, short.map(_._2))
       }
       .toDF(qIdCol, "shortlist")
+  }
+
+  /** [[shortlistStream]]'s IVF-composed sibling — qs32's coarse tier
+    * on the stream: `index` is the STATIC prebuilt 32 B/row
+    * (idCol, cell, bincode, pqcodes) artifact, each micro-batch
+    * expands queries into their `nprobe` probed cells (one typed
+    * flatMap carrying the sign code and the query vector), and the
+    * candidate lookup is a stream-static EQUI-join on cell (the
+    * qst10 shape — prunable to the probed fraction, unlike the scan
+    * form's per-batch full scan). The popcount rank within the
+    * probed candidates is the same bounded windowed aggregate, the
+    * ADC shortlist the same stateless typed map, and the exact
+    * re-rank again belongs to the stateless edge downstream of the
+    * sink (qst13 composes it and pins the chain against qs32's batch
+    * oracle).
+    */
+  def shortlistStreamIvf(index: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, qVecCol: String, tsCol: String,
+      cells: Ivf.Model, thresholds: Array[Double], pq: Pq.Model,
+      coarseK: Int, shortK: Int, nprobe: Int,
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour")
+      : DataFrame = {
+    require(shortK <= coarseK,
+      s"need shortK <= coarseK, got $shortK / $coarseK")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcPq = spark.sparkContext.broadcast(pq)
+    val bcThr = spark.sparkContext.broadcast(thresholds)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val probed = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol), col(tsCol))
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .flatMap { case (qid, qv, ts) =>
+        val thr = bcThr.value
+        var bits = 0L
+        var i = 0
+        while (i < thr.length) {
+          if (qv(i).toDouble > thr(i)) bits |= (1L << i)
+          i += 1
+        }
+        bcCells.value.nearest(qv, nprobe).map(c => (qid, c, bits, qv, ts))
+      }
+      .toDF(qIdCol, "cell", "qbin", "__qvec", tsCol)
+    val tk = graft.ops.TopK.topK(coarseK)
+    val flushed = probed.withWatermark(tsCol, watermarkDelay)
+      .join(index, Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(tsCol), col("__qvec"),
+        col(idCol).as("neighbor_id"), col("pqcodes"),
+        bit_count(col("bincode").bitwiseXOR(col("qbin"))).as("dist"))
+      .groupBy(window(col(tsCol), windowDur), col(qIdCol))
+      .agg(tk(col("dist").cast("double"), lit(0L), col("neighbor_id"),
+          col("pqcodes")).as("tk"),
+        first(col("__qvec")).as("__qvec"))
+    adcShortlistMap(flushed, qIdCol, bcPq, shortK)
   }
 
   /** Binary-prefilter → ADC-shortlist → exact-re-rank top-k.

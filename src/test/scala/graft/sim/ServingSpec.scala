@@ -174,6 +174,64 @@ class ServingSpec extends SparkTestBase {
     }
   }
 
+  test("shortlistStreamIvf flushes exactly the IVF composite's stage-2 shortlist") {
+    // the stream ≡ batch pin for the cell-probed form: per query, the
+    // flushed shortlist must be twoStageTopKIvf's stage-2 survivors —
+    // the probe flatMap, the stream-static cell join, the bounded
+    // aggregate, and the typed ADC fold all reproducing the batch
+    // column arithmetic
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val cells = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val batch = Serving.twoStageTopKIvf(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", cells, thr, pq,
+        k = 20, coarseK = 50, shortK = 20, nprobe = 4)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val index = Ivf.assign(emb, "vec_id", "embedding", cells)
+      .select($"vec_id",
+        Similarity.signBits($"embedding", thr).as("bincode"),
+        Pq.codes($"embedding", pq).as("pqcodes"), $"cell")
+    val dir = java.nio.file.Files.createTempDirectory("shorti_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("shorti_ckpt")
+    try {
+      val sent = Seq((-1L, Array.fill(64)(0.0f))).toDF("query_id", "qe")
+        .select($"query_id", $"qe",
+          timestamp_micros(lit(4102444800000000L)).as("ts"))
+      queries.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .unionByName(sent).coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val stream = spark.readStream
+        .schema("query_id LONG, qe ARRAY<FLOAT>, ts TIMESTAMP")
+        .parquet(dir.toString)
+      val out = Serving.shortlistStreamIvf(index, stream, "vec_id",
+        "query_id", "qe", "ts", cells, thr, pq,
+        coarseK = 50, shortK = 20, nprobe = 4)
+      out.writeStream.format("memory").queryName("shorti_out")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val streamed = spark.table("shorti_out")
+        .filter($"query_id" >= 0)
+        .select($"query_id", $"shortlist")
+        .as[(Long, Seq[Long])].collect().toMap
+      spark.catalog.dropTempView("shorti_out")
+      assert(streamed.nonEmpty && streamed.keySet === batch.keySet)
+      streamed.foreach { case (q, ids) =>
+        assert(ids.toSet === batch(q),
+          s"query $q: streamed IVF shortlist diverges from batch stage 2")
+      }
+    } finally {
+      Seq(ckpt, dir).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("twoStageTopKIvf at nprobe = all cells degrades to the scan form exactly") {
     // probing every cell makes the probe a no-op filter, so the
     // IVF-composed coarse tier must rank the identical candidate pool

@@ -82,6 +82,25 @@ class UrlsSpec extends SparkTestBase {
       "junk canonicalization must be deterministic")
   }
 
+  test("registrableDomains is total on junk input") {
+    // the join form must be as junk-proof as the column form: no
+    // scheme, empty host, bare dots, userinfo only, giant ports —
+    // every row comes back exactly once with SOME domain, never a
+    // throw and never a dropped or duplicated row
+    val junk = Seq((1L, ""), (2L, "not a url"), (3L, "https://"),
+      (4L, "https://..."), (5L, "ftp://u@:9/x"), (6L, "https://@"),
+      (7L, "http://:80"), (8L, "https://a..b..c/x#f#g"),
+      (9L, "https://x.github.io:99999999/p?"))
+      .toDF("id", "url")
+    val out = Urls.registrableDomains(junk, "url", "domain",
+        Urls.pslTable(spark))
+      .select($"id", $"domain").as[(Long, String)].collect()
+    assert(out.length === 9, "one output row per input row, always")
+    assert(out.map(_._1).toSet === (1L to 9L).toSet)
+    val m = out.toMap
+    assert(m(9L) === "x.github.io", "PSL hit must survive a junk port")
+  }
+
   test("userinfo and trailing host dot are transport noise") {
     val out = canon(
       // userinfo stripped before the www./port rules so they apply
