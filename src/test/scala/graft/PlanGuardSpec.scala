@@ -119,11 +119,17 @@ class PlanGuardSpec extends SparkTestBase {
           .select(col("vec_id"), Pq.codes(col("embedding"), pq).as("codes"),
             col("cell")),
         emb.filter(col("vec_id") % 8 === 3).select(col("vec_id")),
-        queries, "vec_id", "query_id", "qe", cells, pq, k = 3, nprobe = 2)
-      // (Serving.twoStageTopK is deliberately absent: its stage-1
-      // popcount scan IS a broadcast-nested-loop over the 8-byte code
-      // column by design — the qs26 coarse-filter shape; stages 2-3
-      // are id equi-joins)
+        queries, "vec_id", "query_id", "qe", cells, pq, k = 3, nprobe = 2),
+      // the IVF-composed two-stage form has NO quadratic-join
+      // exemption: its coarse tier is the cell equi-join + bounded
+      // aggregate end-to-end. (Serving.twoStageTopK — the SCAN form —
+      // is deliberately absent: its stage-1 popcount scan IS a
+      // broadcast-nested-loop over the 8-byte code column by design,
+      // the qs26 coarse-filter shape; stages 2-3 are id equi-joins)
+      "twoStageTopKIvf" -> graft.sim.Serving.twoStageTopKIvf(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", cells,
+        graft.sim.Similarity.signThresholds(emb, "vec_id", "embedding"),
+        pq, k = 3, coarseK = 10, shortK = 5, nprobe = 2)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 }
