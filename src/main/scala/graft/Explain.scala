@@ -112,7 +112,10 @@ object Explain {
         // the IVF-composed two-stage form must stay a cell equi-join
         // end-to-end — zero Cartesian/NLJ (ServingSpec pins it; here
         // the probe shape stays visible)
-        "qs32_two_stage_ivf")
+        "qs32_two_stage_ivf",
+        // the conjoined release verdict must keep both halves' subtrees
+        // doc-keyed (no corpus-sized build side on either arm)
+        "qx11_full_release")
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()

@@ -2855,6 +2855,11 @@ object DataOpsQueries {
               Similarity.signBits(col("embedding"), thr).as("bincode"),
               graft.sim.Pq.codes(col("embedding"), pq).as("pqcodes"),
               col("cell"))
+            // one file per cell dir (the Compact one-file policy):
+            // without this each scan partition writes a file into
+            // EVERY cell dir and the read-back/compaction pays ~32x
+            // the file-count in open+footer cost
+            .repartition(col("cell"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("compression", "zstd")
             .partitionBy("cell").parquet(s"$tmp/index")
@@ -3416,6 +3421,134 @@ object DataOpsQueries {
         FROM b LEFT JOIN r ON r.doc_id = b.doc_id
         JOIN sc ON sc.doc_id = b.doc_id
         ORDER BY b.doc_id""")),
+
+    // ---- FULL release verdict (qx11): the content half (qx4 —
+    // boilerplate-clean -> exact dedup -> n-gram decontamination) AND
+    // the provenance half (qx10 — canonical URL -> URL dedup ->
+    // blocklist -> per-domain cap -> quality floor) conjoined per doc
+    // in ONE lazy plan: keep = content_keep AND provenance_keep. A
+    // release pipeline runs BOTH families — a page can be clean text
+    // from a capped-out domain, or a blocklist survivor that is a
+    // near-verbatim eval leak — and the verdicts are independent
+    // subtrees joined doc-keyed, so neither side's aggregates see the
+    // other's corpus-sized intermediates. Every arm trips at sf0.01:
+    // 451 content keeps ∧ 57 provenance keeps → 44 releases (the
+    // conjunction genuinely rejects 13 provenance survivors). ----
+    QueryDef("qx11_full_release",
+      (s, dir) => {
+        // content half — qx4's chain (cleaned persisted: three
+        // consumers, the qd7 no-exchange-reuse class)
+        val cleaned = graft.text.Boilerplate.removeBoilerplate(
+            t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
+          .withColumn("split",
+            TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val ann = Dedup.exactDupAnnotate(cleaned, "clean_text", "doc_id")
+        val cont = graft.text.Decontaminate.contaminated(
+            cleaned.filter(col("split") === "train"),
+            cleaned.filter(col("split") === "eval"),
+            "clean_text", "doc_id", n = 8)
+        val content = ann.join(cont, ann("doc_id") === cont("train_id"), "left")
+          .select(col("doc_id"),
+            (col("split") === "train" && col("doc_id") === col("canonical_id") &&
+              coalesce(col("n_shared_grams"), lit(0L)) === 0 &&
+              col("clean_text") =!= "").as("content_keep"))
+        // provenance half — qx10's chain
+        val blocklist = Seq("site12.com", "site26.co.uk")
+        val dom = graft.text.Urls.registrableDomains(
+            urlsFromDocs(s, dir, pathMod = 120), "url", "domain",
+            graft.text.Urls.pslTable(s))
+          .select(col("doc_id"), col("domain"),
+            graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+          .withColumn("blocked", col("domain").isin(blocklist: _*))
+        val reps = dom.groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        val pAnn = dom.join(reps, "canonical_url")
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+        val inCap = graft.text.Urls.domainCap(
+            pAnn.filter(col("is_canonical") && !col("blocked"))
+              .select(col("doc_id"), col("domain")),
+            "doc_id", "domain", cap = 2)
+          .select(col("doc_id"), col("keep").as("in_cap"))
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          TextOps.hashedClassifierScore(col("text"),
+            TextOps.stubQualityWeights()).as("score"))
+        val prov = pAnn.join(inCap, Seq("doc_id"), "left")
+          .join(scored, "doc_id")
+          .select(col("doc_id"),
+            (col("is_canonical") && !col("blocked") &&
+              coalesce(col("in_cap"), lit(false)) &&
+              col("score") >= -0.08).as("provenance_keep"))
+        content.join(prov, "doc_id")
+          .select(col("doc_id"), col("content_keep"), col("provenance_keep"),
+            (col("content_keep") && col("provenance_keep")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes,
+        b AS (SELECT doc_id, domain, canonical_url,
+            MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+            list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
+          FROM dom),
+        r AS (SELECT doc_id, (rk <= 2) AS in_cap FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              doc_id) AS rk
+          FROM b WHERE doc_id = canonical_id AND NOT blocked)),
+        tx AS (SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        sc AS (SELECT doc_id,
+            list_reduce(list_transform(toks,
+              t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
+                   / 997.0 - 0.5),
+              (x, y) -> x + y) / len(toks) AS score
+          FROM tx),
+        d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
+          FROM d),
+        useg AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
+        e AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM useg),
+        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
+        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
+        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h),
+        cl AS (SELECT doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS n_dropped,
+          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+          FROM j GROUP BY doc_id),
+        sp AS (SELECT cl.*,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM cl),
+        can AS (SELECT sp.*,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))))) AS canonical_id
+          FROM sp),
+        ct AS (SELECT doc_id, split,
+          string_split(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))), ' ') AS ctoks
+          FROM sp),
+        g8 AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(generate_series(1, len(ctoks) - 7),
+              i -> ('0x' || substr(md5(array_to_string(ctoks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
+          FROM ct WHERE len(ctoks) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval'),
+        sh AS (SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM g8 t JOIN eg ON eg.g = t.g WHERE t.split = 'train'
+          GROUP BY t.doc_id),
+        content AS (SELECT cn.doc_id,
+          (cn.split = 'train' AND cn.doc_id = cn.canonical_id
+            AND COALESCE(sh.n_shared, 0) = 0 AND cn.clean_text <> '') AS content_keep
+          FROM can cn LEFT JOIN sh ON sh.doc_id = cn.doc_id),
+        prov AS (SELECT b.doc_id,
+          ((b.doc_id = b.canonical_id) AND NOT b.blocked
+            AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS provenance_keep
+          FROM b LEFT JOIN r ON r.doc_id = b.doc_id
+          JOIN sc ON sc.doc_id = b.doc_id)
+        SELECT content.doc_id, content_keep, provenance_keep,
+          (content_keep AND provenance_keep) AS keep
+        FROM content JOIN prov ON prov.doc_id = content.doc_id
+        ORDER BY content.doc_id""")),
 
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
