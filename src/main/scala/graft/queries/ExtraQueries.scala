@@ -535,6 +535,11 @@ object ExtraQueries {
             .select(col("vec_id"),
               graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
               col("cell"))
+            // one file per cell dir (the Compact one-file policy):
+            // without this each scan partition writes a file into
+            // EVERY cell dir and the read-back/compaction pays ~32x
+            // the file-count in open+footer cost
+            .repartition(col("cell"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("compression", "zstd")
             .partitionBy("cell").parquet(s"$tmp/index")
@@ -644,6 +649,11 @@ object ExtraQueries {
             .select(col("vec_id"),
               graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
               col("cell"))
+            // one file per cell dir (the Compact one-file policy):
+            // without this each scan partition writes a file into
+            // EVERY cell dir and the read-back/compaction pays ~32x
+            // the file-count in open+footer cost
+            .repartition(col("cell"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("compression", "zstd")
             .partitionBy("cell").parquet(lake)

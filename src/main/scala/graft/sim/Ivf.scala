@@ -287,7 +287,10 @@ object Ivf {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      kept.write.mode(SaveMode.Overwrite)
+      // one output file per rewritten cell — the Compact policy; the
+      // slice was read from many small files, the rewrite heals that
+      kept.repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd")
         .partitionBy("cell").parquet(indexRoot)
     } finally {
