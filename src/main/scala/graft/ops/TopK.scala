@@ -36,6 +36,18 @@ case class TopKEntry(v: Double, w: Long, id: Long, pay: Seq[Int])
   * k-th entry (the common miss path allocates nothing); an insert is
   * an O(k) array rebuild, which only happens while the row still
   * belongs to the running top-k.
+  *
+  * Physical note: a typed Aggregator plans as ObjectHashAggregate,
+  * which falls back to SORT-based object aggregation once a task sees
+  * more than `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * groups (default 128 — domain-cardinality consumers like
+  * [[graft.text.Urls.domainCap]] cross it immediately). The fallback
+  * keeps the contract that matters: partials are still folded per
+  * task and the exchange still carries k-bounded buffers, never input
+  * rows — the cost is one task-local, spillable sort by GROUP key
+  * (not a within-group rank, so a hot group still never lands on one
+  * task). Raise the threshold when group counts per task are modest
+  * and profiling shows the fallback sort dominating.
   */
 class BoundedTopK(k: Int)
     extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
