@@ -2556,8 +2556,12 @@ object DataOpsQueries {
     // the 0.8 ceiling exactly, the property ServingSpec pins). The
     // knobs are explicit and every stage's quality has its own driver
     // row. At 100 TB the scan side carries 24 B/row (8 B sign code +
-    // 16 B PQ code, built in ONE corpus pass), and full vectors are
-    // fetched for exactly k·|Q| ids. Oracle: qs26's cbits/qbits chain
+    // 16 B PQ code, built in ONE corpus pass), stage 1's rank is the
+    // bounded top-k aggregate (ops/TopK — map-side combine, no
+    // window, no corpus-wide sort; ServingSpec pins the plan), and
+    // full vectors are fetched for exactly k·|Q| ids. qs32 composes
+    // the same tiers INSIDE the IVF probe — the deployable variant
+    // (recall 0.775 vs this scan form's 0.65). Oracle: qs26's cbits/qbits chain
     // → candidate CTE → qs24's enc/ADC fold restricted to candidates
     // → an exact-cosine tail over the shortlist. ----
     QueryDef("qs29_two_stage",

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * dominates the training mix.
   *
   * Everything is built from codegen'd Spark built-ins (regexp /
-  * array HOFs) — no UDF — and every rule is mirrored exactly by the
-  * DuckDB oracles (qt26/qt27), so the canonical key is engine-portable
-  * the way every other fingerprint in this repo is.
+  * array HOFs) — no UDF; the one join is the KB-sized public-suffix
+  * broadcast lookup — and every rule (plus the PSL table itself) is
+  * mirrored exactly by the DuckDB oracles (qt26-qt31, qx10/qx11), so
+  * the canonical key is engine-portable the way every other
+  * fingerprint in this repo is.
   */
 object Urls {
 
