@@ -83,6 +83,41 @@ class TopKSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
   }
 
+  test("randomized: any reduce/merge tree equals global sort.take(k)") {
+    // the aggregate's exactness claim as an executable property: for
+    // random entries (with engineered key collisions), random k, a
+    // random partitioning into partial buffers, and a random-order
+    // merge of those partials, the finished buffer must equal the
+    // plain sorted prefix — the algebra Spark relies on when it
+    // combines map-side partials in arbitrary order. Pure object
+    // level: no Spark session, so the property runs hundreds of
+    // trees cheaply.
+    val rnd = new scala.util.Random(13131313L)
+    (1 to 300).foreach { trial =>
+      val n = 1 + rnd.nextInt(120)
+      val k = 1 + rnd.nextInt(12)
+      val agg = new BoundedTopK(k)
+      // small value domains force v/w ties so the id tiebreak works
+      val entries = (0 until n).map { i =>
+        TopKEntry(rnd.nextInt(4).toDouble, rnd.nextInt(3).toLong,
+          i.toLong, Seq(i))
+      }
+      // random partitioning into partial buffers
+      val parts = entries.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(8)))
+        .values.toList
+      val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      // random-order binary merge tree
+      var bufs = rnd.shuffle(partials)
+      while (bufs.size > 1) {
+        val merged = agg.merge(bufs.head, bufs(1))
+        bufs = rnd.shuffle(merged :: bufs.drop(2))
+      }
+      val got = agg.finish(bufs.headOption.getOrElse(agg.zero))
+      val want = entries.sortBy(e => (e.v, e.w, e.id)).take(k)
+      assert(got === want, s"trial $trial (n=$n, k=$k) diverged")
+    }
+  }
+
   test("result is invariant to input partitioning (merge order)") {
     val a = viaTopK(7).as[(Long, Long, Double, Long, Long, Seq[Int])]
       .collect().toSet
