@@ -115,6 +115,39 @@ object DataOpsQueries {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** Shared oracle CTE chain replaying the bundled BPE merge table
+    * ([[graft.text.Bpe.fixture]] — the SINGLE source of truth: the
+    * VALUES list below is generated from the same resource the engine
+    * encodes with) as a rank-ordered `replace` sweep over a
+    * delimiter-encoded token string: tokens joined by `||` and flanked
+    * by `|`, so replacing `|l||r|` with `|lr|` is one left-to-right
+    * non-overlapping BPE sweep (equivalent to canonical min-rank-first
+    * for a trainer-produced table — argument in Bpe.scala, equivalence
+    * pinned by BpeSpec). Terminates after exactly `merges.length`
+    * recursive steps (the rank join empties). Queries using it must
+    * open with `WITH RECURSIVE`. Exposes `bpe(doc_id, n_tok_bpe,
+    * bpe_s)` over the documents table.
+    */
+  private lazy val bpeCteSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val vals = graft.text.Bpe.fixture.merges.zipWithIndex.map {
+      case ((l, r), i) =>
+        s"($i,'${esc("|" + l + "||" + r + "|")}','${esc("|" + l + r + "|")}')"
+    }.mkString(",")
+    val nm = graft.text.Bpe.fixture.merges.length
+    s"""bpem(rk, pat, rep) AS (SELECT * FROM (VALUES $vals) v(rk, pat, rep)),
+      bpebase AS (SELECT doc_id, CASE WHEN $normSql = '' THEN ''
+          ELSE '|' || array_to_string(string_split($normSql, ''), '||') || '|' END AS s
+        FROM documents),
+      bpest AS (SELECT doc_id, s, 0 AS it FROM bpebase
+        UNION ALL
+        SELECT bpest.doc_id, replace(bpest.s, bpem.pat, bpem.rep), bpest.it + 1
+        FROM bpest JOIN bpem ON bpem.rk = bpest.it),
+      bpe AS (SELECT doc_id, CASE WHEN s = '' THEN 0
+          ELSE len(string_split(s, '||')) END AS n_tok_bpe, s AS bpe_s
+        FROM bpest WHERE it = $nm)"""
+  }
+
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
     * scheme/host case, userinfo, www, trailing host dots, https (:443
@@ -498,6 +531,7 @@ object DataOpsQueries {
           col("doc_id"),
           TextOps.tokenCountWs(txt).as("n_tok_ws"),
           TextOps.tokenCountRegex(txt).as("n_tok_re"),
+          graft.functions.BpeEncode.bpe_token_count(txt).as("n_tok_bpe"),
           length(txt).as("n_chars_raw"),
           TextOps.punctRatio(txt).as("punct_ratio"),
           TextOps.avgTokenLen(txt).as("avg_tok_len"),
@@ -505,15 +539,17 @@ object DataOpsQueries {
           TextOps.qualityScore(txt).as("quality"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, text, $normSql AS norm FROM documents),
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        d AS (SELECT doc_id, text, $normSql AS norm FROM documents),
         x AS (SELECT doc_id, text, norm,
           len(string_split(norm, ' ')) AS n_tok_ws,
           len(list_filter(string_split(norm, ' '),
             t -> list_contains(['the','a','of','and','to','is','in'], t))) AS n_stop
           FROM d)
-        SELECT doc_id,
+        SELECT x.doc_id,
           CAST(n_tok_ws AS INT) AS n_tok_ws,
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tok_re,
+          CAST(bpe.n_tok_bpe AS INT) AS n_tok_bpe,
           CAST(length(text) AS INT) AS n_chars_raw,
           (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
           length(replace(norm, ' ', '')) / n_tok_ws AS avg_tok_len,
@@ -521,7 +557,7 @@ object DataOpsQueries {
           ((n_stop / n_tok_ws) * 2.0 +
            (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text)) +
            least(n_tok_ws, 100) / 100.0) / 4.0 AS quality
-        FROM x ORDER BY doc_id""")),
+        FROM x JOIN bpe ON bpe.doc_id = x.doc_id ORDER BY x.doc_id""")),
 
     // ---- language ID heuristic (stopword markers + CJK codepoints) ----
     QueryDef("qt2_lang_id",
@@ -3320,6 +3356,119 @@ object DataOpsQueries {
         FROM bt LEFT JOIN lk ON lk.canonical_url = bt.canonical_url
         JOIN rp ON rp.canonical_url = bt.canonical_url
         ORDER BY bt.doc_id""")),
+
+    // ---- BPE tokenization (qt32): the REAL token denominator. A
+    // native codegen Expression (graft.functions.BpeEncode) encodes
+    // each document with the bundled 200-merge byte-level table
+    // (learned from the corpus by scripts/train_bpe.py) — min-rank-
+    // first BPE, O(n log n) heap form, riding the scan inside
+    // whole-stage codegen. The oracle replays the SAME resource as a
+    // rank-ordered replace-sweep recursive CTE (equivalence argument
+    // in Bpe.scala, pinned by BpeSpec). Whitespace counts shown
+    // alongside: on this corpus the 200-merge table lands at ~51.4
+    // BPE tokens/doc vs ~54.3 whitespace words (merges cross spaces,
+    // so frequent word+space units fuse) — and the gap is corpus-
+    // dependent, which is exactly why budgeting in "words" mis-sizes
+    // packing bins and mixture budgets: the two denominators drift
+    // apart document by document (chars_per_tok ~5.8 here, ~2-4 on
+    // real web text with a production vocab). ----
+    QueryDef("qt32_bpe_tokenize",
+      (s, dir) => {
+        val txt = col("text")
+        val nrm = TextOps.norm(txt)
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.BpeEncode.bpe_token_count(txt).as("n_tok_bpe"),
+          TextOps.tokenCountWs(txt).as("n_tok_ws"),
+          length(nrm).as("n_chars_norm"),
+          (length(nrm).cast("double") /
+            graft.functions.BpeEncode.bpe_token_count(txt).cast("double"))
+            .as("chars_per_tok"),
+          concat_ws(",", slice(
+            graft.functions.BpeEncode.bpe_tokens(txt), 1, 5)).as("head_toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        d AS (SELECT doc_id, $normSql AS nrm FROM documents)
+        SELECT d.doc_id,
+          CAST(bpe.n_tok_bpe AS INT) AS n_tok_bpe,
+          CAST(len(string_split(nrm, ' ')) AS INT) AS n_tok_ws,
+          CAST(length(nrm) AS INT) AS n_chars_norm,
+          CAST(length(nrm) AS DOUBLE) / CAST(bpe.n_tok_bpe AS DOUBLE) AS chars_per_tok,
+          array_to_string(string_split(trim(bpe.bpe_s, '|'), '||')[1:5], ',') AS head_toks
+        FROM d JOIN bpe ON bpe.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- BPE-denominated sequence packing (qt33): qt10's shard-local
+    // concat-then-chop bin assignment with the denominator the trainer
+    // actually consumes. Same Pack.packBins operator — the token-count
+    // column is a parameter — so the packing plan shape (one window
+    // per hash shard, no global sort) is unchanged; only the bin
+    // arithmetic moves from whitespace words to BPE tokens. ----
+    QueryDef("qt33_bpe_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.text.Pack.packBins(d, "doc_id",
+            graft.functions.BpeEncode.bpe_token_count(col("text")),
+            binTokens = 64, shards = 8)
+          .withColumn("n_tok", col("n_tok").cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        d AS (SELECT doc_id, CAST(n_tok_bpe AS BIGINT) AS n_tok,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM bpe),
+        sh AS (SELECT doc_id, n_tok, h, CAST(h % 8 AS INT) AS shard FROM d),
+        c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
+          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) AS bin,
+          CAST(cum - n_tok AS BIGINT)
+            - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
+        FROM c ORDER BY doc_id""")),
+
+    // ---- TOKEN-budget mixture targeting (qt34): qt22's language
+    // recipe re-denominated in BPE tokens — the form a trainer's data
+    // card actually specifies ("40% en BY TOKENS"). Stratum token
+    // totals -> binding total T = min(tok_g/w_g) -> per-stratum token
+    // budget least(floor(w_g*T), tok_g); documents fill each stratum's
+    // budget in salted-hash order, SHARD-LOCALLY (the qt10/Pack
+    // precedent: per-(stratum, shard) cumulative windows, budget split
+    // evenly across shards — no global sort, parallelism caller-
+    // chosen; a doc keeps iff its START offset is inside the shard
+    // budget, concat-then-chop semantics, so per-shard overshoot is
+    // bounded by one document). ----
+    QueryDef("qt34_mixture_tokens",
+      (s, dir) => graft.text.Mixture.mixtureKeepTokens(
+          t(s, dir, "documents"), "doc_id", "lang",
+          graft.functions.BpeEncode.bpe_token_count(col("text")),
+          Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1,
+            "fr" -> 0.1), shards = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        b AS (SELECT d.doc_id, d.lang, CAST(bpe.n_tok_bpe AS BIGINT) AS n_tok,
+            ('0x' || substr(md5('mixtok:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM documents d JOIN bpe ON bpe.doc_id = d.doc_id),
+        b2 AS (SELECT *, CAST(h % 8 AS INT) AS shard FROM b),
+        sh AS (SELECT lang, CAST(share AS DOUBLE) AS share
+          FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+            ('de', 0.1), ('fr', 0.1)) v(lang, share)),
+        sz AS (SELECT lang, SUM(n_tok) AS grp_tok FROM b2 GROUP BY lang),
+        tt AS (SELECT MIN(CAST(sz.grp_tok AS DOUBLE) / sh.share) AS mix_total
+          FROM sz JOIN sh ON sh.lang = sz.lang),
+        tg AS (SELECT sz.lang, sz.grp_tok,
+            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+              CAST(sz.grp_tok AS DOUBLE)) AS BIGINT) AS target_tok
+          FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt),
+        c AS (SELECT b2.*, SUM(n_tok) OVER (PARTITION BY b2.lang, b2.shard
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b2)
+        SELECT c.doc_id, c.lang, CAST(c.n_tok AS INT) AS n_tok,
+          CAST(tg.grp_tok AS INT) AS grp_tok,
+          CAST(tg.target_tok AS INT) AS target_tok, c.shard,
+          (c.cum - c.n_tok) <
+            CAST(FLOOR(CAST(tg.target_tok AS DOUBLE) / CAST(8 AS DOUBLE)) AS BIGINT) AS keep
+        FROM c JOIN tg ON tg.lang = c.lang ORDER BY c.doc_id""")),
 
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mixture targeting — the corpus-recipe step of a training-data
@@ -75,5 +76,74 @@ object Mixture {
         col("target_n").cast("int").as("target_n"),
         (TextOps.hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
           % col("grp_n") < col("target_n")).as("keep"))
+  }
+
+  /** TOKEN-budget mixture targeting — [[mixtureKeep]] re-denominated
+    * in the units a trainer's data card specifies ("40% en BY
+    * TOKENS"). `nTok` is any token-count column (the BPE count,
+    * [[graft.functions.BpeEncode.bpe_token_count]], is the honest
+    * one). Binding total T = min over g of tok_g / w_g; stratum g's
+    * token budget = least(floor(w_g·T), tok_g) (the same FP clamp as
+    * the count form).
+    *
+    * Because a token budget is filled by whole documents, hitting it
+    * needs an ORDER — and a global per-stratum cumulative sum is the
+    * unbounded-window shape this repo forbids. Instead the qt10/Pack
+    * treatment: documents hash into `shards` independent streams; each
+    * (stratum, shard) fills floor(budget/shards) tokens in salted
+    * (hash, id) order, a document keeping iff its START offset lies
+    * inside the shard budget (concat-then-chop semantics: per-shard
+    * overshoot is bounded by one document; per-shard windows are the
+    * caller-chosen parallelism, never a hot-key sort). Deterministic
+    * across runs and engines — no RNG, md5-derived order.
+    *
+    * Output: (idCol, groupCol, n_tok, grp_tok, target_tok, shard,
+    * keep), one row per document of a listed stratum.
+    */
+  def mixtureKeepTokens(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      nTok: Column,
+      shares: Seq[(String, Double)],
+      shards: Int = 32,
+      salt: String = "mixtok"): DataFrame = {
+    require(shares.nonEmpty, "shares must be non-empty")
+    require(shares.forall(_._2 > 0), "shares must be positive")
+    require(math.abs(shares.map(_._2).sum - 1.0) <= 1e-9,
+      s"shares must sum to 1, got ${shares.map(_._2).sum}")
+    require(shares.map(_._1).distinct.size == shares.size,
+      "duplicate stratum in shares")
+    require(shards > 0, "need positive shards")
+    val s = docs.sparkSession
+    import s.implicits._
+    val shareDf = shares.toDF(groupCol, "share")
+    val base = docs.select(col(idCol), col(groupCol),
+        nTok.cast("long").as("n_tok"),
+        TextOps.hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+          .as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    val sizes = base.groupBy(col(groupCol))
+      .agg(sum(col("n_tok")).as("grp_tok"))
+    val total = sizes.join(shareDf, groupCol)
+      .agg(min(col("grp_tok").cast("double") / col("share")).as("mix_total"))
+    val targets = sizes.join(shareDf, groupCol)
+      .crossJoin(broadcast(total))
+      .select(col(groupCol), col("grp_tok"),
+        least(floor(col("share") * col("mix_total")), col("grp_tok"))
+          .as("target_tok"))
+    val w = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(targets), Seq(groupCol))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col(idCol), col(groupCol),
+        col("n_tok").cast("int").as("n_tok"),
+        col("grp_tok").cast("int").as("grp_tok"),
+        col("target_tok").cast("int").as("target_tok"),
+        col("shard"),
+        ((col("cum") - col("n_tok")) <
+          floor(col("target_tok") / lit(shards.toDouble)).cast("long"))
+          .as("keep"))
   }
 }
