@@ -43,7 +43,72 @@ case class WordNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL variant: every word n-gram hash in sequence order, no
+  * dedup — element i is the hash of the gram starting at token i, so
+  * `posexplode` yields (position, hash) pairs. The anchor generator of
+  * exact-substring matching ([[graft.text.Decontaminate
+  * .longestSharedRun]]): consecutive shared positions on one diagonal
+  * chain into runs. Same normalization/hash contract as
+  * [[WordNgramHashes]] (the DuckDB twin is identical md5 arithmetic).
+  */
+case class WordNgramHashesPos(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramHashes.computePos(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordNgramHashes.computePos($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashesPos =
+    copy(child = newChild)
+}
+
 object WordNgramHashes {
+
+  /** Called from generated code: positional (all grams, in order). */
+  def computePos(text: UTF8String, n: Int): ArrayData = {
+    val normed = UTF8String
+      .fromString(text.toString.replaceAll("\\s+", " ").trim)
+      .toLowerCase.toString
+    if (normed.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val toks = normed.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var v = 0L
+      var k = 0
+      while (k < 15) {
+        val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xF else d(k >> 1) & 0xF
+        v = (v << 4) | nib
+        k += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def word_ngram_hashes_pos(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramHashesPos(ColumnBridge.expression(text), n))
 
   /** Called from generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {

@@ -107,4 +107,72 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)
   }
+
+  /** EXACT-substring decontamination — the suffix-array-class check the
+    * n-gram family approximates (cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": exact substring
+    * matching at a token threshold is the published standard for
+    * train/eval hygiene). For every (train, eval) document pair
+    * sharing any `anchor`-token run, reports the EXACT length of their
+    * longest shared token run — so "no shared substring ≥ W tokens"
+    * is enforced by `max_run_tok >= W` with `anchor <= W`, and the
+    * audit sees true overlap lengths, not a fixed-n yes/no.
+    *
+    * Bucketed anchor-and-extend — NEVER all-pairs, never a corpus
+    * sort: (1) POSITIONAL anchor grams ([[graft.functions
+    * .WordNgramHashesPos]], one codegen pass) on both sides; (2) the
+    * anchor equi-join (eval side benchmark-sized → broadcast by
+    * default; `broadcastEval = false` shuffles on the hash at lake
+    * scale) yields matches only — a shared run of length L ≥ anchor
+    * contains exactly L−anchor+1 consecutive shared anchors, and every
+    * shared anchor lies inside a shared run, so the join IS the
+    * candidate set, complete by construction; (3) runs are recovered
+    * relationally: along a diagonal d = tpos − epos, consecutive tpos
+    * values chain — the islands trick (tpos − row_number) groups them
+    * without any per-pair iteration, and each island of c anchors is a
+    * maximal shared run of c + anchor − 1 tokens. The row_number
+    * window is partitioned by (train, eval, diagonal) — bounded by a
+    * single document's gram count, never corpus-wide.
+    *
+    * Posting posture (why no hot-anchor cap): this is the decon
+    * family's EXACTNESS contract (qt9/qt13/qt15) — a capped anchor is
+    * a silent false negative, i.e. a leak. A ubiquitous anchor gram is
+    * by definition boilerplate; the pipeline order that bounds
+    * postings is boilerplate removal FIRST ([[Boilerplate
+    * .removeBoilerplate]], qt16), then decontamination — the same
+    * clean-then-check order qx4 pins. Anchors are trusted 60-bit md5
+    * hashes (the repo-wide fingerprint convention; pair-collision odds
+    * are ~n²/2⁶¹ — at 10⁹ grams, ~10⁻³ per corpus, and a collision
+    * only ever RAISES a run candidate, whose extension then requires
+    * every overlapping anchor to collide too).
+    *
+    * Output: one row per (train_id, eval_id) pair sharing ≥1 anchor:
+    * max_run_tok (exact longest shared run), n_runs (maximal runs),
+    * n_anchors (shared anchor count).
+    */
+  def longestSharedRun(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, anchor: Int = 5,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(anchor >= 1, s"anchor must be >= 1, got $anchor")
+    import org.apache.spark.sql.expressions.Window
+    val tg = spread(train).select(col(idCol).as("train_id"),
+      posexplode(WordNgramHashes.word_ngram_hashes_pos(col(textCol), anchor))
+        .as(Seq("tpos", "g")))
+    val eg = eval.select(col(idCol).as("eval_id"),
+      posexplode(WordNgramHashes.word_ngram_hashes_pos(col(textCol), anchor))
+        .as(Seq("epos", "g")))
+    val egSide = if (broadcastEval) broadcast(eg) else eg
+    val m = tg.join(egSide, "g")
+      .withColumn("diag", col("tpos") - col("epos"))
+    val w = Window.partitionBy(col("train_id"), col("eval_id"), col("diag"))
+      .orderBy(col("tpos"))
+    val runs = m
+      .withColumn("island", col("tpos") - row_number().over(w))
+      .groupBy(col("train_id"), col("eval_id"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("n_anchor"))
+    runs.groupBy(col("train_id"), col("eval_id"))
+      .agg((max(col("n_anchor")) + (anchor - 1)).cast("int").as("max_run_tok"),
+        count(lit(1)).cast("int").as("n_runs"),
+        sum(col("n_anchor")).cast("int").as("n_anchors"))
+  }
 }

@@ -26,6 +26,57 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out(1L) == 1L)
   }
 
+  test("longestSharedRun: exact run lengths, multiple maximal runs, negatives") {
+    // train doc 1 shares two DISJOINT runs with eval 100: a 7-token run
+    // (a1..a7) and a 5-token run (b1..b5); with anchor=4 both are found
+    // and measured exactly. train 2 shares nothing >= 4 tokens.
+    val run7 = doc("a1", "a2", "a3", "a4", "a5", "a6", "a7")
+    val run5 = doc("b1", "b2", "b3", "b4", "b5")
+    val train = Seq(
+      (1L, run7 + " xx yy " + run5 + " zz"),
+      (2L, doc("no", "overlap", "here", "at", "all", "whatsoever")),
+      (3L, run5)) // exact-length doc: the run IS the doc
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "pre " + run7 + " mid " + run5 + " post"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.longestSharedRun(train, eval_, "text", "doc_id",
+        anchor = 4)
+      .as[(Long, Long, Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // 7-token run -> 4 anchors; 5-token run -> 2 anchors
+    assert(out((1L, 100L)) === ((7, 2, 6)))
+    assert(out((3L, 100L)) === ((5, 1, 2)))
+    assert(!out.contains((2L, 100L)))
+  }
+
+  test("longestSharedRun: repeated tokens chain into one run, not many") {
+    // "w w w w w w" shared: every anchor matches every eval position of
+    // the same gram -> multiple diagonals; the LONGEST diagonal carries
+    // the true 6-token run. Also pins max-run selection among diagonals.
+    val rep = doc(Seq.fill(6)("w"): _*)
+    val train = Seq((1L, rep + " tail")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "head " + rep)).toDF("doc_id", "text")
+    val out = Decontaminate.longestSharedRun(train, eval_, "text", "doc_id",
+        anchor = 3)
+      .select($"max_run_tok").as[Int].collect()
+    assert(out.toSeq === Seq(6))
+  }
+
+  test("longestSharedRun: shuffle arm (broadcastEval=false) is identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("split",
+        TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+    val tr = docs.filter($"split" === "train")
+    val ev = docs.filter($"split" === "eval")
+    val a = Decontaminate.longestSharedRun(tr, ev, "text", "doc_id", 5)
+      .orderBy($"train_id", $"eval_id").collect().toSeq
+    val b = Decontaminate.longestSharedRun(tr, ev, "text", "doc_id", 5,
+        broadcastEval = false)
+      .orderBy($"train_id", $"eval_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("leakage-safe split: every member of a dup group lands in one split") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ann = graft.dedup.Dedup.exactDupAnnotate(docs, "text", "doc_id")
