@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * dominates the training mix.
   *
   * Everything is built from codegen'd Spark built-ins (regexp /
-  * array HOFs) — no UDF; the one join is the KB-sized public-suffix
-  * broadcast lookup — and every rule (plus the PSL table itself) is
-  * mirrored exactly by the DuckDB oracles (qt26-qt31, qx10/qx11), so
-  * the canonical key is engine-portable the way every other
-  * fingerprint in this repo is.
+  * array HOFs) — no UDF; the only joins are KB-sized public-suffix
+  * broadcast lookups — and every rule (plus the bundled PSL resource
+  * itself) is mirrored exactly by the DuckDB oracles (qt26-qt31,
+  * qx10/qx11, ql7), so the canonical key is engine-portable the way
+  * every other fingerprint in this repo is. Domain extraction comes
+  * in three forms, weakest to strongest: [[registrableDomain]] (pure
+  * label arithmetic, list-free), [[registrableDomains]] (the 2-label
+  * subset lookup kept for its pinned join shape), and
+  * [[registrableDomainsPsl]] (the FULL publicsuffix.org algorithm
+  * over the bundled ~880-rule resource — the production form the
+  * driver queries use).
   */
 object Urls {
 
@@ -40,9 +46,9 @@ object Urls {
     * real crawl hits (github.io et al — under these, each USER SITE is
     * its own registrable domain; collapsing them to the suffix would
     * let one hosting provider eat the whole per-domain cap). 2-label
-    * entries only, lowercase. Production swaps in the full list
-    * through the same `(suffix)` table — the lookup shape
-    * ([[registrableDomains]]' broadcast join) is what this pins;
+    * entries only, lowercase. This is the LEGACY subset form — it
+    * pins the one-join broadcast lookup shape; production is
+    * [[registrableDomainsPsl]] over the bundled full-format resource;
     * [[SecondLevelLabels]] stays as the fallback for unlisted TLDs.
     */
   val PslSubset: Seq[String] = Seq(
@@ -113,7 +119,7 @@ object Urls {
     * heuristic form: last two host labels, or last three when the
     * second-to-last is a [[SecondLevelLabels]] registry under a short
     * (≤3 chars) TLD. Kept as the documented fallback (and for
-    * list-free callers); [[registrableDomains]] is the production
+    * list-free callers); [[registrableDomainsPsl]] is the production
     * form — the heuristic cannot know that e.g. github.io is a
     * registry suffix, so it collapses every *.github.io user site
     * into one domain.
@@ -164,6 +170,114 @@ object Urls {
       .drop("__psl_probe", "__psl_sfx", "__psl_hit")
   }
 
+  /** One pivoted public-suffix entry: `key` is the rule's label suffix
+    * (for a wildcard rule `*.key`, the TAIL after `*.`; for an
+    * exception rule `!key`, the labels after `!`), and the booleans
+    * say which rule kinds exist for that key. Pivoting lets one
+    * broadcast lookup per probe length answer all three kinds.
+    */
+  final case class PslRule(key: String, hasPlain: Boolean,
+      hasWild: Boolean, hasExc: Boolean)
+
+  /** Parse a public-suffix list in the REAL publicsuffix.org format:
+    * one rule per line, `//` comments, blank lines, `*.` wildcard
+    * rules (the `*` matches exactly one label) and `!` exception
+    * rules (override a wildcard; their public suffix is the rule
+    * minus its leftmost label). Keys are lowercased and pivoted by
+    * kind; order is input order (first occurrence) — deterministic.
+    */
+  def parsePsl(lines: Iterator[String]): Seq[PslRule] = {
+    val plain = scala.collection.mutable.LinkedHashSet.empty[String]
+    val wild = scala.collection.mutable.LinkedHashSet.empty[String]
+    val exc = scala.collection.mutable.LinkedHashSet.empty[String]
+    lines.map(_.trim.toLowerCase).filter(l => l.nonEmpty && !l.startsWith("//"))
+      .foreach { l =>
+        if (l.startsWith("!")) exc += l.substring(1)
+        else if (l.startsWith("*.")) wild += l.substring(2)
+        else plain += l
+      }
+    val keys = (plain.toSeq ++ wild.toSeq ++ exc.toSeq).distinct
+    keys.map(k => PslRule(k, plain(k), wild(k), exc(k)))
+  }
+
+  /** The bundled public-suffix table — a genuine ~880-rule subset of
+    * publicsuffix.org in the list's real format (incl. wildcard and
+    * exception rules; see the resource header), parsed once per JVM.
+    * Production swaps in the full downloaded file unchanged — the
+    * parser and [[registrableDomainsPsl]] implement the complete
+    * format and prevailing-rule semantics.
+    */
+  lazy val bundledPsl: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/graft/psl/public_suffix_subset.dat")
+    require(in != null, "missing bundled public-suffix resource")
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** The FULL public-suffix algorithm (publicsuffix.org semantics)
+    * over a parsed rule set — the production registrable-domain
+    * extractor. Prevailing rule: any matching exception rule first
+    * (longest), else the longest matching plain-or-wildcard rule,
+    * else the implicit `*` (the bare TLD is the public suffix). The
+    * registrable domain is the public suffix plus one label; a host
+    * that IS a public suffix maps to itself (degenerate but total —
+    * curation keys must be non-null).
+    *
+    * Scale shape: one broadcast lookup join per probe length (the
+    * rule set is KBs pivoted by key — max rule length is 3 labels in
+    * the bundled subset, so 3 map-side hash probes per row, no
+    * corpus shuffle, no UDF); the match flags fold into the
+    * public-suffix length with one when/greatest chain riding the
+    * scan. Swapping the rule file only changes the broadcast content
+    * (and `maxK` if a longer rule appears — derived from the rules).
+    */
+  def registrableDomainsPsl(df: DataFrame, urlCol: String, outCol: String,
+      rules: Seq[PslRule] = bundledPsl): DataFrame = {
+    require(rules.nonEmpty, "empty public-suffix rule set")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxK = rules.map(_.key.count(_ == '.') + 1).max
+    val lookup = rules.map(r => (r.key, r.hasPlain, r.hasWild, r.hasExc))
+      .toDF("key", "has_plain", "has_wild", "has_exc")
+    // the FULL host, port stripped but `www.` KEPT: unlike the
+    // canonical-key rules (where www is transport noise), the PSL
+    // algorithm must see every label — for host www.ck the `www` IS
+    // the registrable label (the !www.ck exception), and stripping it
+    // first would resolve to the bare suffix
+    val labels = split(
+      regexp_replace(lower(authority(col(urlCol))), ":[0-9]+$", ""), "\\.")
+    val n = size(labels)
+    var out = df
+    for (k <- 1 to maxK) {
+      out = out
+        .withColumn(s"__psl_p$k",
+          when(n >= k, concat_ws(".", slice(labels, -k, k))))
+        .join(broadcast(lookup.select(col("key").as(s"__psl_k$k"),
+            col("has_plain").as(s"__psl_pl$k"),
+            col("has_wild").as(s"__psl_w$k"),
+            col("has_exc").as(s"__psl_e$k"))),
+          col(s"__psl_p$k") === col(s"__psl_k$k"), "left")
+    }
+    // exception rules prevail, longest first; their public suffix is
+    // the rule minus its leftmost label
+    var excPs: Column = lit(null).cast("int")
+    for (k <- 1 to maxK)
+      excPs = when(col(s"__psl_e$k"), lit(k - 1)).otherwise(excPs)
+    // plain rule of k labels covers k; wildcard tail of k labels
+    // covers k+1 but needs the host to HAVE that extra label
+    val cands = (1 to maxK).map(k =>
+      when(col(s"__psl_pl$k"), lit(k)).otherwise(lit(1))) ++
+      (1 to maxK).map(k =>
+        when(col(s"__psl_w$k") && n >= k + 1, lit(k + 1)).otherwise(lit(1)))
+    val ps = coalesce(excPs, greatest(cands :+ (lit(1): Column): _*))
+    val dropCols = (1 to maxK).flatMap(k => Seq(s"__psl_p$k", s"__psl_k$k",
+      s"__psl_pl$k", s"__psl_w$k", s"__psl_e$k"))
+    out.withColumn(outCol,
+        when(n > ps, concat_ws(".", slice(labels, -(ps + lit(1)), ps + lit(1))))
+          .otherwise(concat_ws(".", labels)))
+      .drop(dropCols: _*)
+  }
+
   /** Exact per-domain volume cap: keep at most `cap` docs per domain,
     * chosen by salted deterministic hash order (ties by id) — no RNG,
     * reproducible across runs and engines, and decorrelated from the
@@ -190,6 +304,15 @@ object Urls {
     * Window). When an EXPECTED rate per domain suffices,
     * [[TextOps.stratifiedKeep]]'s map-only hash threshold remains the
     * cheaper tool.
+    *
+    * CALLER-OWNED CACHE CONTRACT (the Dedup.minhashPairs convention):
+    * `docs` is consumed TWICE — the threshold aggregate and the
+    * join-back each re-execute the upstream plan. The two-pass shape
+    * is the honest price of an exact cap without a hot-domain sort;
+    * when `docs` is anything more expensive than a pruned scan
+    * (qx10/qx11 feed it an already-reduced canonical-rep projection),
+    * persist it first or pay the upstream twice. See SCALING.md
+    * "two-pass operators".
     */
   def domainCap(docs: DataFrame, idCol: String, domainCol: String,
       cap: Int): DataFrame = {

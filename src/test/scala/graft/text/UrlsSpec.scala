@@ -163,6 +163,71 @@ class UrlsSpec extends SparkTestBase {
       s"PSL lookup must not shuffle the corpus:\n$plan")
   }
 
+  test("registrableDomainsPsl: full algorithm — wildcards, exceptions, 3-label rules") {
+    val df = Seq(
+      (1L, "https://alice.github.io/p"),          // private-section 2-label rule
+      (2L, "https://www.news.bob.github.io/p"),   // subdomained user site
+      (3L, "https://news.site.co.uk/p"),          // ccTLD registry rule
+      (4L, "https://a.b.site.com/p"),             // plain TLD -> last 2
+      (5L, "https://school.k12.ak.us/p"),         // 3-label plain rule
+      (6L, "https://www.shop.example.ck/p"),      // *.ck wildcard: example.ck is the suffix
+      (7L, "https://www.ck/p"),                   // !www.ck exception: registrable = www.ck
+      (8L, "https://sub.www.ck/p"),               // under the exception domain
+      (9L, "https://ward.city.kawasaki.jp/p"),    // !city.kawasaki.jp exception
+      (10L, "https://hospital.ward.kawasaki.jp/p"), // *.kawasaki.jp wildcard
+      (11L, "https://example.ck/p"),              // host IS a (wildcard) public suffix
+      (12L, "https://site.zz/p"))                 // unlisted TLD -> implicit *
+      .toDF("id", "url")
+    val out = Urls.registrableDomainsPsl(df, "url", "domain")
+      .select($"id", $"domain").as[(Long, String)].collect().toMap
+    assert(out(1L) === "alice.github.io")
+    assert(out(2L) === "bob.github.io")
+    assert(out(3L) === "site.co.uk")
+    assert(out(4L) === "site.com")
+    assert(out(5L) === "school.k12.ak.us")
+    assert(out(6L) === "shop.example.ck",
+      "the wildcard consumes one label: example.ck is the public suffix")
+    assert(out(7L) === "www.ck", "the exception rule carves www.ck back out")
+    assert(out(8L) === "www.ck")
+    assert(out(9L) === "city.kawasaki.jp")
+    assert(out(10L) === "hospital.ward.kawasaki.jp",
+      "wildcard suffix = ward.kawasaki.jp; registrable adds one label")
+    assert(out(11L) === "example.ck",
+      "a host that IS a public suffix maps to itself (total, non-null)")
+    assert(out(12L) === "site.zz", "implicit * rule: unlisted TLD is the suffix")
+  }
+
+  test("registrableDomainsPsl: total on junk, broadcast-only plan") {
+    val junk = Seq((1L, ""), (2L, "not a url"), (3L, "https://"),
+      (4L, "https://..."), (5L, "ftp://u@:9/x"), (6L, "https://@"),
+      (7L, "http://:80"), (8L, "https://a..b..c/x#f#g"),
+      (9L, "https://x.github.io:99999999/p?"))
+      .toDF("id", "url")
+    val out = Urls.registrableDomainsPsl(junk, "url", "domain")
+      .select($"id", $"domain").as[(Long, String)].collect()
+    assert(out.length === 9, "one output row per input row, always")
+    assert(out.toMap.apply(9L) === "x.github.io")
+    val plan = Urls.registrableDomainsPsl(
+        (0L until 50L).map(i => (i, s"https://s$i.github.io/x")).toDF("id", "url"),
+        "url", "domain")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"PSL lookup must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"PSL lookup must not shuffle the corpus:\n$plan")
+  }
+
+  test("parsePsl: real-format parsing (comments, wildcards, exceptions, pivot)") {
+    val rules = Urls.parsePsl(Iterator(
+      "// comment", "", "com", "co.uk", "*.ck", "!www.ck", "CO.JP"))
+    val m = rules.map(r => r.key -> r).toMap
+    assert(m("com").hasPlain && !m("com").hasWild && !m("com").hasExc)
+    assert(m("ck").hasWild && !m("ck").hasPlain)
+    assert(m("www.ck").hasExc)
+    assert(m("co.jp").hasPlain, "keys are lowercased")
+    assert(Urls.bundledPsl.size > 800, "the bundled subset is the big table")
+    assert(Urls.bundledPsl.exists(_.hasWild) && Urls.bundledPsl.exists(_.hasExc))
+  }
+
   test("domainCap: exactly min(cap, n) keeps per domain, deterministic") {
     val docs = (0L until 30L).map(i => (i, s"dom${i % 3}.com"))
       .toDF("doc_id", "domain")
