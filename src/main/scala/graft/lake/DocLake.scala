@@ -1,0 +1,106 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental maintenance of a canonical-key document lake — the
+  * corpus-side twin of the index lake's tombstone fold
+  * ([[graft.sim.Ivf.compactTombstones]]): a crawl produces daily
+  * arrival batches whose verdicts (qt31's incremental URL dedup) must
+  * be FOLDED into the stored corpus, not just reported. Two cases:
+  * a batch key already in the lake is a RECRAWL — its lake row is
+  * refreshed in place (update columns from the batch; identity and
+  * partition residence keep their lake values); a new key APPENDS.
+  *
+  * Scale shape (the ql3/ql6 discipline on the doc lake): affected-
+  * partition discovery is one projection-pruned (key, partition) scan
+  * joined against the broadcast batch keys (the batch is day-sized,
+  * the lake is the corpus — never the other way around); only the
+  * affected hive partitions are re-read (explicit paths = partition
+  * pruning) and rewritten via dynamic partition overwrite; untouched
+  * partitions are never opened for write. Appends go to their own
+  * partitions as plain appends — except appends landing in a
+  * partition being rewritten anyway, which ride the overwrite (two
+  * writers to one partition would race the overwrite's delete).
+  *
+  * Lake invariant (caller-owned): one row per key — the initial lake
+  * and every batch are canonical REPRESENTATIVES (qt30's min-doc_id
+  * reps), so the refresh join is 1:1.
+  */
+object DocLake {
+
+  /** Fold `batch` into the lake at `lakeRoot` (hive-partitioned by
+    * `partCol`). `batch` carries the full lake schema; on refresh only
+    * `updateCols` are taken from the batch — every other column,
+    * including `partCol` (stable residence: a recrawl must not
+    * migrate a row between partitions), keeps its lake value. New
+    * keys append with their batch row as-is.
+    * Returns (nRefreshed, nAppended).
+    */
+  def refreshAndAppend(spark: SparkSession, lakeRoot: String,
+      batch: DataFrame, keyCol: String, partCol: String,
+      updateCols: Seq[String]): (Long, Long) = {
+    require(updateCols.nonEmpty, "refresh with no update columns is a no-op")
+    require(!updateCols.contains(partCol) && !updateCols.contains(keyCol),
+      "key and partition columns are lake-identity, not updatable")
+    val lk = spark.read.parquet(lakeRoot)
+    val cols = lk.columns.toSeq
+    val batchKeys = batch.select(col(keyCol))
+    // appends read the lake (anti join on its pruned key column) —
+    // materialize BEFORE the overwrite invalidates the file listing
+    val appends = batch
+      .join(lk.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(cols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAppend = appends.count()
+    // affected partitions: pruned (key, part) scan x broadcast batch keys
+    val affected = lk.select(col(keyCol), col(partCol))
+      .join(broadcast(batchKeys), Seq(keyCol))
+      .select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
+    var nRefresh = 0L
+    if (affected.nonEmpty) {
+      val paths = affected.map(p => s"$lakeRoot/$partCol=$p")
+      val slice = spark.read.option("basePath", lakeRoot)
+        .parquet(paths.toSeq: _*)
+      val upd = batch.select((keyCol +: updateCols).map(c =>
+        col(c).as(s"__b_$c")): _*)
+      val refreshed = slice
+        .join(broadcast(upd), col(keyCol) === col(s"__b_$keyCol"))
+        .select(cols.map(c =>
+          (if (updateCols.contains(c)) col(s"__b_$c") else col(c)).as(c)): _*)
+      nRefresh = refreshed.count()
+      val untouched = slice
+        .join(broadcast(batchKeys), Seq(keyCol), "left_anti")
+        .select(cols.map(col): _*)
+      val ridingAppends = appends
+        .filter(col(partCol).isin(affected.toSeq: _*))
+      val writeSet = untouched.unionByName(refreshed)
+        .unionByName(ridingAppends)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        writeSet.repartition(col(partCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(partCol).parquet(lakeRoot)
+      } finally {
+        prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    }
+    val freshAppends = appends
+      .filter(!col(partCol).isin(affected.toSeq: _*))
+    if (!freshAppends.isEmpty) {
+      freshAppends.repartition(col(partCol))
+        .write.mode(SaveMode.Append)
+        .partitionBy(partCol).parquet(lakeRoot)
+    }
+    appends.unpersist()
+    (nRefresh, nAppend)
+  }
+}

@@ -214,21 +214,27 @@ object DataOpsQueries {
       (CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END) AS url
     FROM documents"""
 
-  /** graft.text.Urls.PslSubset as a DuckDB VALUES table body —
-    * identical list, so the oracle's suffix lookup IS the engine's.
+  /** graft.text.Urls.bundledPsl (the parsed resource — SINGLE source
+    * of truth with the engine) as a pivoted DuckDB VALUES table body:
+    * (key, has_plain, has_wild, has_exc).
     */
-  private val pslValuesSql = graft.text.Urls.PslSubset
-    .map(sfx => s"('$sfx')").mkString(", ")
+  private lazy val pslRulesValuesSql = graft.text.Urls.bundledPsl
+    .map(r => s"('${r.key}',${r.hasPlain},${r.hasWild},${r.hasExc})")
+    .mkString(",")
 
   /** The canonicalize + PSL-domain CTE chain shared by every URL
     * oracle: mirrors Urls.canonicalizeUrl (userinfo / trailing-dot /
     * www / default-port / tracking-param / slash rules) and
-    * Urls.registrableDomains (PSL 2-label lookup, then the 7-label
-    * heuristic fallback). Expects a `u(doc_id, url)` CTE upstream;
-    * emits `dom(doc_id, url, canonical_url, domain)`.
+    * Urls.registrableDomainsPsl (the FULL publicsuffix.org algorithm
+    * over the bundled rule resource: longest exception rule first,
+    * else longest plain/wildcard match — a wildcard tail of k labels
+    * covers k+1 — else the implicit `*`; registrable = public suffix
+    * + 1 label, host itself when the host IS a suffix). Expects a
+    * `u(doc_id, url)` CTE upstream; emits `dom(doc_id, url,
+    * canonical_url, domain)`.
     */
-  private val urlDomainCtes = s"""
-        psl(suffix) AS (VALUES $pslValuesSql),
+  private lazy val urlDomainCtes = s"""
+        pslr(sfx, has_plain, has_wild, has_exc) AS (VALUES $pslRulesValuesSql),
         up AS (SELECT doc_id, url,
             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
             lower(regexp_replace(regexp_replace(
@@ -237,14 +243,14 @@ object DataOpsQueries {
             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
             regexp_extract(url, '\\?([^#]*)', 1) AS query
           FROM u),
-        uh AS (SELECT doc_id, url, scheme, path, query,
+        uh AS (SELECT doc_id, url, scheme, path, query, hostport,
             CASE WHEN scheme = 'https'
                 THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
               WHEN scheme = 'http'
                 THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
               ELSE regexp_replace(hostport, '^www\\.', '') END AS host
           FROM up),
-        uc AS (SELECT doc_id, url, scheme, host,
+        uc AS (SELECT doc_id, url, scheme, host, hostport,
             CASE WHEN path = '' THEN '/'
               WHEN len(path) > 1 THEN regexp_replace(path, '/$$', '')
               ELSE path END AS cpath,
@@ -254,19 +260,31 @@ object DataOpsQueries {
         ul AS (SELECT doc_id, url,
             scheme || '://' || host || cpath ||
               (CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END) AS canonical_url,
-            string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS labels
+            string_split(regexp_replace(hostport, ':[0-9]+$$', ''), '.') AS labels
           FROM uc),
+        lb AS (SELECT doc_id, url, canonical_url, labels, len(labels) AS n,
+            labels[len(labels)] AS l1,
+            CASE WHEN len(labels) >= 2 THEN
+              array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS l2,
+            CASE WHEN len(labels) >= 3 THEN
+              array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.') END AS l3
+          FROM ul),
+        pslen AS (SELECT *, COALESCE(
+            CASE WHEN EXISTS (SELECT 1 FROM pslr WHERE sfx = l3 AND has_exc) THEN 2
+                 WHEN EXISTS (SELECT 1 FROM pslr WHERE sfx = l2 AND has_exc) THEN 1
+                 WHEN EXISTS (SELECT 1 FROM pslr WHERE sfx = l1 AND has_exc) THEN 0 END,
+            GREATEST(
+              CASE WHEN EXISTS (SELECT 1 FROM pslr WHERE sfx = l3 AND has_plain) THEN 3 ELSE 1 END,
+              CASE WHEN n >= 4 AND EXISTS (SELECT 1 FROM pslr WHERE sfx = l3 AND has_wild) THEN 4 ELSE 1 END,
+              CASE WHEN EXISTS (SELECT 1 FROM pslr WHERE sfx = l2 AND has_plain) THEN 2 ELSE 1 END,
+              CASE WHEN n >= 3 AND EXISTS (SELECT 1 FROM pslr WHERE sfx = l2 AND has_wild) THEN 3 ELSE 1 END,
+              CASE WHEN n >= 2 AND EXISTS (SELECT 1 FROM pslr WHERE sfx = l1 AND has_wild) THEN 2 ELSE 1 END,
+              1)) AS ps
+          FROM lb),
         dom AS (SELECT doc_id, url, canonical_url,
-            CASE WHEN len(labels) >= 3 AND EXISTS (SELECT 1 FROM psl
-                  WHERE psl.suffix = labels[len(labels)-1] || '.' || labels[len(labels)])
-              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
-              WHEN len(labels) >= 3
-                  AND list_contains(['co','com','org','net','ac','gov','edu'],
-                    labels[len(labels)-1])
-                  AND len(labels[len(labels)]) <= 3
-              THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
-              ELSE array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.') END AS domain
-          FROM ul)"""
+            CASE WHEN n > ps THEN array_to_string(list_slice(labels, n - ps, n), '.')
+              ELSE array_to_string(labels, '.') END AS domain
+          FROM pslen)"""
 
   /** The MinHash band-index CTE chain (d → tok → mh → band) shared by
     * the pair oracles and qd13's bucket histogram. `band` carries one
@@ -3210,20 +3228,21 @@ object DataOpsQueries {
     // (case, userinfo, trailing host dot, www, default ports,
     // fragment, utm_* strip, bytewise param sort, trailing slash) are
     // codegen built-ins riding the scan; the domain comes from the
-    // PUBLIC-SUFFIX TABLE via a broadcast lookup join (KB-sized
-    // full-scale — one map-side hash probe per row), with the 7-label
-    // heuristic as the documented fallback for unlisted TLDs. The
+    // FULL public-suffix algorithm (Urls.registrableDomainsPsl) over
+    // the bundled ~880-rule resource — per-probe-length broadcast
+    // lookups (KB-sized full-scale, map-side hash probes per row),
+    // wildcard + exception rules, implicit * for unlisted TLDs. The
     // fixture's *.github.io arm is the case the heuristic gets wrong
     // (it collapses every user site into one 'github.io' stratum);
     // http://host:443 (id%6==1 — odd, so genuinely http) pins the
     // non-default-port keep path. Oracle mirrors the PSL list
     // verbatim. ----
     QueryDef("qt26_url_canonicalize",
-      (s, dir) => graft.text.Urls.registrableDomains(
+      (s, dir) => graft.text.Urls.registrableDomainsPsl(
           urlsFromDocs(s, dir)
             .select(col("doc_id"), col("url"),
               graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url")),
-          "url", "domain", graft.text.Urls.pslTable(s))
+          "url", "domain")
         .orderBy(col("doc_id")),
       Some(s"""WITH u AS (${urlFixtureSql()}),$urlDomainCtes
         SELECT doc_id, url, canonical_url, domain
@@ -3244,8 +3263,8 @@ object DataOpsQueries {
     // cap is chosen from). ----
     QueryDef("qt27_domain_cap",
       (s, dir) => graft.text.Urls.domainCap(
-          graft.text.Urls.registrableDomains(urlsFromDocs(s, dir),
-              "url", "domain", graft.text.Urls.pslTable(s))
+          graft.text.Urls.registrableDomainsPsl(urlsFromDocs(s, dir),
+              "url", "domain")
             .select(col("doc_id"), col("domain")),
           "doc_id", "domain", cap = 8)
         .orderBy(col("doc_id")),
@@ -3265,8 +3284,8 @@ object DataOpsQueries {
     // second fold — the head-domain row lands here long before it can
     // hurt the cap plan. ----
     QueryDef("qt29_domain_skew_audit",
-      (s, dir) => graft.text.Urls.registrableDomains(urlsFromDocs(s, dir),
-          "url", "domain", graft.text.Urls.pslTable(s))
+      (s, dir) => graft.text.Urls.registrableDomainsPsl(urlsFromDocs(s, dir),
+          "url", "domain")
         .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
         .groupBy(col("n_docs").as("domain_size"))
         .agg(count(lit(1)).as("n_domains"))
@@ -3470,6 +3489,159 @@ object DataOpsQueries {
             CAST(FLOOR(CAST(tg.target_tok AS DOUBLE) / CAST(8 AS DOUBLE)) AS BIGINT) AS keep
         FROM c JOIN tg ON tg.lang = c.lang ORDER BY c.doc_id""")),
 
+    // ---- EXACT-substring decontamination (qt35): the suffix-array-
+    // class hygiene check (Lee et al. 2022) the fixed-n gram family
+    // (qt9/qt13/qt15) approximates — per (train, eval) pair, the EXACT
+    // longest shared token run, via positional anchor grams +
+    // diagonal-island extension (never all-pairs; window bounded by
+    // one document's grams). anchor=5 < the verdict threshold 8, so
+    // the fixture exercises BOTH arms at sf0.01: 3 contaminated pairs
+    // whose planted runs extend to 39/61/93 tokens (islands of 35/57/
+    // 89 anchors — the extension genuinely computes lengths no single
+    // anchor width sees) and 3 measured NEGATIVES (coincidental
+    // 5-token runs, below threshold, reported not flagged). ----
+    QueryDef("qt35_exact_substring",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("split",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        graft.text.Decontaminate.longestSharedRun(
+            docs.filter(col("split") === "train"),
+            docs.filter(col("split") === "eval"),
+            "text", "doc_id", anchor = 5)
+          .withColumn("contaminated", col("max_run_tok") >= 8)
+          .orderBy(col("train_id"), col("eval_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks,
+            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS is_train
+          FROM documents),
+        g AS (SELECT doc_id, is_train, toks,
+            unnest(generate_series(1, len(toks) - 5 + 1)) AS i
+          FROM d WHERE len(toks) >= 5),
+        pg AS (SELECT doc_id, is_train, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS g
+          FROM g),
+        tr AS (SELECT doc_id AS train_id, pos AS tpos, g FROM pg WHERE is_train),
+        ev AS (SELECT doc_id AS eval_id, pos AS epos, g FROM pg WHERE NOT is_train),
+        m AS (SELECT train_id, eval_id, tpos, tpos - epos AS diag
+          FROM tr JOIN ev USING (g)),
+        isl AS (SELECT train_id, eval_id, diag, tpos,
+            tpos - ROW_NUMBER() OVER (PARTITION BY train_id, eval_id, diag
+              ORDER BY tpos) AS island
+          FROM m),
+        rn AS (SELECT train_id, eval_id, COUNT(*) AS n_anchor
+          FROM isl GROUP BY train_id, eval_id, diag, island)
+        SELECT train_id, eval_id,
+          CAST(MAX(n_anchor) + 4 AS INT) AS max_run_tok,
+          CAST(COUNT(*) AS INT) AS n_runs,
+          CAST(SUM(n_anchor) AS INT) AS n_anchors,
+          (MAX(n_anchor) + 4 >= 8) AS contaminated
+        FROM rn GROUP BY train_id, eval_id
+        ORDER BY train_id, eval_id""")),
+
+    // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
+    // per-batch verdicts; this row FOLDS them into the stored corpus —
+    // the ql3/ql6 dynamic-overwrite discipline applied to the document
+    // lake. A canonical-URL-keyed lake (hive-partitioned by lang) is
+    // built from the corpus slice's canonical reps; the batch slice
+    // arrives; recrawled keys REFRESH their lake row in place
+    // (last_fetch_id updates, identity + partition residence stay),
+    // new keys APPEND. Only partitions holding refreshed keys are
+    // rewritten (affected discovery = pruned (key, lang) scan x
+    // broadcast batch keys); the row require()s both arms genuinely
+    // trip AND that the incrementally-maintained lake is row-identical
+    // to a from-scratch rebuild under the same policy — maintenance
+    // changes file layout and fetch metadata, never corpus content.
+    // Oracle: the rebuild policy closed-form. ----
+    QueryDef("ql7_doc_lake_maintenance",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("ql7_doclake")
+        val lake = s"$tmp/docs"
+        try {
+          val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          val canon = urlsFromDocs(s, dir, pathMod = 360)
+            .withColumn("part",
+              TextOps.hashSplit(col("doc_id"), Seq(90), Seq("corpus", "batch")))
+            .join(lang, "doc_id")
+            .select(col("doc_id"), col("part"), col("lang"),
+              graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+          def reps(df: DataFrame): DataFrame =
+            df.groupBy(col("canonical_url")).agg(min(col("doc_id")).as("doc_id"))
+              .join(df, Seq("canonical_url", "doc_id"))
+              .select(col("canonical_url"), col("doc_id"), col("lang"),
+                col("doc_id").as("last_fetch_id"))
+          val corpusReps = reps(canon.filter(col("part") === "corpus"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val batchReps = reps(canon.filter(col("part") === "batch"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          corpusReps.repartition(col("lang"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("lang").parquet(lake)
+          val (nRef, nNew) = graft.lake.DocLake.refreshAndAppend(
+            s, lake, batchReps, "canonical_url", "lang",
+            updateCols = Seq("last_fetch_id"))
+          require(nRef > 0 && nNew > 0,
+            s"fixture must trip both arms, got refresh=$nRef append=$nNew")
+          def finalShape(df: DataFrame): DataFrame = df
+            .select(col("canonical_url"), col("doc_id"), col("lang"),
+              col("last_fetch_id"),
+              (col("last_fetch_id") =!= col("doc_id")).as("refreshed"))
+            .orderBy(col("canonical_url"))
+          val stored = finalShape(s.read.parquet(lake)).collect()
+          // rebuilt-from-scratch under the same policy must be
+          // row-identical to the incrementally maintained lake
+          val rebuilt = finalShape(corpusReps
+            .join(batchReps.select(col("canonical_url"),
+              col("doc_id").as("__b_id")), Seq("canonical_url"), "left")
+            .select(col("canonical_url"), col("doc_id"), col("lang"),
+              coalesce(col("__b_id"), col("doc_id")).as("last_fetch_id"))
+            .unionByName(batchReps.join(
+              corpusReps.select(col("canonical_url")),
+              Seq("canonical_url"), "left_anti"))).collect()
+          require(stored.toSeq == rebuilt.toSeq,
+            "incremental maintenance must equal the from-scratch rebuild")
+          corpusReps.unpersist()
+          batchReps.unpersist()
+          import scala.jdk.CollectionConverters._
+          import org.apache.spark.sql.types._
+          val schema = StructType(Seq(
+            StructField("canonical_url", StringType),
+            StructField("doc_id", LongType),
+            StructField("lang", StringType),
+            StructField("last_fetch_id", LongType),
+            StructField("refreshed", BooleanType)))
+          s.createDataFrame(stored.toSeq.asJava, schema)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 360")}),$urlDomainCtes,
+        pc AS (SELECT dom.doc_id, dom.canonical_url, d.lang,
+            (('0x' || substr(md5(CAST(dom.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS in_corpus
+          FROM dom JOIN documents d ON d.doc_id = dom.doc_id),
+        cr AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM pc
+          WHERE in_corpus GROUP BY canonical_url),
+        crl AS (SELECT cr.canonical_url, cr.doc_id, pc.lang
+          FROM cr JOIN pc ON pc.canonical_url = cr.canonical_url
+            AND pc.doc_id = cr.doc_id),
+        br AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM pc
+          WHERE NOT in_corpus GROUP BY canonical_url),
+        brl AS (SELECT br.canonical_url, br.doc_id, pc.lang
+          FROM br JOIN pc ON pc.canonical_url = br.canonical_url
+            AND pc.doc_id = br.doc_id),
+        fin AS (
+          SELECT crl.canonical_url, crl.doc_id, crl.lang,
+            COALESCE(brl.doc_id, crl.doc_id) AS last_fetch_id
+          FROM crl LEFT JOIN brl ON brl.canonical_url = crl.canonical_url
+          UNION ALL
+          SELECT brl.canonical_url, brl.doc_id, brl.lang, brl.doc_id
+          FROM brl WHERE NOT EXISTS (SELECT 1 FROM crl
+            WHERE crl.canonical_url = brl.canonical_url))
+        SELECT canonical_url, doc_id, lang, last_fetch_id,
+          (last_fetch_id <> doc_id) AS refreshed
+        FROM fin ORDER BY canonical_url""")),
+
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained
     // fasttext/logreg quality or language filter) in its exact
@@ -3519,9 +3691,8 @@ object DataOpsQueries {
     QueryDef("qx10_web_corpus_release",
       (s, dir) => {
         val blocklist = Seq("site12.com", "site26.co.uk")
-        val dom = graft.text.Urls.registrableDomains(
-            urlsFromDocs(s, dir, pathMod = 120), "url", "domain",
-            graft.text.Urls.pslTable(s))
+        val dom = graft.text.Urls.registrableDomainsPsl(
+            urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
           .select(col("doc_id"), col("domain"),
             graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
           .withColumn("blocked", col("domain").isin(blocklist: _*))
@@ -3608,9 +3779,8 @@ object DataOpsQueries {
               col("clean_text") =!= "").as("content_keep"))
         // provenance half — qx10's chain
         val blocklist = Seq("site12.com", "site26.co.uk")
-        val dom = graft.text.Urls.registrableDomains(
-            urlsFromDocs(s, dir, pathMod = 120), "url", "domain",
-            graft.text.Urls.pslTable(s))
+        val dom = graft.text.Urls.registrableDomainsPsl(
+            urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
           .select(col("doc_id"), col("domain"),
             graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
           .withColumn("blocked", col("domain").isin(blocklist: _*))
