@@ -115,7 +115,19 @@ object Explain {
         "qs32_two_stage_ivf",
         // the conjoined release verdict must keep both halves' subtrees
         // doc-keyed (no corpus-sized build side on either arm)
-        "qx11_full_release")
+        "qx11_full_release",
+        // round-14 additions: BPE counting must ride the scan inside
+        // whole-stage codegen (no UDF node, no extra exchange beyond
+        // qt10's shard window in qt33); the full-PSL domain chain must
+        // stay per-probe-length BROADCAST hash joins (qt26 — never a
+        // shuffled corpus); exact-substring decon must be an anchor
+        // equi-join with per-(pair, diagonal) windows (no corpus-wide
+        // sort, no NLJ); the token-budget mixture is aggregate +
+        // broadcast attaches + per-(stratum, shard) windows only
+        "qt32_bpe_tokenize", "qt33_bpe_pack", "qt34_mixture_tokens",
+        "qt35_exact_substring", "qt26_url_canonicalize")
+    // (ql7_doc_lake_maintenance is deliberately absent for the same
+    // reason as ql5: its body writes and rewrites a temp lake)
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()

@@ -52,7 +52,7 @@ object DataOpsQueries {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
     val name = "stq_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("stq_ckpt")
+    val ckpt = scratchDir("stq_ckpt")
     // Stateful operators create one state-store instance per shuffle
     // partition, each paying a per-batch commit+fsync — on a bounded
     // replay of a dim-sized table that fixed cost dominates the run, so
@@ -75,6 +75,21 @@ object DataOpsQueries {
     local
   }
 
+  /** Throwaway harness dirs (stream checkpoints, sentinel drop files)
+    * go on tmpfs when the box has one: a replay checkpoint's offset/
+    * commit logs and state deltas are fsync'd per micro-batch, and
+    * durability of a dir we delete three lines later is not part of
+    * what any query measures (the temp LAKES stay on real disk — their
+    * IO IS the operator under test). Falls back to java.io.tmpdir.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** Streaming replay of `events`, whose TIMESTAMP(NANOS) column needs
     * the same nanos-as-long + µs reconstruction as the batch loader
     * ([[Tables.load]]) — [[replayTable]]'s schema-passthrough would
@@ -95,7 +110,7 @@ object DataOpsQueries {
     */
   private def withSentinelStream(s: SparkSession, rows: DataFrame,
       schema: String)(f: DataFrame => DataFrame): DataFrame = {
-    val sentDir = java.nio.file.Files.createTempDirectory("stq_sent")
+    val sentDir = scratchDir("stq_sent")
     try {
       rows.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
       f(s.readStream.schema(schema).parquet(sentDir.toString))
@@ -545,7 +560,7 @@ object DataOpsQueries {
     QueryDef("qt1_text_stats",
       (s, dir) => {
         val txt = col("text")
-        t(s, dir, "documents").select(
+        graft.ops.Partitioning.spread(t(s, dir, "documents")).select(
           col("doc_id"),
           TextOps.tokenCountWs(txt).as("n_tok_ws"),
           TextOps.tokenCountRegex(txt).as("n_tok_re"),
@@ -3395,7 +3410,9 @@ object DataOpsQueries {
       (s, dir) => {
         val txt = col("text")
         val nrm = TextOps.norm(txt)
-        t(s, dir, "documents").select(
+        // BPE encode is per-row-heavy and documents arrives as ONE scan
+        // partition at bench SFs - spread or the encode runs one-core
+        graft.ops.Partitioning.spread(t(s, dir, "documents")).select(
           col("doc_id"),
           graft.functions.BpeEncode.bpe_token_count(txt).as("n_tok_bpe"),
           TextOps.tokenCountWs(txt).as("n_tok_ws"),
@@ -3426,7 +3443,7 @@ object DataOpsQueries {
     // arithmetic moves from whitespace words to BPE tokens. ----
     QueryDef("qt33_bpe_pack",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = graft.ops.Partitioning.spread(t(s, dir, "documents"))
         graft.text.Pack.packBins(d, "doc_id",
             graft.functions.BpeEncode.bpe_token_count(col("text")),
             binTokens = 64, shards = 8)
@@ -3459,7 +3476,7 @@ object DataOpsQueries {
     // bounded by one document). ----
     QueryDef("qt34_mixture_tokens",
       (s, dir) => graft.text.Mixture.mixtureKeepTokens(
-          t(s, dir, "documents"), "doc_id", "lang",
+          graft.ops.Partitioning.spread(t(s, dir, "documents")), "doc_id", "lang",
           graft.functions.BpeEncode.bpe_token_count(col("text")),
           Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1,
             "fr" -> 0.1), shards = 8)
@@ -3558,15 +3575,26 @@ object DataOpsQueries {
         val lake = s"$tmp/docs"
         try {
           val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-          val canon = urlsFromDocs(s, dir, pathMod = 360)
+          // SF-proportional collision classes: a FIXED modulus cannot
+          // trip both arms at every scale (at 10x the docs every batch
+          // class gains a corpus member and appends vanish) — n*18/25
+          // keeps the qt31-calibrated ~1.4 docs/class ratio (exactly
+          // 360 at the 500-doc SFs, 3600 at sf0.1; every
+          // canonicalization-relevant arm divides both)
+          val pathMod = (lang.count() * 18 / 25).toInt
+          val canon = urlsFromDocs(s, dir, pathMod = pathMod)
             .withColumn("part",
               TextOps.hashSplit(col("doc_id"), Seq(90), Seq("corpus", "batch")))
             .join(lang, "doc_id")
             .select(col("doc_id"), col("part"), col("lang"),
               graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+          // one partial-aggregable pass per slice: min_by recovers the
+          // rep's lang without a join-back (doc_id is unique, so the
+          // min_by tiebreak is moot)
           def reps(df: DataFrame): DataFrame =
-            df.groupBy(col("canonical_url")).agg(min(col("doc_id")).as("doc_id"))
-              .join(df, Seq("canonical_url", "doc_id"))
+            df.groupBy(col("canonical_url"))
+              .agg(min(col("doc_id")).as("doc_id"),
+                min_by(col("lang"), col("doc_id")).as("lang"))
               .select(col("canonical_url"), col("doc_id"), col("lang"),
                 col("doc_id").as("last_fetch_id"))
           val corpusReps = reps(canon.filter(col("part") === "corpus"))
@@ -3616,7 +3644,8 @@ object DataOpsQueries {
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
-      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 360")}),$urlDomainCtes,
+      Some(s"""WITH u AS (${urlFixtureSql(
+          "doc_id % ((SELECT COUNT(*) FROM documents) * 18 // 25)")}),$urlDomainCtes,
         pc AS (SELECT dom.doc_id, dom.canonical_url, d.lang,
             (('0x' || substr(md5(CAST(dom.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS in_corpus
           FROM dom JOIN documents d ON d.doc_id = dom.doc_id),

@@ -92,7 +92,15 @@ class PlanGuardSpec extends SparkTestBase {
         maxBucket = 8),
       "audioDupPairs" -> graft.multimodal.Multimodal.audioDupPairs(
         docs.select(col("doc_id").as("media_id"),
-          encode(col("text"), "UTF-8").as("bytes")), maxDist = 3)
+          encode(col("text"), "UTF-8").as("bytes")), maxDist = 3),
+      // exact-substring decon: anchors must join as a gram-hash
+      // equi-join in BOTH eval-size arms — a NLJ here means the
+      // diagonal predicate leaked into the join condition
+      "longestSharedRun" -> Decontaminate.longestSharedRun(
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
+      "longestSharedRunLake" -> Decontaminate.longestSharedRun(
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id",
+        broadcastEval = false)
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 
