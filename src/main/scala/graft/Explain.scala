@@ -125,9 +125,18 @@ object Explain {
         // sort, no NLJ); the token-budget mixture is aggregate +
         // broadcast attaches + per-(stratum, shard) windows only
         "qt32_bpe_tokenize", "qt33_bpe_pack", "qt34_mixture_tokens",
-        "qt35_exact_substring", "qt26_url_canonicalize")
-    // (ql7_doc_lake_maintenance is deliberately absent for the same
-    // reason as ql5: its body writes and rewrites a temp lake)
+        "qt35_exact_substring", "qt26_url_canonicalize",
+        // the split-leakage audit is two partial-agg folds with a
+        // 2-rows-per-domain explode between them — one exchange on
+        // (domain), nothing corpus-sized after it; the decontamination
+        // panel's three arms must each keep their documented shape
+        // (anchor equi-join, broadcast signature probe, eval-sized
+        // broadcast cross join) with the flag attach as three
+        // broadcast-able left joins on the train slice
+        "qt36_split_leakage_audit", "qx12_decontamination_panel")
+    // (ql7_doc_lake_maintenance and ql8_training_shard_lake are
+    // deliberately absent for the same reason as ql5: their bodies
+    // write and rewrite temp lakes)
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()

@@ -3671,6 +3671,181 @@ object DataOpsQueries {
           (last_fetch_id <> doc_id) AS refreshed
         FROM fin ORDER BY canonical_url""")),
 
+    // ---- Split-leakage audit (qt36): the measurement that justifies
+    // DOMAIN-keyed eval splits. A doc-hash split strands pages of one
+    // site on both sides of the train/eval fence (an eval page's
+    // sibling articles leak into train); a domain-hash split cannot,
+    // by construction. This row quantifies both policies in ONE
+    // corpus pass: a per-domain partial aggregate computes each
+    // mode's has-train/has-eval flags and doc tallies (the doc-hash
+    // flags genuinely aggregate; the domain-hash flags are constant
+    // per group so MAX is exact), explodes to one row per (domain,
+    // mode) — 2x domain cardinality, tiny — and a second fold over
+    // split_mode emits the audit. At 100 TB: one exchange on
+    // (domain), then kilobytes. Leaky-domain count under doc_hash vs
+    // ZERO under domain_hash is the number the split policy is
+    // chosen from — the qt29/qd13 measure-before-deciding discipline
+    // applied to eval design. ----
+    QueryDef("qt36_split_leakage_audit",
+      (s, dir) => {
+        val dom = graft.text.Urls.registrableDomainsPsl(
+            urlsFromDocs(s, dir), "url", "domain")
+          .select(col("doc_id"), col("domain"),
+            (TextOps.hash60(col("doc_id").cast("string")) % 100 < 90)
+              .as("doc_train"),
+            (TextOps.hash60(col("domain")) % 100 < 90).as("dom_train"))
+        val perDom = dom.groupBy(col("domain")).agg(
+          max(when(col("doc_train"), 1).otherwise(0)).as("doc_ht"),
+          max(when(col("doc_train"), 0).otherwise(1)).as("doc_he"),
+          sum(when(col("doc_train"), 1L).otherwise(0L)).as("doc_nt"),
+          sum(when(col("doc_train"), 0L).otherwise(1L)).as("doc_ne"),
+          max(when(col("dom_train"), 1).otherwise(0)).as("dom_ht"),
+          max(when(col("dom_train"), 0).otherwise(1)).as("dom_he"),
+          sum(when(col("dom_train"), 1L).otherwise(0L)).as("dom_nt"),
+          sum(when(col("dom_train"), 0L).otherwise(1L)).as("dom_ne"))
+        perDom.select(explode(array(
+            struct(lit("doc_hash").as("split_mode"), col("doc_ht").as("ht"),
+              col("doc_he").as("he"), col("doc_nt").as("nt"),
+              col("doc_ne").as("ne")),
+            struct(lit("domain_hash").as("split_mode"), col("dom_ht").as("ht"),
+              col("dom_he").as("he"), col("dom_nt").as("nt"),
+              col("dom_ne").as("ne")))).as("m"))
+          .select(col("m.*"))
+          .groupBy(col("split_mode"))
+          .agg(count(lit(1)).cast("int").as("n_domains"),
+            sum(when(col("ht") === 1 && col("he") === 1, 1).otherwise(0))
+              .cast("int").as("n_leaky_domains"),
+            sum(when(col("ht") === 1 && col("he") === 0, 1).otherwise(0))
+              .cast("int").as("n_train_only"),
+            sum(when(col("ht") === 0 && col("he") === 1, 1).otherwise(0))
+              .cast("int").as("n_eval_only"),
+            sum(col("nt")).cast("int").as("n_train_docs"),
+            sum(col("ne")).cast("int").as("n_eval_docs"))
+          .orderBy(col("split_mode"))
+      },
+      Some(s"""WITH u AS (${urlFixtureSql()}),$urlDomainCtes,
+        sp AS (SELECT doc_id, domain,
+            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS doc_train,
+            (('0x' || substr(md5(domain), 1, 15))::BIGINT % 100 < 90) AS dom_train
+          FROM dom),
+        modes AS (
+          SELECT 'doc_hash' AS split_mode, domain,
+              MAX(CASE WHEN doc_train THEN 1 ELSE 0 END) AS has_train,
+              MAX(CASE WHEN doc_train THEN 0 ELSE 1 END) AS has_eval,
+              SUM(CASE WHEN doc_train THEN 1 ELSE 0 END) AS n_train_docs,
+              SUM(CASE WHEN doc_train THEN 0 ELSE 1 END) AS n_eval_docs
+            FROM sp GROUP BY domain
+          UNION ALL
+          SELECT 'domain_hash', domain,
+              MAX(CASE WHEN dom_train THEN 1 ELSE 0 END),
+              MAX(CASE WHEN dom_train THEN 0 ELSE 1 END),
+              SUM(CASE WHEN dom_train THEN 1 ELSE 0 END),
+              SUM(CASE WHEN dom_train THEN 0 ELSE 1 END)
+            FROM sp GROUP BY domain)
+        SELECT split_mode,
+          CAST(COUNT(*) AS INT) AS n_domains,
+          CAST(SUM(CASE WHEN has_train = 1 AND has_eval = 1 THEN 1 ELSE 0 END) AS INT) AS n_leaky_domains,
+          CAST(SUM(CASE WHEN has_train = 1 AND has_eval = 0 THEN 1 ELSE 0 END) AS INT) AS n_train_only,
+          CAST(SUM(CASE WHEN has_train = 0 AND has_eval = 1 THEN 1 ELSE 0 END) AS INT) AS n_eval_only,
+          CAST(SUM(n_train_docs) AS INT) AS n_train_docs,
+          CAST(SUM(n_eval_docs) AS INT) AS n_eval_docs
+        FROM modes GROUP BY split_mode ORDER BY split_mode""")),
+
+    // ---- Training-shard lake (ql8): the LAST pipeline step — a
+    // released corpus laid out for the trainer. Requirements a data
+    // loader actually has: (a) a deterministic global permutation
+    // (salted 60-bit id hash `pk` — reshuffling = new salt, no RNG
+    // state), (b) S balanced shards readable independently (shard =
+    // pk % S, hive dir per shard, ONE file per shard so a loader
+    // maps shard -> file), (c) a stable within-shard order (sorted by
+    // (pk, doc_id) — the permutation order, so epoch replay is
+    // byte-identical). One exchange on (shard) + an in-partition
+    // sort; the write inserts NO extra sort because the sort key
+    // LEADS with the partition column. The read-back audit proves
+    // the layout contract physically: exactly one part-file per
+    // shard dir, and per-shard monotonically_increasing_id ranges
+    // are CONTIGUOUS (each file scans as one partition, so rid
+    // order IS file row order) — the `pos` a loader would seek by is
+    // then rid minus the shard's base rid, attached via an S-row
+    // broadcast. Oracle: the permutation closed-form
+    // (row_number over (shard ORDER BY pk, doc_id)). ----
+    QueryDef("ql8_training_shard_lake",
+      (s, dir) => {
+        val nShards = 8
+        val tmp = java.nio.file.Files.createTempDirectory("ql8_shardlake")
+        val lake = s"$tmp/shards"
+        try {
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"))
+            .withColumn("pk", TextOps.hash60(
+              concat(col("doc_id").cast("string"), lit(":perm"))))
+            .withColumn("shard", (col("pk") % nShards).cast("int"))
+          docs.repartition(nShards, col("shard"))
+            .sortWithinPartitions(col("shard"), col("pk"), col("doc_id"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("shard").parquet(lake)
+          import scala.jdk.CollectionConverters._
+          val filesPerShard = java.nio.file.Files.list(
+              java.nio.file.Paths.get(lake)).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("shard="))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.list(p).iterator().asScala.count(
+                f => f.getFileName.toString.endsWith(".parquet")))
+            .toMap
+          require(filesPerShard.size == nShards &&
+            filesPerShard.values.forall(_ == 1),
+            s"want one file per shard dir, got $filesPerShard")
+          val back = s.read.parquet(lake)
+            .withColumn("rid", monotonically_increasing_id())
+          val bounds = back.groupBy(col("shard"))
+            .agg(min(col("rid")).as("rid0"), max(col("rid")).as("rid1"),
+              count(lit(1)).as("shard_n_docs_l"),
+              sum(col("n_chars")).as("shard_n_chars"))
+          // contiguity: rid order is file row order only if every
+          // shard file scanned as ONE partition — prove it, don't
+          // assume it (S rows, driver-bounded)
+          bounds.collect().foreach { r =>
+            require(r.getAs[Long]("rid1") - r.getAs[Long]("rid0") + 1L ==
+              r.getAs[Long]("shard_n_docs_l"),
+              s"shard ${r.getAs[Int]("shard")} rid range not contiguous")
+          }
+          // the lake dir dies with this body — materialize the
+          // result off it before cleanup (corpus-row-sized, the ql7
+          // sink-hygiene convention; a real deployment keeps the lake
+          // and never runs this collect)
+          val rows = back.join(broadcast(bounds.select(col("shard"),
+              col("rid0"), col("shard_n_docs_l"), col("shard_n_chars"))),
+              "shard")
+            .select(col("doc_id"), col("shard"),
+              (col("rid") - col("rid0")).cast("int").as("pos"),
+              col("shard_n_docs_l").cast("int").as("shard_n_docs"),
+              col("shard_n_chars").cast("bigint").as("shard_n_chars"))
+            .orderBy(col("doc_id"))
+            .collect()
+          import org.apache.spark.sql.types._
+          s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("shard", IntegerType),
+            StructField("pos", IntegerType),
+            StructField("shard_n_docs", IntegerType),
+            StructField("shard_n_chars", LongType))))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':perm'), 1, 15))::BIGINT AS pk
+          FROM documents),
+        s AS (SELECT doc_id, n_chars, pk, CAST(pk % 8 AS INT) AS shard FROM h),
+        b AS (SELECT shard, CAST(COUNT(*) AS INT) AS shard_n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS shard_n_chars FROM s GROUP BY shard)
+        SELECT s.doc_id, s.shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY s.pk, s.doc_id) - 1 AS INT) AS pos,
+          b.shard_n_docs, b.shard_n_chars
+        FROM s JOIN b USING (shard) ORDER BY s.doc_id""")),
+
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained
     // fasttext/logreg quality or language filter) in its exact
@@ -3901,6 +4076,118 @@ object DataOpsQueries {
           (content_keep AND provenance_keep) AS keep
         FROM content JOIN prov ON prov.doc_id = content.doc_id
         ORDER BY content.doc_id""")),
+
+    // ---- Decontamination panel (qx12): one verdict row per TRAIN
+    // document across the three published contamination checks, each
+    // at its deployable shape — (L) lexical: exact shared substring
+    // >= 8 tokens vs any eval doc (qt35's anchored-diagonal machinery
+    // — gram-hash equi-join, never all-pairs), (B) bag: token-SET
+    // identity with an eval doc (order/repetition-insensitive copies
+    // the substring check can miss — one md5 signature per doc, train
+    // side probes a broadcast of the eval signature set), (S)
+    // semantic: paraphrase-level similarity >= 0.42 to any eval
+    // vector (qs31's every-corpus-row contract). The three arms
+    // genuinely disagree on this corpus (each catches documents the
+    // other two miss — the reason production release gates run ALL
+    // three), and the flag attach is three left joins of hit-sets
+    // AQE sizes as broadcasts. 100 TB: L and B are equi-joins against
+    // eval-sized builds, S is the documented eval-sized broadcast
+    // cross join — nothing corpus-quadratic anywhere. ----
+    QueryDef("qx12_decontamination_panel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("split",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        val train = docs.filter(col("split") === "train")
+        val evalD = docs.filter(col("split") === "eval")
+        val lex = graft.text.Decontaminate.longestSharedRun(
+            train, evalD, "text", "doc_id", anchor = 5)
+          .filter(col("max_run_tok") >= 8)
+          .select(col("train_id").as("doc_id")).distinct()
+          .withColumn("lexical_hit", lit(true))
+        val sigs = docs.select(col("doc_id"), col("split"),
+          md5(concat_ws(" ", Dedup.tokenSet(col("text")))).as("set_sig"))
+        val bag = sigs.filter(col("split") === "train")
+          .join(broadcast(sigs.filter(col("split") === "eval")
+            .select(col("set_sig")).distinct()), "set_sig")
+          .select(col("doc_id")).distinct()
+          .withColumn("bag_hit", lit(true))
+        val emb = t(s, dir, "embeddings")
+          .join(docs.select(col("doc_id"), col("split")),
+            col("vec_id") === col("doc_id"))
+        val sem = Similarity.semanticContaminated(
+            emb.filter(col("split") === "train")
+              .select(col("vec_id"), col("embedding")),
+            emb.filter(col("split") === "eval")
+              .select(col("vec_id").as("eval_id"),
+                col("embedding").as("ee")),
+            "vec_id", "embedding", "eval_id", "ee", threshold = 0.42)
+          .filter(col("contaminated"))
+          .select(col("vec_id").as("doc_id"))
+          .withColumn("semantic_hit", lit(true))
+        train.select(col("doc_id"))
+          .join(lex, Seq("doc_id"), "left")
+          .join(bag, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lexical_hit"), lit(false)).as("lexical_hit"),
+            coalesce(col("bag_hit"), lit(false)).as("bag_hit"),
+            coalesce(col("semantic_hit"), lit(false)).as("semantic_hit"))
+          .withColumn("dropped",
+            col("lexical_hit") || col("bag_hit") || col("semantic_hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, string_split($normSql, ' ') AS toks,
+            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS is_train
+          FROM documents),
+        g AS (SELECT doc_id, is_train, toks,
+            unnest(generate_series(1, len(toks) - 5 + 1)) AS i
+          FROM d0 WHERE len(toks) >= 5),
+        pg AS (SELECT doc_id, is_train, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS g
+          FROM g),
+        tr AS (SELECT doc_id AS train_id, pos AS tpos, g FROM pg WHERE is_train),
+        ev AS (SELECT doc_id AS eval_id, pos AS epos, g FROM pg WHERE NOT is_train),
+        m AS (SELECT train_id, eval_id, tpos, tpos - epos AS diag
+          FROM tr JOIN ev USING (g)),
+        isl AS (SELECT train_id, eval_id, diag, tpos,
+            tpos - ROW_NUMBER() OVER (PARTITION BY train_id, eval_id, diag
+              ORDER BY tpos) AS island
+          FROM m),
+        rn AS (SELECT train_id, eval_id, COUNT(*) AS n_anchor
+          FROM isl GROUP BY train_id, eval_id, diag, island),
+        lex AS (SELECT DISTINCT train_id AS doc_id FROM rn
+          GROUP BY train_id, eval_id HAVING MAX(n_anchor) + 4 >= 8),
+        sig AS (SELECT doc_id, is_train,
+            md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_sig
+          FROM d0),
+        bag AS (SELECT DISTINCT t.doc_id FROM sig t JOIN sig e USING (set_sig)
+          WHERE t.is_train AND NOT e.is_train),
+        spl AS (SELECT doc_id, is_train FROM d0),
+        eve AS (SELECT e.vec_id AS eval_id, e.embedding AS ee
+          FROM embeddings e JOIN spl ON spl.doc_id = e.vec_id
+          WHERE NOT spl.is_train),
+        tre AS (SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN spl ON spl.doc_id = e.vec_id
+          WHERE spl.is_train),
+        sc AS (SELECT tre.vec_id, eve.eval_id,
+            list_reduce(list_transform(range(1, len(tre.embedding) + 1),
+              i -> CAST(tre.embedding[i] AS DOUBLE) * CAST(eve.ee[i] AS DOUBLE)), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(range(1, len(tre.embedding) + 1),
+                i -> CAST(tre.embedding[i] AS DOUBLE) * CAST(tre.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(range(1, len(eve.ee) + 1),
+                i -> CAST(eve.ee[i] AS DOUBLE) * CAST(eve.ee[i] AS DOUBLE)), (x,y) -> x+y))) AS cosine
+          FROM tre CROSS JOIN eve),
+        sem AS (SELECT DISTINCT vec_id AS doc_id FROM sc WHERE cosine >= 0.42)
+        SELECT d0.doc_id,
+          (lex.doc_id IS NOT NULL) AS lexical_hit,
+          (bag.doc_id IS NOT NULL) AS bag_hit,
+          (sem.doc_id IS NOT NULL) AS semantic_hit,
+          (lex.doc_id IS NOT NULL OR bag.doc_id IS NOT NULL
+            OR sem.doc_id IS NOT NULL) AS dropped
+        FROM d0 LEFT JOIN lex ON lex.doc_id = d0.doc_id
+          LEFT JOIN bag ON bag.doc_id = d0.doc_id
+          LEFT JOIN sem ON sem.doc_id = d0.doc_id
+        WHERE d0.is_train ORDER BY d0.doc_id""")),
 
     // ---- leakage-safe corpus split: the hash split keys on the
     // duplicate group's CANONICAL id, so copies of one document can
@@ -4852,6 +5139,49 @@ object DataOpsQueries {
     SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
       ORDER BY cosine DESC, neighbor_id) AS rk FROM x0) WHERE rk <= 5
   ORDER BY query_id, rank""")),
+
+    // ---- Streamed token metering (qst14): the ingest-time budget
+    // counter a corpus build runs continuously — documents ARRIVE as
+    // a stream and per-language BPE token totals accumulate as a
+    // windowed streaming aggregate, so mixture decisions (qt34's
+    // budgets) read live denominators instead of a nightly batch
+    // scan. The BPE count is the same codegen expression as the
+    // batch rows, riding the stream scan (stateless, no UDF); state
+    // is one row per in-flight (window, lang) — language-cardinality
+    // sized, KBs at any corpus rate. Flush via the far-future
+    // sentinel (qst9's pattern); oracled against the batch BPE chain
+    // grouped by lang, so stream ≡ batch is pinned on the token
+    // DENOMINATOR itself. ----
+    QueryDef("qst14_stream_token_metering",
+      (s, dir) => {
+        import s.implicits._
+        val sent = Seq(-1L).toDF("doc_id")
+          .select(col("doc_id"), lit("").as("text"), lit("zz").as("lang"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "doc_id LONG, text STRING, lang STRING, ts TIMESTAMP") { sentArm =>
+          val out = replayTable(s, dir, "documents")
+            .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+            .select(col("doc_id"), col("text"), col("lang"), col("ts"))
+            .unionByName(sentArm)
+            .withWatermark("ts", "1 hour")
+            .select(col("lang"), col("ts"),
+              graft.functions.BpeEncode.bpe_token_count(col("text"))
+                .as("n_tok"))
+            .groupBy(window(col("ts"), "1 hour"), col("lang"))
+            .agg(count(lit(1)).as("n_docs_l"),
+              sum(col("n_tok")).as("tot_l"))
+            .select(col("lang"), col("n_docs_l").cast("int").as("n_docs"),
+              col("tot_l").cast("bigint").as("total_bpe_tok"))
+          runAvailableNow(s, out)
+            .filter(col("lang") =!= "zz").orderBy(col("lang"))
+        }
+      },
+      Some(s"""WITH RECURSIVE $bpeCteSql
+        SELECT d.lang, CAST(COUNT(*) AS INT) AS n_docs,
+          CAST(SUM(bpe.n_tok_bpe) AS BIGINT) AS total_bpe_tok
+        FROM documents d JOIN bpe ON bpe.doc_id = d.doc_id
+        GROUP BY d.lang ORDER BY d.lang""")),
 
     // ---- token-set dedup: vocabulary-permutation duplicate groups ----
     QueryDef("qd2_tokenset_dedup",
