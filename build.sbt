@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 executor threads in ONE driver JVM —
+  // 8g put the bench's heavy lifecycle rows inside the GC band (full
+  // suite measured 230-241s at 8g vs 227.7s at 24g, and the worst
+  // noise-spike samples shrink with headroom). Override via
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

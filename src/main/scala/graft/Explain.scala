@@ -133,7 +133,11 @@ object Explain {
         // (anchor equi-join, broadcast signature probe, eval-sized
         // broadcast cross join) with the flag attach as three
         // broadcast-able left joins on the train slice
-        "qt36_split_leakage_audit", "qx12_decontamination_panel")
+        "qt36_split_leakage_audit", "qx12_decontamination_panel",
+        // span excision = the qt35 chain + a doc-keyed left attach +
+        // a per-row positional lambda filter — no token explode on
+        // the corpus side, no NLJ
+        "qt37_span_excision")
     // (ql7_doc_lake_maintenance and ql8_training_shard_lake are
     // deliberately absent for the same reason as ql5: their bodies
     // write and rewrite temp lakes)

@@ -3555,6 +3555,67 @@ object DataOpsQueries {
         FROM rn GROUP BY train_id, eval_id
         ORDER BY train_id, eval_id""")),
 
+    // ---- Span excision (qt37): qt35's verdicts applied SURGICALLY —
+    // Lee et al. 2022's actual treatment drops the shared SPAN, not
+    // the document (wholesale drops waste the uncontaminated bulk of
+    // a long page). One row per train doc (the qs31 every-row
+    // contract): spans ≥ 8 tokens shared with any eval doc become
+    // half-open token ranges, folded to one array per CONTAMINATED
+    // doc and attached by a doc-keyed left join; the excision is a
+    // positional lambda filter riding the scan — overlapping spans
+    // need no merge, position membership is a disjunction. Fixture:
+    // the planted 39/61/93-token runs genuinely excise (doc 387
+    // empties entirely — the boundary case where surgery converges
+    // to the drop verdict). ----
+    QueryDef("qt37_span_excision",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("split",
+          TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+        graft.text.Decontaminate.exciseSharedRuns(
+            docs.filter(col("split") === "train"),
+            docs.filter(col("split") === "eval"),
+            "text", "doc_id", anchor = 5, minRun = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks,
+            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS is_train
+          FROM documents),
+        g AS (SELECT doc_id, is_train, toks,
+            unnest(generate_series(1, len(toks) - 5 + 1)) AS i
+          FROM d WHERE len(toks) >= 5),
+        pg AS (SELECT doc_id, is_train, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS g
+          FROM g),
+        tr AS (SELECT doc_id AS train_id, pos AS tpos, g FROM pg WHERE is_train),
+        ev AS (SELECT doc_id AS eval_id, pos AS epos, g FROM pg WHERE NOT is_train),
+        m AS (SELECT train_id, eval_id, tpos, tpos - epos AS diag
+          FROM tr JOIN ev USING (g)),
+        isl AS (SELECT train_id, eval_id, diag, tpos,
+            tpos - ROW_NUMBER() OVER (PARTITION BY train_id, eval_id, diag
+              ORDER BY tpos) AS island
+          FROM m),
+        runs AS (SELECT train_id, MIN(tpos) AS s,
+            CAST(COUNT(*) + 4 AS BIGINT) AS run_len
+          FROM isl GROUP BY train_id, eval_id, diag, island
+          HAVING COUNT(*) + 4 >= 8),
+        spans AS (SELECT DISTINCT train_id, s, s + run_len AS e FROM runs),
+        ns AS (SELECT train_id, COUNT(*) AS n_spans FROM spans GROUP BY train_id),
+        tp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+          FROM d WHERE is_train),
+        px AS (SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS tok,
+            EXISTS (SELECT 1 FROM spans sp WHERE sp.train_id = tp.doc_id
+              AND tp.i - 1 >= sp.s AND tp.i - 1 < sp.e) AS cut
+          FROM tp),
+        outx AS (SELECT doc_id,
+            CAST(COUNT(*) AS INT) AS n_tok,
+            CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS INT) AS n_excised,
+            COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT cut), '') AS redacted_text
+          FROM px GROUP BY doc_id)
+        SELECT outx.doc_id, CAST(COALESCE(ns.n_spans, 0) AS INT) AS n_spans,
+          outx.n_tok, outx.n_excised, outx.redacted_text
+        FROM outx LEFT JOIN ns ON ns.train_id = outx.doc_id
+        ORDER BY outx.doc_id""")),
+
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —
     // the ql3/ql6 dynamic-overwrite discipline applied to the document

@@ -152,7 +152,24 @@ object Decontaminate {
     */
   def longestSharedRun(train: DataFrame, eval: DataFrame,
       textCol: String, idCol: String, anchor: Int = 5,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true): DataFrame =
+    maximalRuns(train, eval, textCol, idCol, anchor, broadcastEval)
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg((max(col("n_anchor")) + (anchor - 1)).cast("int").as("max_run_tok"),
+        count(lit(1)).cast("int").as("n_runs"),
+        sum(col("n_anchor")).cast("int").as("n_anchors"))
+
+  /** The shared chain of [[longestSharedRun]] / [[sharedRunSpans]]:
+    * one row per MAXIMAL shared run — (train_id, eval_id, diag,
+    * island) with the run's train-side start offset `s` (0-based
+    * token position) and its shared-anchor count `n_anchor` (run
+    * length in tokens = n_anchor + anchor − 1). Consumers that don't
+    * read `s` lose nothing: Catalyst prunes the unused min from the
+    * island aggregate.
+    */
+  private def maximalRuns(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, anchor: Int,
+      broadcastEval: Boolean): DataFrame = {
     require(anchor >= 1, s"anchor must be >= 1, got $anchor")
     import org.apache.spark.sql.expressions.Window
     val tg = spread(train).select(col(idCol).as("train_id"),
@@ -166,13 +183,67 @@ object Decontaminate {
       .withColumn("diag", col("tpos") - col("epos"))
     val w = Window.partitionBy(col("train_id"), col("eval_id"), col("diag"))
       .orderBy(col("tpos"))
-    val runs = m
-      .withColumn("island", col("tpos") - row_number().over(w))
+    m.withColumn("island", col("tpos") - row_number().over(w))
       .groupBy(col("train_id"), col("eval_id"), col("diag"), col("island"))
-      .agg(count(lit(1)).as("n_anchor"))
-    runs.groupBy(col("train_id"), col("eval_id"))
-      .agg((max(col("n_anchor")) + (anchor - 1)).cast("int").as("max_run_tok"),
-        count(lit(1)).cast("int").as("n_runs"),
-        sum(col("n_anchor")).cast("int").as("n_anchors"))
+      .agg(min(col("tpos")).as("s"), count(lit(1)).as("n_anchor"))
+  }
+
+  /** Contaminated token SPANS per train document: every maximal shared
+    * run of at least `minRun` tokens with ANY eval document, as
+    * half-open 0-based token ranges [s, e) on the train side —
+    * deduplicated across eval docs and diagonals. `minRun >= anchor`
+    * is required for completeness (a run shorter than the anchor width
+    * leaves no anchor to find).
+    */
+  def sharedRunSpans(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, anchor: Int = 5, minRun: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(minRun >= anchor,
+      s"minRun must be >= anchor for completeness, got $minRun < $anchor")
+    maximalRuns(train, eval, textCol, idCol, anchor, broadcastEval)
+      .filter(col("n_anchor") + (anchor - 1) >= minRun)
+      .select(col("train_id"), col("s").cast("int").as("s"),
+        (col("s") + col("n_anchor") + (anchor - 1)).cast("int").as("e"))
+      .distinct()
+  }
+
+  /** Span EXCISION — the surgical form of exact-substring
+    * decontamination (Lee et al. 2022 apply the verdict this way:
+    * drop the shared SPAN, keep the document — wholesale doc drops
+    * waste the uncontaminated 90+% of a long page). One output row
+    * per train document (the every-row contract, like qs31): span
+    * count, token counts before/after, and the redacted text with
+    * every token covered by any ≥ `minRun` shared run removed.
+    *
+    * Scale shape: spans ride [[sharedRunSpans]] (anchor equi-join +
+    * per-(pair, diagonal) windows — nothing corpus-quadratic), fold to
+    * one array per CONTAMINATED doc (bounded by that doc's own token
+    * count), and attach by a doc-keyed left join that AQE sizes as a
+    * broadcast (contaminated docs are the rare case). The excision
+    * itself is a pure per-row expression — a positional lambda filter
+    * against the span array (overlapping spans need no merge: position
+    * membership is a disjunction) — riding the scan, no explode of
+    * corpus tokens, no second shuffle.
+    */
+  def exciseSharedRuns(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, anchor: Int = 5, minRun: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val spansAgg = sharedRunSpans(train, eval, textCol, idCol, anchor,
+        minRun, broadcastEval)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        collect_list(struct(col("s"), col("e"))).as("__spans"))
+    val toks = TextOps.tokens(col(textCol))
+    // null span array = clean doc: keep all tokens (avoids conjuring a
+    // typed empty array); membership test is 0-based, matching tpos
+    val kept = when(col("__spans").isNull, toks).otherwise(
+      filter(toks, (_, i) => !exists(col("__spans"),
+        r => i >= r.getField("s") && i < r.getField("e"))))
+    train.join(spansAgg, col(idCol) === col("train_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        size(toks).as("n_tok"),
+        (size(toks) - size(kept)).as("n_excised"),
+        concat_ws(" ", kept).as("redacted_text"))
   }
 }

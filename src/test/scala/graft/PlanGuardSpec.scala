@@ -100,7 +100,11 @@ class PlanGuardSpec extends SparkTestBase {
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
       "longestSharedRunLake" -> Decontaminate.longestSharedRun(
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id",
-        broadcastEval = false)
+        broadcastEval = false),
+      // the excision composes the span chain with a doc-keyed left
+      // join + a per-row lambda filter — still no NLJ anywhere
+      "exciseSharedRuns" -> Decontaminate.exciseSharedRuns(
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id")
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 

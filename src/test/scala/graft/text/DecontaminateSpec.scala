@@ -145,4 +145,66 @@ class DecontaminateSpec extends SparkTestBase {
     assert(plan.contains("might_contain"), plan.take(2000))
     spark.catalog.clearCache()
   }
+
+  test("exciseSharedRuns: removes exactly the planted span, keeps the rest") {
+    val run = doc("r1", "r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9")
+    val train = Seq(
+      (1L, "alpha beta " + run + " gamma delta"), // 9-token run at pos 2
+      (2L, "clean words only nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "pre " + run + " post")).toDF("doc_id", "text")
+    val out = Decontaminate.exciseSharedRuns(train, eval_, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_tok", "n_excised", "redacted_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, 13, 9, "alpha beta gamma delta"),
+      (2L, 0, 8, 0, "clean words only nothing shared here at all")))
+  }
+
+  test("exciseSharedRuns: overlapping spans from two eval docs union") {
+    // eval 100 shares tokens 0..9, eval 101 shares tokens 5..14 —
+    // positions 5..9 are covered twice; the union excises 0..14 once
+    val t15 = (1 to 15).map(i => s"t$i")
+    val train = Seq((1L, t15.mkString(" ") + " tail1 tail2"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, t15.take(10).mkString(" ")),
+      (101L, t15.drop(5).mkString(" "))).toDF("doc_id", "text")
+    val out = Decontaminate.exciseSharedRuns(train, eval_, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .select("n_spans", "n_tok", "n_excised", "redacted_text")
+      .as[(Int, Int, Int, String)].head()
+    assert(out == ((2, 17, 15, "tail1 tail2")))
+  }
+
+  test("exciseSharedRuns: below-minRun runs leave the doc untouched") {
+    val run6 = doc("s1", "s2", "s3", "s4", "s5", "s6")
+    val train = Seq((1L, "x " + run6 + " y")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, run6)).toDF("doc_id", "text")
+    val out = Decontaminate.exciseSharedRuns(train, eval_, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .select("n_spans", "n_excised", "redacted_text")
+      .as[(Int, Int, String)].head()
+    assert(out == ((0, 0, "x " + run6 + " y")))
+  }
+
+  test("exciseSharedRuns: every train row surfaces; spans match longestSharedRun") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("split",
+        TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+    val tr = docs.filter($"split" === "train")
+    val ev = docs.filter($"split" === "eval")
+    val out = Decontaminate.exciseSharedRuns(tr, ev, "text", "doc_id")
+    assert(out.count() == tr.count())
+    // a doc has spans iff some pair reaches minRun in the run report
+    val flagged = Decontaminate.longestSharedRun(tr, ev, "text", "doc_id")
+      .filter($"max_run_tok" >= 8)
+      .select($"train_id").distinct().as[Long].collect().toSet
+    val excised = out.filter($"n_spans" > 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(excised == flagged)
+    assert(excised.nonEmpty) // the fixture genuinely trips
+  }
 }
