@@ -138,9 +138,9 @@ object Explain {
         // a per-row positional lambda filter — no token explode on
         // the corpus side, no NLJ
         "qt37_span_excision")
-    // (ql7_doc_lake_maintenance and ql8_training_shard_lake are
-    // deliberately absent for the same reason as ql5: their bodies
-    // write and rewrite temp lakes)
+    // (ql7_doc_lake_maintenance, ql8_training_shard_lake and
+    // ql9_packed_sequences are deliberately absent for the same
+    // reason as ql5: their bodies write and rewrite temp lakes)
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()

@@ -54,10 +54,35 @@ case class BpeTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The token IDS of the same encode — the int form a packed training
+  * artifact stores (4 B/token). Id scheme (mirrored arithmetically by
+  * the oracles): single-codepoint tokens are their codepoint; merge
+  * products are [[graft.text.Bpe.IdBase]] (0x110000, one past the
+  * codepoint space) + the lowest producing rank — see
+  * [[graft.text.Bpe.Table.idOf]] for the totality/collision argument.
+  */
+case class BpeTokenIds(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.text.Bpe.fixtureIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Bpe.fixtureIds($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
 object BpeEncode {
   def bpe_token_count(c: Column): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(c)))
 
   def bpe_tokens(c: Column): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(c)))
+
+  def bpe_token_ids(c: Column): Column =
+    ColumnBridge.column(BpeTokenIds(ColumnBridge.expression(c)))
 }

@@ -163,6 +163,26 @@ object DataOpsQueries {
         FROM bpest WHERE it = $nm)"""
   }
 
+  /** Vocab-id VALUES for oracles consuming token IDS: merge PRODUCTS
+    * only (single-codepoint tokens fall through to `unicode(tok)` —
+    * their codepoint, the base-vocab id); a product's id is IdBase +
+    * its LOWEST producing rank, matching [[graft.text.Bpe.Table.idOf]]
+    * exactly (two merges can concatenate to the same string; the
+    * first wins on both sides). Generated from the same resource the
+    * engine encodes with.
+    */
+  private lazy val bpeVocabCteSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val vals = graft.text.Bpe.fixture.merges.zipWithIndex.flatMap {
+      case ((l, r), i) =>
+        val p = l + r
+        if (seen.add(p)) Some(s"('${esc(p)}',${graft.text.Bpe.IdBase + i})")
+        else None
+    }.mkString(",")
+    s"bpev(tok, id) AS (SELECT * FROM (VALUES $vals) v(tok, id))"
+  }
+
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
     * scheme/host case, userinfo, www, trailing host dots, https (:443
@@ -3906,6 +3926,112 @@ object DataOpsQueries {
           CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY s.pk, s.doc_id) - 1 AS INT) AS pos,
           b.shard_n_docs, b.shard_n_chars
         FROM s JOIN b USING (shard) ORDER BY s.doc_id""")),
+
+    // ---- Packed-sequence lake (ql9): the FINAL trainer artifact —
+    // each shard's documents BPE-encoded to token IDS, concatenated
+    // in the deterministic (hash, id) stream order, and chopped into
+    // fixed 256-token sequences (GPT-2-style concat-then-chop: docs
+    // straddle sequence boundaries — qt33 assigns docs to bins, this
+    // MATERIALIZES the bins), written through ql8's shard-lake
+    // discipline (hive shard= dirs, one file per shard). The chop is
+    // fully relational: per-shard cumulative offsets, each doc
+    // exploding to only the bins it overlaps with a `slice` of its
+    // ids (corpus tokens cross the (shard, bin) exchange ONCE, as
+    // int pieces <= 256 long), assembly by sorted-struct flatten.
+    // Proven on the STORED artifact, not the plan: every bin except
+    // each shard's last is exactly 256 tokens, and the chop conserves
+    // tokens exactly (sum over bins == a fresh source-side encode
+    // count). Oracle replays BPE -> ids (codepoint | IdBase + rank)
+    // -> global stream positions -> the same group arithmetic, and
+    // pins the full id sequence of every bin as an ordered string. ----
+    QueryDef("ql9_packed_sequences",
+      (s, dir) => {
+        val L = 256
+        val nShards = 8
+        val tmp = java.nio.file.Files.createTempDirectory("ql9_packlake")
+        val lake = s"$tmp/packed"
+        try {
+          // BPE encode is per-row-heavy; spread (the qt32 lesson)
+          val docs = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          val seqs = graft.text.Pack.packSequences(docs, "doc_id",
+            graft.functions.BpeEncode.bpe_token_ids(col("text")),
+            binTokens = L, shards = nShards)
+          seqs.repartition(nShards, col("shard"))
+            .sortWithinPartitions(col("shard"), col("bin"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("shard").parquet(lake)
+          import scala.jdk.CollectionConverters._
+          val filesPerShard = java.nio.file.Files.list(
+              java.nio.file.Paths.get(lake)).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("shard="))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.list(p).iterator().asScala.count(
+                f => f.getFileName.toString.endsWith(".parquet")))
+            .toMap
+          require(filesPerShard.nonEmpty &&
+            filesPerShard.values.forall(_ == 1),
+            s"want one file per shard dir, got $filesPerShard")
+          val back = s.read.parquet(lake)
+          // loader contract on the STORED artifact: every bin except
+          // each shard's last is exactly full
+          val shardMax = back.groupBy(col("shard"))
+            .agg(max(col("bin")).as("max_bin"))
+          val ragged = back.join(shardMax, "shard")
+            .filter(col("bin") =!= col("max_bin") && col("n_tok") =!= L)
+            .count()
+          require(ragged == 0L,
+            s"$ragged interior bins not exactly $L tokens")
+          // token conservation: the chop neither drops nor duplicates
+          val srcTok = docs.agg(sum(
+              graft.functions.BpeEncode.bpe_token_count(col("text"))))
+            .first().getLong(0)
+          val lakeTok = back.agg(sum(col("n_tok"))).first().getLong(0)
+          require(srcTok == lakeTok,
+            s"token conservation: source $srcTok vs lake $lakeTok")
+          // the lake dir dies with this body — materialize the result
+          // off it first (bin-count-sized; the ql8 sink-hygiene
+          // convention — a real deployment keeps the lake instead)
+          val rows = back
+            .select(col("shard"), col("bin"), col("n_docs"), col("n_tok"),
+              array_join(transform(col("ids"), i => i.cast("string")), " ")
+                .as("seq_str"))
+            .orderBy(col("shard"), col("bin"))
+            .collect()
+          import org.apache.spark.sql.types._
+          s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("shard", IntegerType),
+            StructField("bin", LongType),
+            StructField("n_docs", IntegerType),
+            StructField("n_tok", IntegerType),
+            StructField("seq_str", StringType))))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        $bpeVocabCteSql,
+        tl AS (SELECT doc_id, string_split(trim(bpe_s, '|'), '||') AS toks,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM bpe WHERE bpe_s <> ''),
+        shp AS (SELECT doc_id, toks, h, CAST(h % 8 AS INT) AS shard,
+            CAST(len(toks) AS BIGINT) AS n_tok FROM tl),
+        cum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+          FROM shp),
+        tok AS (SELECT shard, doc_id, strt + i - 1 AS pos, toks[i] AS tk
+          FROM (SELECT shard, doc_id, strt, toks,
+              unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS i
+            FROM cum) q),
+        tid AS (SELECT shard, doc_id, pos,
+            COALESCE(bpev.id, unicode(tk)) AS id,
+            CAST(FLOOR(CAST(pos AS DOUBLE) / 256.0) AS BIGINT) AS bin
+          FROM tok LEFT JOIN bpev ON bpev.tok = tok.tk)
+        SELECT shard, bin, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+          CAST(COUNT(*) AS INT) AS n_tok,
+          string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS seq_str
+        FROM tid GROUP BY shard, bin ORDER BY shard, bin""")),
 
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained

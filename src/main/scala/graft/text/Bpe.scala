@@ -57,6 +57,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Bpe {
 
+  /** Base of the merge-product id range: one past the Unicode
+    * codepoint space, so `codepoint | (IdBase + rank)` is a collision-
+    * free vocab id assignment (mirrored arithmetically by the DuckDB
+    * oracles: 1114112 + rank).
+    */
+  val IdBase: Int = 0x110000
+
   /** A compiled merge table. `merges` is rank-ordered: merges(i) is the
     * pair learned at rank i. Serializable (ships in closures); the
     * rank index is rebuilt lazily per JVM.
@@ -78,6 +85,48 @@ object Bpe {
     private def rankOf(l: String, r: String): Int = {
       val v = rank.get(l + "\u0000" + r)
       if (v == null) Int.MaxValue else v.intValue()
+    }
+
+    @transient private lazy val prodId: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      var i = 0
+      while (i < merges.length) {
+        val p = merges(i)._1 + merges(i)._2
+        if (!m.containsKey(p)) m.put(p, Integer.valueOf(Bpe.IdBase + i))
+        i += 1
+      }
+      m
+    }
+
+    /** Vocab id of an emitted token. Single-codepoint tokens are their
+      * codepoint (the byte/codepoint-level base vocab, ids [0,
+      * 0x10FFFF]); merge products are [[Bpe.IdBase]] + the LOWEST rank
+      * whose concatenation equals the string — a vocab assigns ids to
+      * STRINGS, and two merges can concatenate to the same product
+      * (("a","bc") and ("ab","c") both make "abc"), so first producer
+      * wins, deterministically on both engine and oracle side. Total
+      * on tokenize/tokenizeSweep output: a product has >= 2 codepoints
+      * (both merge sides are non-empty), so the two id ranges cannot
+      * collide, and every multi-codepoint token IS some merge's
+      * product.
+      */
+    def idOf(tok: String): Int =
+      if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0)
+      else {
+        val v = prodId.get(tok)
+        require(v != null, s"token not in vocab: '$tok'")
+        v.intValue()
+      }
+
+    /** [[tokenize]] mapped through [[idOf]] — the int form a trainer
+      * artifact stores (4 B/token vs the strings' UTF-8 bytes).
+      */
+    def tokenizeIds(normed: String): Array[Int] = {
+      val toks = tokenize(normed)
+      val out = new Array[Int](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = idOf(toks(i)); i += 1 }
+      out
     }
 
     /** Canonical min-rank-first BPE encode of an already-normalized
@@ -218,4 +267,8 @@ object Bpe {
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  def fixtureIds(text: UTF8String): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(fixture.tokenizeIds(normalize(text)))
 }

@@ -43,4 +43,63 @@ object Pack {
       .select(col(idCol), col("n_tok"), col("shard"), col("bin"),
         col("bin_offset"))
   }
+
+  /** Physically PACKED training sequences — the artifact a data loader
+    * memory-maps: each shard's documents concatenated in the same
+    * deterministic (hash, id) stream order as [[packBins]] and CHOPPED
+    * into fixed `binTokens`-token sequences (GPT-2-style
+    * concat-then-chop: documents straddle sequence boundaries, so
+    * every sequence except a shard's last is exactly full).
+    * [[packBins]] is the ASSIGNMENT form of this layout (a doc labeled
+    * by the bin its start offset falls in); this is the
+    * materialization. One row per (shard, bin): contributing-doc
+    * count, token count (= binTokens except each shard's tail), and
+    * the packed ids. Zero-token documents contribute nothing and are
+    * dropped.
+    *
+    * `ids` is any integer-array column (e.g.
+    * [[graft.functions.BpeEncode.bpe_token_ids]] of the text).
+    *
+    * Scale shape: the per-shard cumulative window is packBins' own
+    * (shards = output files is the caller-chosen parallelism); each
+    * document then explodes to ONLY the bins it overlaps (expansion
+    * factor 1 + n_tok/binTokens) carrying a `slice` of its ids, so
+    * corpus tokens cross the (shard, bin) exchange exactly once, as
+    * int-array pieces never longer than binTokens; the assembly
+    * aggregate holds <= binTokens ints per group, and bins are
+    * uniformly full by construction — no skew. collect_list order is
+    * made deterministic by sorting the (offset, piece) structs before
+    * flattening (offsets are distinct within a bin).
+    */
+  def packSequences(docs: DataFrame, idCol: String, ids: Column,
+      binTokens: Int, shards: Int = 32): DataFrame = {
+    require(binTokens > 0 && shards > 0, "need positive binTokens/shards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = binTokens.toLong
+    docs
+      .select(col(idCol), ids.as("__ids"),
+        TextOps.hash60(col(idCol).cast("string")).as("h"))
+      .withColumn("n_tok", size(col("__ids")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      // bins this doc overlaps: floor(start/L) .. floor((end-1)/L)
+      .withColumn("bin", explode(sequence(
+        floor(col("start") / lit(binTokens.toDouble)),
+        floor((col("start") + col("n_tok") - 1) / lit(binTokens.toDouble)))))
+      .withColumn("lo", greatest(col("bin") * L, col("start")))
+      .withColumn("hi",
+        least((col("bin") + 1) * L, col("start") + col("n_tok")))
+      .withColumn("piece", slice(col("__ids"),
+        (col("lo") - col("start") + 1).cast("int"),
+        (col("hi") - col("lo")).cast("int")))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("hi") - col("lo")).cast("int").as("n_tok"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("lo"), col("piece")))),
+          x => x.getField("piece"))).as("ids"))
+  }
 }

@@ -100,6 +100,40 @@ class BpeSpec extends SparkTestBase {
     assert(got(2).getInt(1) === 0)
   }
 
+  test("token ids: codepoint base vocab, IdBase+rank products, total") {
+    val s = "the fast key order sort table scan merge part window"
+    val toks = table.tokenize(s)
+    val ids = table.tokenizeIds(s)
+    assert(ids.length === toks.length)
+    toks.zip(ids).foreach { case (tok, id) =>
+      if (tok.codePointCount(0, tok.length) == 1) {
+        assert(id === tok.codePointAt(0)) // base vocab: the codepoint
+        assert(id < Bpe.IdBase)
+      } else {
+        // a product id decodes back to its producing merge's string
+        val rank = id - Bpe.IdBase
+        assert(rank >= 0 && rank < table.merges.length)
+        val (l, r) = table.merges(rank)
+        assert(l + r === tok)
+        // and it is the LOWEST producing rank
+        assert(table.merges.indexWhere(m => m._1 + m._2 == tok) === rank)
+      }
+    }
+    // the compression is visible in the id stream too
+    assert(ids.count(_ >= Bpe.IdBase) > 0)
+  }
+
+  test("ids expression agrees with Table and joins back to tokens") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "  The   FAST key "), (2L, ""))).toDF("id", "text")
+    val got = df.select(col("id"),
+        BpeEncode.bpe_token_ids(col("text")).as("ids"))
+      .orderBy(col("id")).collect()
+    assert(got(0).getSeq[Int](1) ===
+      table.tokenizeIds("the fast key").toSeq)
+    assert(got(1).getSeq[Int](1).isEmpty)
+  }
+
   test("expression stays inside whole-stage codegen") {
     val df = spark.range(4).select(
       BpeEncode.bpe_token_count(concat(lit("merge sort "),
