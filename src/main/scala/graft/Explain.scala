@@ -136,8 +136,10 @@ object Explain {
         "qt36_split_leakage_audit", "qx12_decontamination_panel",
         // span excision = the qt35 chain + a doc-keyed left attach +
         // a per-row positional lambda filter — no token explode on
-        // the corpus side, no NLJ
-        "qt37_span_excision")
+        // the corpus side, no NLJ; the intra-doc form self-joins the
+        // SAME gram subplan (ReusedExchange, one scan+encode) with
+        // per-(doc, diagonal) windows only
+        "qt37_span_excision", "qt38_intra_doc_excision")
     // (ql7_doc_lake_maintenance, ql8_training_shard_lake and
     // ql9_packed_sequences are deliberately absent for the same
     // reason as ql5: their bodies write and rewrite temp lakes)

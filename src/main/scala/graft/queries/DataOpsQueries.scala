@@ -3636,6 +3636,74 @@ object DataOpsQueries {
         FROM outx LEFT JOIN ns ON ns.train_id = outx.doc_id
         ORDER BY outx.doc_id""")),
 
+    // ---- INTRA-document repetition excision (qt38): the third
+    // published ExactSubstr form — Lee et al. 2022's dedup applies to
+    // a substring repeating WITHIN one document too (boilerplate
+    // footers, template loops, scraper stutter); qt35/qt37 cover the
+    // cross-corpus pair, this covers the self pair. Same anchor/
+    // diagonal/island chain, self-joined per doc with strict position
+    // order (the gram exchange is one reused subplan); spans are the
+    // LATER occurrences, so excision keeps exactly the first — per-
+    // doc verdict rows (the every-row contract). Fixture: doc_id%10
+    // docs get their own first 20 normalized tokens re-appended — a
+    // genuine >= 20-token self-repeat that excises back out (the
+    // redacted text returns to the original for docs whose planted
+    // copy doesn't coincidentally extend); all other docs are
+    // measured negatives unless the corpus carries a natural >= 8
+    // repeat. No per-gram cap BY CONTRACT (a capped gram is a missed
+    // repeat); pathological periodic docs are qt8's gate, upstream. ----
+    QueryDef("qt38_intra_doc_excision",
+      (s, dir) => {
+        val nrm = TextOps.norm(col("text"))
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat_ws(" ", nrm,
+              array_join(slice(split(nrm, " "), 1, 20), " ")))
+            .otherwise(nrm).as("rtext"))
+        graft.text.Decontaminate.exciseRepeatedRuns(docs, "rtext",
+            "doc_id", anchor = 5, minRun = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, $normSql AS nrm FROM documents),
+        d AS (SELECT doc_id, string_split(lower(trim(regexp_replace(
+            CASE WHEN doc_id % 10 = 0 THEN nrm || ' ' ||
+              array_to_string(string_split(nrm, ' ')[1:20], ' ')
+            ELSE nrm END, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM d0),
+        pg AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS g
+          FROM (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 5 + 1)) AS i
+            FROM d WHERE len(toks) >= 5) q),
+        m AS (SELECT a.doc_id, b.pos - a.pos AS diag, b.pos AS jpos
+          FROM pg a JOIN pg b
+            ON a.doc_id = b.doc_id AND a.g = b.g AND b.pos > a.pos),
+        isl AS (SELECT doc_id, diag, jpos,
+            jpos - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+              ORDER BY jpos) AS island
+          FROM m),
+        runs AS (SELECT doc_id, MIN(jpos) AS s,
+            CAST(COUNT(*) + 4 AS BIGINT) AS run_len
+          FROM isl GROUP BY doc_id, diag, island
+          HAVING COUNT(*) + 4 >= 8),
+        spans AS (SELECT DISTINCT doc_id, s, s + run_len AS e FROM runs),
+        ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+        tp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+          FROM d),
+        px AS (SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS tok,
+            EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = tp.doc_id
+              AND tp.i - 1 >= sp.s AND tp.i - 1 < sp.e) AS cut
+          FROM tp),
+        outx AS (SELECT doc_id,
+            CAST(COUNT(*) AS INT) AS n_tok,
+            CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS INT) AS n_excised,
+            COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT cut), '') AS redacted_text
+          FROM px GROUP BY doc_id)
+        SELECT outx.doc_id, CAST(COALESCE(ns.n_spans, 0) AS INT) AS n_spans,
+          outx.n_tok, outx.n_excised, outx.redacted_text
+        FROM outx LEFT JOIN ns USING (doc_id)
+        ORDER BY outx.doc_id""")),
+
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —
     // the ql3/ql6 dynamic-overwrite discipline applied to the document

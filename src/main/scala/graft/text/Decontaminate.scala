@@ -227,10 +227,82 @@ object Decontaminate {
     */
   def exciseSharedRuns(train: DataFrame, eval: DataFrame,
       textCol: String, idCol: String, anchor: Int = 5, minRun: Int = 8,
-      broadcastEval: Boolean = true): DataFrame = {
-    val spansAgg = sharedRunSpans(train, eval, textCol, idCol, anchor,
-        minRun, broadcastEval)
-      .groupBy(col("train_id"))
+      broadcastEval: Boolean = true): DataFrame =
+    exciseSpans(train,
+      sharedRunSpans(train, eval, textCol, idCol, anchor, minRun,
+        broadcastEval).withColumnRenamed("train_id", "span_id"),
+      textCol, idCol)
+
+  /** Maximal repeated token runs WITHIN each document — the
+    * intra-document arm of the same ExactSubstr standard (Lee et al.
+    * 2022 apply the dedup to ALL duplicated substrings, including a
+    * substring repeating inside one document — boilerplate footers,
+    * template loops, scraper stutter): every maximal run of >= `minRun`
+    * tokens whose content already occurred EARLIER in the same
+    * document, as half-open 0-based token ranges [s, e) over the
+    * LATER occurrence — so excising them keeps exactly the first
+    * occurrence. Output: (span_id = the doc id, s, e), deduplicated
+    * across earlier-occurrence diagonals.
+    *
+    * Same anchor/diagonal/island machinery as [[maximalRuns]],
+    * self-joined per document with strict position order (j > i): a
+    * repeat tokens[i..i+R) == tokens[j..j+R) yields anchor pairs
+    * (i+k, j+k) all on diagonal j−i, whose consecutive later-side
+    * positions chain into one island of R−anchor+1 anchors. The two
+    * join sides are the IDENTICAL subplan, so Spark plans the gram
+    * exchange once and reuses it. Windows are per (doc, diagonal) —
+    * bounded by one document's grams. Posting posture matches
+    * [[longestSharedRun]]: no per-gram occurrence cap BY CONTRACT (a
+    * capped gram is a silent missed repeat); pathologically periodic
+    * documents (m occurrences of one gram → m² pairs within that doc)
+    * are the qt8 repetition gate's job to drop FIRST — the same
+    * clean-then-check order as boilerplate-before-decontamination.
+    */
+  def repeatedRunSpans(docs: DataFrame, textCol: String, idCol: String,
+      anchor: Int = 5, minRun: Int = 8): DataFrame = {
+    require(minRun >= anchor,
+      s"minRun must be >= anchor for completeness, got $minRun < $anchor")
+    import org.apache.spark.sql.expressions.Window
+    val g = spread(docs).select(col(idCol).as("span_id"),
+      posexplode(WordNgramHashes.word_ngram_hashes_pos(col(textCol), anchor))
+        .as(Seq("pos", "g")))
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.span_id") === col("b.span_id") && col("a.g") === col("b.g") &&
+          col("b.pos") > col("a.pos"))
+      .select(col("a.span_id").as("span_id"),
+        (col("b.pos") - col("a.pos")).as("diag"), col("b.pos").as("jpos"))
+    val w = Window.partitionBy(col("span_id"), col("diag"))
+      .orderBy(col("jpos"))
+    pairs.withColumn("island", col("jpos") - row_number().over(w))
+      .groupBy(col("span_id"), col("diag"), col("island"))
+      .agg(min(col("jpos")).as("s2"), count(lit(1)).as("n_anchor"))
+      .filter(col("n_anchor") + (anchor - 1) >= minRun)
+      .select(col("span_id"), col("s2").cast("int").as("s"),
+        (col("s2") + col("n_anchor") + (anchor - 1)).cast("int").as("e"))
+      .distinct()
+  }
+
+  /** [[repeatedRunSpans]] applied surgically — one row per document
+    * (the every-row contract): later occurrences of every >= `minRun`
+    * within-document repeat removed, first occurrences kept. The same
+    * positional-disjunction excision as [[exciseSharedRuns]].
+    */
+  def exciseRepeatedRuns(docs: DataFrame, textCol: String,
+      idCol: String, anchor: Int = 5, minRun: Int = 8): DataFrame =
+    exciseSpans(docs,
+      repeatedRunSpans(docs, textCol, idCol, anchor, minRun),
+      textCol, idCol)
+
+  /** Shared excision attach: fold `spans` (span_id, s, e) to one array
+    * per flagged doc, attach by a doc-keyed left join (AQE sizes it as
+    * a broadcast — flagged docs are the rare case), excise by a pure
+    * per-row positional lambda filter riding the scan. Overlapping
+    * spans need no merge: position membership is a disjunction.
+    */
+  private def exciseSpans(docs: DataFrame, spans: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val spansAgg = spans
+      .groupBy(col("span_id"))
       .agg(count(lit(1)).cast("int").as("n_spans"),
         collect_list(struct(col("s"), col("e"))).as("__spans"))
     val toks = TextOps.tokens(col(textCol))
@@ -239,7 +311,7 @@ object Decontaminate {
     val kept = when(col("__spans").isNull, toks).otherwise(
       filter(toks, (_, i) => !exists(col("__spans"),
         r => i >= r.getField("s") && i < r.getField("e"))))
-    train.join(spansAgg, col(idCol) === col("train_id"), "left")
+    docs.join(spansAgg, col(idCol) === col("span_id"), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0)).as("n_spans"),
         size(toks).as("n_tok"),

@@ -104,7 +104,12 @@ class PlanGuardSpec extends SparkTestBase {
       // the excision composes the span chain with a doc-keyed left
       // join + a per-row lambda filter — still no NLJ anywhere
       "exciseSharedRuns" -> Decontaminate.exciseSharedRuns(
-        docs, docs.filter(col("doc_id") < 5), "text", "doc_id")
+        docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
+      // the intra-doc form self-joins the gram table: the pair join
+      // must stay a (doc, gram) equi-join (the strict-order predicate
+      // rides as a post-join filter, never an NLJ condition)
+      "exciseRepeatedRuns" -> Decontaminate.exciseRepeatedRuns(
+        docs, "text", "doc_id")
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 

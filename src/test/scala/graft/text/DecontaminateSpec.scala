@@ -207,4 +207,34 @@ class DecontaminateSpec extends SparkTestBase {
     assert(excised == flagged)
     assert(excised.nonEmpty) // the fixture genuinely trips
   }
+
+  test("exciseRepeatedRuns: later copy excised, first kept, negatives " +
+      "untouched") {
+    val run9 = doc("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8", "w9")
+    val docs = Seq(
+      (1L, "alpha " + run9 + " mid " + run9 + " tail"), // repeat at 10
+      (2L, "all these tokens appear exactly once in this document"),
+      (3L, run9 + " " + run9 + " " + run9) // 3 copies -> keep first
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.exciseRepeatedRuns(docs, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_tok", "n_excised", "redacted_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out(0) == ((1L, 1, 21, 9, "alpha " + run9 + " mid tail")))
+    assert(out(1)._2 == 0)
+    assert(out(1)._5 ==
+      "all these tokens appear exactly once in this document")
+    // periodic doc: every later copy goes, exactly one survives
+    assert(out(2)._1 == 3L && out(2)._4 == 18 && out(2)._5 == run9)
+  }
+
+  test("repeatedRunSpans: spans sit on LATER occurrences only") {
+    val run8 = doc("p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8")
+    val docs = Seq((7L, run8 + " gap " + run8)).toDF("doc_id", "text")
+    val spans = Decontaminate.repeatedRunSpans(docs, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .select($"span_id", $"s", $"e").as[(Long, Int, Int)].collect().toSeq
+    assert(spans == Seq((7L, 9, 17))) // the second copy, never the first
+  }
 }
