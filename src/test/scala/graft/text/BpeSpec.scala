@@ -123,6 +123,23 @@ class BpeSpec extends SparkTestBase {
     assert(ids.count(_ >= Bpe.IdBase) > 0)
   }
 
+  test("ids decode back to the input on randomized corpus-alphabet text") {
+    def decode(id: Int): String =
+      if (id < Bpe.IdBase) new String(Character.toChars(id))
+      else { val (l, r) = table.merges(id - Bpe.IdBase); l + r }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq("", "a", "the the the", "aa aa aa") ++
+      (1 to 100).map { _ =>
+        val len = rnd.nextInt(300)
+        val sb = new StringBuilder
+        (0 until len).foreach(_ => sb += alphabet(rnd.nextInt(alphabet.length)))
+        sb.result().replaceAll("\\s+", " ").trim
+      }
+    cases.foreach { s =>
+      assert(table.tokenizeIds(s).map(decode).mkString === s, s"on '$s'")
+    }
+  }
+
   test("ids expression agrees with Table and joins back to tokens") {
     val df = spark.createDataFrame(Seq(
       (1L, "  The   FAST key "), (2L, ""))).toDF("id", "text")
