@@ -140,9 +140,10 @@ object Explain {
         // SAME gram subplan (ReusedExchange, one scan+encode) with
         // per-(doc, diagonal) windows only
         "qt37_span_excision", "qt38_intra_doc_excision")
-    // (ql7_doc_lake_maintenance, ql8_training_shard_lake and
-    // ql9_packed_sequences are deliberately absent for the same
-    // reason as ql5: their bodies write and rewrite temp lakes)
+    // (ql7_doc_lake_maintenance, ql8_training_shard_lake,
+    // ql9_packed_sequences and ql10_packed_lake_append are
+    // deliberately absent for the same reason as ql5: their bodies
+    // write and rewrite temp lakes)
     // (ql5_index_roundtrip is deliberately absent: its body WRITES a
     // temp lake before serving — Explain would leave one behind)
     val spark = SparkSession.builder()

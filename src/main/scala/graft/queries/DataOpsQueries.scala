@@ -4101,6 +4101,250 @@ object DataOpsQueries {
           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS seq_str
         FROM tid GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // ---- Packed-lake APPEND maintenance (ql10): how the ql9 artifact
+    // grows in production. Training files are immutable once a run
+    // reads them — continuing a shard's tail bin would REWRITE
+    // yesterday's files — so a day's batch lands as a NEW SEGMENT:
+    // each (shard, segment) is its own independently-packed stream
+    // (loader concatenation restarts per segment, standard
+    // sharded-dataset practice; the price is one ragged tail bin per
+    // segment per shard, bounded by S x segments x L tokens). The
+    // append is PROVEN append-only: segment-0's files are snapshotted
+    // (path, size, mtime) before the batch lands and required
+    // byte-untouched after — the ql7 untouched-partition discipline
+    // on the trainer lake. Conservation and chop-exactness per stream
+    // are ql9's operator-level pins; the oracle here pins the full id
+    // sequence of every bin in BOTH segments. ----
+    QueryDef("ql10_packed_lake_append",
+      (s, dir) => {
+        val L = 256
+        val nShards = 8
+        val tmp = java.nio.file.Files.createTempDirectory("ql10_packlake")
+        val lake = s"$tmp/packed"
+        import scala.jdk.CollectionConverters._
+        def parquetFiles(): Map[String, (Long, Long)] = {
+          val root = java.nio.file.Paths.get(lake)
+          if (!java.nio.file.Files.exists(root)) Map.empty
+          else java.nio.file.Files.walk(root).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => p.toString -> ((java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+            .toMap
+        }
+        try {
+          val all = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+            .withColumn("part", TextOps.hashSplit(col("doc_id"), Seq(90),
+              Seq("corpus", "batch")))
+          def pack(part: String, seg: Int) =
+            graft.text.Pack.packSequences(all.filter(col("part") === part),
+                "doc_id",
+                graft.functions.BpeEncode.bpe_token_ids(col("text")),
+                binTokens = L, shards = nShards)
+              .withColumn("segment", lit(seg))
+              .repartition(nShards, col("shard"))
+              .sortWithinPartitions(col("shard"), col("bin"))
+          // day 0: the corpus segment
+          pack("corpus", 0).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("shard", "segment").parquet(lake)
+          val before = parquetFiles()
+          // day 1: the batch appends as a NEW segment — no existing
+          // dir is opened for write
+          pack("batch", 1).write
+            .mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("shard", "segment").parquet(lake)
+          val after = parquetFiles()
+          require(before.forall { case (p, sm) => after.get(p).contains(sm) },
+            "append touched a prior segment's files")
+          // one file per (shard, segment) leaf — each write call holds
+          // one segment, repartitioned to one task per shard
+          val leafCounts = after.keys.toSeq
+            .groupBy(p => p.substring(lake.length, p.lastIndexOf('/')))
+            .map { case (leaf, fs) => leaf -> fs.size }
+          require(leafCounts.nonEmpty && leafCounts.values.forall(_ == 1),
+            s"want one file per (shard, segment) dir, got $leafCounts")
+          val back = s.read.parquet(lake)
+          // every non-tail bin of each (shard, segment) stream is full
+          val segMax = back.groupBy(col("shard"), col("segment"))
+            .agg(max(col("bin")).as("max_bin"))
+          val ragged = back.join(segMax, Seq("shard", "segment"))
+            .filter(col("bin") =!= col("max_bin") && col("n_tok") =!= L)
+            .count()
+          require(ragged == 0L,
+            s"$ragged interior bins not exactly $L tokens")
+          val rows = back
+            .select(col("shard"), col("segment"), col("bin"), col("n_docs"),
+              col("n_tok"),
+              array_join(transform(col("ids"), i => i.cast("string")), " ")
+                .as("seq_str"))
+            .orderBy(col("shard"), col("segment"), col("bin"))
+            .collect()
+          import org.apache.spark.sql.types._
+          s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("shard", IntegerType),
+            StructField("segment", IntegerType),
+            StructField("bin", LongType),
+            StructField("n_docs", IntegerType),
+            StructField("n_tok", IntegerType),
+            StructField("seq_str", StringType))))
+        } finally {
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        $bpeVocabCteSql,
+        tl AS (SELECT doc_id, string_split(trim(bpe_s, '|'), '||') AS toks,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+              THEN 0 ELSE 1 END AS seg
+          FROM bpe WHERE bpe_s <> ''),
+        shp AS (SELECT doc_id, toks, h, seg, CAST(h % 8 AS INT) AS shard,
+            CAST(len(toks) AS BIGINT) AS n_tok FROM tl),
+        cum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard, seg
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+          FROM shp),
+        tok AS (SELECT shard, seg, doc_id, strt + i - 1 AS pos, toks[i] AS tk
+          FROM (SELECT shard, seg, doc_id, strt, toks,
+              unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS i
+            FROM cum) q),
+        tid AS (SELECT shard, seg, doc_id, pos,
+            COALESCE(bpev.id, unicode(tk)) AS id,
+            CAST(FLOOR(CAST(pos AS DOUBLE) / 256.0) AS BIGINT) AS bin
+          FROM tok LEFT JOIN bpev ON bpev.tok = tok.tk)
+        SELECT shard, CAST(seg AS INT) AS segment, bin,
+          CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+          CAST(COUNT(*) AS INT) AS n_tok,
+          string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS seq_str
+        FROM tid GROUP BY shard, seg, bin
+        ORDER BY shard, segment, bin""")),
+
+    // ---- STREAMED packed-lake maintenance (qst15): ql10 as the
+    // continuous process it is in production — document arrivals
+    // land on a file stream, and EACH MICRO-BATCH packs as one
+    // immutable segment appended to the trainer lake from inside
+    // foreachBatch (segment = batch id; the stream itself is
+    // stateless — all packing runs on the batch DataFrame, so the
+    // per-shard cumulative window is per-batch-bounded, never
+    // unbounded streaming state). Arrival files are written
+    // deterministically (day 0 = the corpus slice, day 1 = the batch
+    // slice; maxFilesPerTrigger=1 makes file = micro-batch = segment),
+    // so the resulting lake is BIT-IDENTICAL to ql10's batch-built
+    // lake — the oracle IS ql10's SQL, pinning stream ≡ batch on the
+    // stored trainer artifact itself (the qst-family convention
+    // extended to the last pipeline stage). ----
+    QueryDef("qst15_stream_packed_lake",
+      (s, dir) => {
+        val L = 256
+        val nShards = 8
+        val tmp = java.nio.file.Files.createTempDirectory("qst15_packlake")
+        val lake = s"$tmp/packed"
+        val arrivals = scratchDir("stq_arrivals")
+        val ckpt = scratchDir("stq_ckpt15")
+        import scala.jdk.CollectionConverters._
+        def cleanup(p: java.nio.file.Path): Unit =
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        try {
+          val all = t(s, dir, "documents")
+            .withColumn("part", TextOps.hashSplit(col("doc_id"), Seq(90),
+              Seq("corpus", "batch")))
+          // one arrival file per day, in arrival (mtime) order
+          Seq("corpus" -> "day0", "batch" -> "day1").foreach {
+            case (part, day) =>
+              val stage = java.nio.file.Files.createTempDirectory(tmp, day)
+              all.filter(col("part") === part)
+                .select(col("doc_id"), col("text"))
+                .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+              val f = java.nio.file.Files.list(stage).iterator().asScala
+                .find(_.getFileName.toString.endsWith(".parquet")).get
+              java.nio.file.Files.move(f, arrivals.resolve(s"$day.parquet"))
+              cleanup(stage)
+          }
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = try {
+            s.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(arrivals.toString)
+              .writeStream
+              .foreachBatch { (batch: DataFrame, bid: Long) =>
+                graft.text.Pack.packSequences(
+                    graft.ops.Partitioning.spread(batch), "doc_id",
+                    graft.functions.BpeEncode.bpe_token_ids(col("text")),
+                    binTokens = L, shards = nShards)
+                  .withColumn("segment", lit(bid.toInt))
+                  .repartition(nShards, col("shard"))
+                  .sortWithinPartitions(col("shard"), col("bin"))
+                  .write.mode(org.apache.spark.sql.SaveMode.Append)
+                  .partitionBy("shard", "segment").parquet(lake)
+                ()
+              }
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          q.awaitTermination()
+          val back = s.read.parquet(lake)
+          // the stored artifact honors the loader contract per stream
+          val segMax = back.groupBy(col("shard"), col("segment"))
+            .agg(max(col("bin")).as("max_bin"))
+          val ragged = back.join(segMax, Seq("shard", "segment"))
+            .filter(col("bin") =!= col("max_bin") && col("n_tok") =!= L)
+            .count()
+          require(ragged == 0L,
+            s"$ragged interior bins not exactly $L tokens")
+          val rows = back
+            .select(col("shard"), col("segment"), col("bin"), col("n_docs"),
+              col("n_tok"),
+              array_join(transform(col("ids"), i => i.cast("string")), " ")
+                .as("seq_str"))
+            .orderBy(col("shard"), col("segment"), col("bin"))
+            .collect()
+          import org.apache.spark.sql.types._
+          s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+            StructField("shard", IntegerType),
+            StructField("segment", IntegerType),
+            StructField("bin", LongType),
+            StructField("n_docs", IntegerType),
+            StructField("n_tok", IntegerType),
+            StructField("seq_str", StringType))))
+        } finally {
+          cleanup(tmp); cleanup(arrivals); cleanup(ckpt)
+        }
+      },
+      // stream ≡ batch: ql10's oracle verbatim — the lake a
+      // micro-batched stream builds must be the lake the batch
+      // composite builds
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        $bpeVocabCteSql,
+        tl AS (SELECT doc_id, string_split(trim(bpe_s, '|'), '||') AS toks,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+              THEN 0 ELSE 1 END AS seg
+          FROM bpe WHERE bpe_s <> ''),
+        shp AS (SELECT doc_id, toks, h, seg, CAST(h % 8 AS INT) AS shard,
+            CAST(len(toks) AS BIGINT) AS n_tok FROM tl),
+        cum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard, seg
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+          FROM shp),
+        tok AS (SELECT shard, seg, doc_id, strt + i - 1 AS pos, toks[i] AS tk
+          FROM (SELECT shard, seg, doc_id, strt, toks,
+              unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS i
+            FROM cum) q),
+        tid AS (SELECT shard, seg, doc_id, pos,
+            COALESCE(bpev.id, unicode(tk)) AS id,
+            CAST(FLOOR(CAST(pos AS DOUBLE) / 256.0) AS BIGINT) AS bin
+          FROM tok LEFT JOIN bpev ON bpev.tok = tok.tk)
+        SELECT shard, CAST(seg AS INT) AS segment, bin,
+          CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+          CAST(COUNT(*) AS INT) AS n_tok,
+          string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS seq_str
+        FROM tid GROUP BY shard, seg, bin
+        ORDER BY shard, segment, bin""")),
+
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained
     // fasttext/logreg quality or language filter) in its exact
