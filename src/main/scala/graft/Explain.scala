@@ -136,9 +136,10 @@ object Explain {
         "qt36_split_leakage_audit", "qx12_decontamination_panel",
         // span excision = the qt35 chain + a doc-keyed left attach +
         // a per-row positional lambda filter — no token explode on
-        // the corpus side, no NLJ; the intra-doc form self-joins the
-        // SAME gram subplan (ReusedExchange, one scan+encode) with
-        // per-(doc, diagonal) windows only
+        // the corpus side, no NLJ; the intra-doc form is ONE gram
+        // pass (positions grouped per (doc, gram), pairs unfolded
+        // from the sorted array — no self-join) with per-(doc,
+        // diagonal) windows only
         "qt37_span_excision", "qt38_intra_doc_excision")
     // (ql7_doc_lake_maintenance, ql8_training_shard_lake,
     // ql9_packed_sequences and ql10_packed_lake_append are

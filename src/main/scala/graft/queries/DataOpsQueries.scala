@@ -3641,8 +3641,11 @@ object DataOpsQueries {
     // a substring repeating WITHIN one document too (boilerplate
     // footers, template loops, scraper stutter); qt35/qt37 cover the
     // cross-corpus pair, this covers the self pair. Same anchor/
-    // diagonal/island chain, self-joined per doc with strict position
-    // order (the gram exchange is one reused subplan); spans are the
+    // diagonal/island chain, matched within each doc with strict
+    // position order — ONE corpus gram pass (positions grouped per
+    // (doc, gram), ordered pairs unfolded from the sorted position
+    // array; the self-join form encoded the corpus twice and was
+    // measured out — reasoning in Decontaminate.scala); spans are the
     // LATER occurrences, so excision keeps exactly the first — per-
     // doc verdict rows (the every-row contract). Fixture: doc_id%10
     // docs get their own first 20 normalized tokens re-appended — a

@@ -245,13 +245,18 @@ object Decontaminate {
     * across earlier-occurrence diagonals.
     *
     * Same anchor/diagonal/island machinery as [[maximalRuns]],
-    * self-joined per document with strict position order (j > i): a
+    * matched WITHIN each document in strict position order (j > i): a
     * repeat tokens[i..i+R) == tokens[j..j+R) yields anchor pairs
     * (i+k, j+k) all on diagonal j−i, whose consecutive later-side
-    * positions chain into one island of R−anchor+1 anchors. The two
-    * join sides are the IDENTICAL subplan, so Spark plans the gram
-    * exchange once and reuses it. Windows are per (doc, diagonal) —
-    * bounded by one document's grams. Posting posture matches
+    * positions chain into one island of R−anchor+1 anchors. Unlike
+    * the cross-corpus form (two distinct slices, one equi-join), the
+    * self pair needs NO join at all: the corpus is gram-encoded ONCE,
+    * positions group per (doc, gram), and the ordered pairs unfold
+    * from each group's sorted position array — a self-join of the
+    * gram table would scan and encode the corpus twice (verified in
+    * the executed plan: no exchange reuse materializes across the
+    * posexplode sides). Windows are per (doc, diagonal) — bounded by
+    * one document's grams. Posting posture matches
     * [[longestSharedRun]]: no per-gram occurrence cap BY CONTRACT (a
     * capped gram is a silent missed repeat); pathologically periodic
     * documents (m occurrences of one gram → m² pairs within that doc)
@@ -266,11 +271,19 @@ object Decontaminate {
     val g = spread(docs).select(col(idCol).as("span_id"),
       posexplode(WordNgramHashes.word_ngram_hashes_pos(col(textCol), anchor))
         .as(Seq("pos", "g")))
-    val pairs = g.as("a").join(g.as("b"),
-        col("a.span_id") === col("b.span_id") && col("a.g") === col("b.g") &&
-          col("b.pos") > col("a.pos"))
-      .select(col("a.span_id").as("span_id"),
-        (col("b.pos") - col("a.pos")).as("diag"), col("b.pos").as("jpos"))
+    // one shuffle on (doc, gram); aggregate state = that gram's
+    // positions within one doc (the uncapped-contract bound)
+    val occ = g.groupBy(col("span_id"), col("g"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    // ordered pairs from the sorted positions: element j at 0-based
+    // index idx pairs with every earlier position i = ps[0..idx)
+    val pairs = occ.select(col("span_id"),
+        explode(flatten(transform(col("ps"),
+          (j, idx) => transform(slice(col("ps"), lit(1), idx),
+            i => struct((j - i).as("diag"), j.as("jpos")))))).as("p"))
+      .select(col("span_id"), col("p.diag").as("diag"),
+        col("p.jpos").as("jpos"))
     val w = Window.partitionBy(col("span_id"), col("diag"))
       .orderBy(col("jpos"))
     pairs.withColumn("island", col("jpos") - row_number().over(w))

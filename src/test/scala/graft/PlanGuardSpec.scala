@@ -105,9 +105,9 @@ class PlanGuardSpec extends SparkTestBase {
       // join + a per-row lambda filter — still no NLJ anywhere
       "exciseSharedRuns" -> Decontaminate.exciseSharedRuns(
         docs, docs.filter(col("doc_id") < 5), "text", "doc_id"),
-      // the intra-doc form self-joins the gram table: the pair join
-      // must stay a (doc, gram) equi-join (the strict-order predicate
-      // rides as a post-join filter, never an NLJ condition)
+      // the intra-doc form generates pairs by group-and-unfold (one
+      // gram pass, no self-join) — the only join left is the span
+      // attach, which must stay a doc-keyed equi-join
       "exciseRepeatedRuns" -> Decontaminate.exciseRepeatedRuns(
         docs, "text", "doc_id")
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
