@@ -82,9 +82,15 @@ object Pack {
       .select(col(idCol), ids.as("__ids"),
         TextOps.hash60(col(idCol).cast("string")).as("h"))
       .withColumn("n_tok", size(col("__ids")).cast("long"))
-      .filter(col("n_tok") > 0)
       .withColumn("shard", (col("h") % shards).cast("int"))
       .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      // zero-token docs drop HERE, not before the window: a filter on
+      // n_tok below the window would be pushed through the projection
+      // and re-derive the ids expression per row (the encode ran TWICE
+      // in the optimized plan — measured); above the window it cannot
+      // push (n_tok is not a partition column), and the empty docs
+      // contribute +0 to every running sum, so offsets are unchanged
+      .filter(col("n_tok") > 0)
       // bins this doc overlaps: floor(start/L) .. floor((end-1)/L)
       .withColumn("bin", explode(sequence(
         floor(col("start") / lit(binTokens.toDouble)),
