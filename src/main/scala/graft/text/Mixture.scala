@@ -86,6 +86,14 @@ object Mixture {
     * token budget = least(floor(w_g·T), tok_g) (the same FP clamp as
     * the count form).
     *
+    * TWO-PASS operator (the `Urls.domainCap` contract): the input is
+    * consumed once by the stratum-size aggregate and once by the keep
+    * path, so `nTok`'s expression — a full BPE encode when it is the
+    * honest count — evaluates twice. The contract is CALLER-OWNED
+    * caching: feed a column of an already-materialized table (qt34's
+    * fixture shape), or persist the (id, group, nTok) projection first
+    * when the count rides an expensive scan.
+    *
     * Because a token budget is filled by whole documents, hitting it
     * needs an ORDER — and a global per-stratum cumulative sum is the
     * unbounded-window shape this repo forbids. Instead the qt10/Pack
