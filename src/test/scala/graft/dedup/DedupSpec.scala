@@ -181,7 +181,10 @@ class DedupSpec extends SparkTestBase {
     val n = 200
     val pairs = (1 to n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     val maxIter = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2
-    val out = Dedup.dupClusters(pairs, maxIter = maxIter)
+    // driverEdgeCap = 0 forces the distributed loop — the path whose
+    // round/plan bounds this test pins (the default quotient fast path
+    // never iterates)
+    val out = Dedup.dupClusters(pairs, maxIter = maxIter, driverEdgeCap = 0)
     val rows = out.select($"doc_id", $"cluster_id", $"cluster_size")
       .as[(Long, Long, Long)].collect()
     assert(rows.length == n + 1)
@@ -215,15 +218,23 @@ class DedupSpec extends SparkTestBase {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val want = parent.keys.map(x => x -> find(x)).toMap
-        val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"))
-          .select($"doc_id", $"cluster_id", $"cluster_size", $"is_canonical")
-          .as[(Long, Long, Long, Boolean)].collect()
-        assert(got.length == want.size, s"trial $trial: node count")
-        got.foreach { case (node, cid, size, canon) =>
-          assert(cid == want(node), s"trial $trial node $node")
-          assert(size == want.values.count(_ == want(node)).toLong,
-            s"trial $trial node $node size")
-          assert(canon == (node == cid), s"trial $trial node $node canonical")
+        // BOTH finishing strategies against the oracle: the default
+        // quotient fast path (driver union-find) and the distributed
+        // pointer-jumping loop (driverEdgeCap = 0) — fastpath ≡ loop ≡
+        // oracle on every trial
+        Seq(1 << 20, 0).foreach { cap =>
+          val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"),
+              driverEdgeCap = cap)
+            .select($"doc_id", $"cluster_id", $"cluster_size", $"is_canonical")
+            .as[(Long, Long, Long, Boolean)].collect()
+          assert(got.length == want.size, s"trial $trial cap $cap: node count")
+          got.foreach { case (node, cid, size, canon) =>
+            assert(cid == want(node), s"trial $trial cap $cap node $node")
+            assert(size == want.values.count(_ == want(node)).toLong,
+              s"trial $trial cap $cap node $node size")
+            assert(canon == (node == cid),
+              s"trial $trial cap $cap node $node canonical")
+          }
         }
       }
     }
@@ -239,8 +250,10 @@ class DedupSpec extends SparkTestBase {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))) ==
       Seq((7L, 7L, 1L, true)))
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    // the maxIter bound guards the LOOP path (the fast path never
+    // iterates) — force it with driverEdgeCap = 0
     intercept[IllegalArgumentException] {
-      Dedup.dupClusters(path, maxIter = 2).collect()
+      Dedup.dupClusters(path, maxIter = 2, driverEdgeCap = 0).collect()
     }
   }
 
