@@ -2,7 +2,6 @@ package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Incremental maintenance of a canonical-key document lake — the
   * corpus-side twin of the index lake's tombstone fold
@@ -47,12 +46,23 @@ object DocLake {
     val lk = spark.read.parquet(lakeRoot)
     val cols = lk.columns.toSeq
     val batchKeys = batch.select(col(keyCol))
-    // appends read the lake (anti join on its pruned key column) —
-    // materialize BEFORE the overwrite invalidates the file listing
-    val appends = batch
+    // appends read the lake (anti join on its pruned key column) — they
+    // must be materialized DURABLY before the overwrite invalidates the
+    // file listing. persist() is not enough off the happy path: if an
+    // executor dies after the overwrite, recomputation of a lost block
+    // would re-scan the lake through a file index of now-deleted files.
+    // Stage them as parquet under an underscore-prefixed dir (invisible
+    // to every lake reader) and re-read — the append set is batch-sized,
+    // so the extra write+read is day-batch cost, not corpus cost.
+    val hadoopPath = new org.apache.hadoop.fs.Path(lakeRoot,
+      "_staging_appends_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch
       .join(lk.select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .write.parquet(hadoopPath.toString)
+    // schema passed explicitly: a zero-append batch writes no part files
+    val appends = spark.read.schema(lk.schema).parquet(hadoopPath.toString)
     val nAppend = appends.count()
     // affected partitions: pruned (key, part) scan x broadcast batch keys
     val affected = lk.select(col(keyCol), col(partCol))
@@ -100,7 +110,7 @@ object DocLake {
         .write.mode(SaveMode.Append)
         .partitionBy(partCol).parquet(lakeRoot)
     }
-    appends.unpersist()
+    fs.delete(hadoopPath, true)
     (nRefresh, nAppend)
   }
 }

@@ -54,13 +54,17 @@ object DataOpsQueries {
     val name = "stq_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = scratchDir("stq_ckpt")
     // Stateful operators create one state-store instance per shuffle
-    // partition, each paying a per-batch commit+fsync — on a bounded
-    // replay of a dim-sized table that fixed cost dominates the run, so
-    // pin the STREAM's state partitioning low (it is captured at query
-    // start; the session conf is restored right after). A production
-    // stream over real volume would keep the session default.
+    // partition, each paying a per-batch load+commit (+fsync when the
+    // checkpoint is on real disk) — on a bounded replay of a dim-sized
+    // table that fixed cost dominates the run, so pin the STREAM's
+    // state partitioning low (it is captured at query start; the
+    // session conf is restored right after). A production stream over
+    // real volume would keep the session default. 2 was measured
+    // against 8 across the qst family (r15): state in every row is
+    // KB-sized (per-window/lang/segment cardinality), so fewer, larger
+    // stores only remove per-store fixed cost.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q = try {
       out.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
@@ -145,6 +149,18 @@ object DataOpsQueries {
     */
   private lazy val bpeCteSql: String = {
     def esc(x: String) = x.replace("'", "''")
+    // Delimiter-soundness guard: the sweep encodes token boundaries
+    // with '|' flanks and '||' separators, which is ambiguous the
+    // moment any merge token (and hence any corpus codepoint a merge
+    // touches) contains a literal '|' — the replace sweep would
+    // corrupt boundaries while the engine treats '|' as an ordinary
+    // codepoint. The bundled table is '|'-free; a retrained table
+    // that is not must switch this CTE to a non-printable delimiter.
+    require(graft.text.Bpe.fixture.merges.forall { case (l, r) =>
+      !l.contains('|') && !r.contains('|') },
+      "bpeCteSql delimiter '|' occurs in a merge token — the replace " +
+        "sweep oracle is unsound for this table; re-encode with a " +
+        "delimiter absent from the vocabulary")
     val vals = graft.text.Bpe.fixture.merges.zipWithIndex.map {
       case ((l, r), i) =>
         s"($i,'${esc("|" + l + "||" + r + "|")}','${esc("|" + l + r + "|")}')"
@@ -1200,9 +1216,9 @@ object DataOpsQueries {
         c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
-          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) AS bin,
+          CAST((cum - n_tok) // 64 AS BIGINT) AS bin,
           CAST(cum - n_tok AS BIGINT)
-            - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
+            - CAST((cum - n_tok) // 64 AS BIGINT) * 64 AS bin_offset
         FROM c ORDER BY doc_id""")),
 
     // ---- symmetric int8 embedding quantization (4x storage cut for
@@ -3478,9 +3494,9 @@ object DataOpsQueries {
         c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
-          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) AS bin,
+          CAST((cum - n_tok) // 64 AS BIGINT) AS bin,
           CAST(cum - n_tok AS BIGINT)
-            - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
+            - CAST((cum - n_tok) // 64 AS BIGINT) * 64 AS bin_offset
         FROM c ORDER BY doc_id""")),
 
     // ---- TOKEN-budget mixture targeting (qt34): qt22's language
@@ -3523,7 +3539,7 @@ object DataOpsQueries {
           CAST(tg.grp_tok AS INT) AS grp_tok,
           CAST(tg.target_tok AS INT) AS target_tok, c.shard,
           (c.cum - c.n_tok) <
-            CAST(FLOOR(CAST(tg.target_tok AS DOUBLE) / CAST(8 AS DOUBLE)) AS BIGINT) AS keep
+            CAST(tg.target_tok // 8 AS BIGINT) AS keep
         FROM c JOIN tg ON tg.lang = c.lang ORDER BY c.doc_id""")),
 
     // ---- EXACT-substring decontamination (qt35): the suffix-array-
@@ -4097,7 +4113,7 @@ object DataOpsQueries {
             FROM cum) q),
         tid AS (SELECT shard, doc_id, pos,
             COALESCE(bpev.id, unicode(tk)) AS id,
-            CAST(FLOOR(CAST(pos AS DOUBLE) / 256.0) AS BIGINT) AS bin
+            CAST(pos // 256 AS BIGINT) AS bin
           FROM tok LEFT JOIN bpev ON bpev.tok = tok.tk)
         SELECT shard, bin, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
           CAST(COUNT(*) AS INT) AS n_tok,
@@ -4214,7 +4230,7 @@ object DataOpsQueries {
             FROM cum) q),
         tid AS (SELECT shard, seg, doc_id, pos,
             COALESCE(bpev.id, unicode(tk)) AS id,
-            CAST(FLOOR(CAST(pos AS DOUBLE) / 256.0) AS BIGINT) AS bin
+            CAST(pos // 256 AS BIGINT) AS bin
           FROM tok LEFT JOIN bpev ON bpev.tok = tok.tk)
         SELECT shard, CAST(seg AS INT) AS segment, bin,
           CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
@@ -4339,7 +4355,7 @@ object DataOpsQueries {
             FROM cum) q),
         tid AS (SELECT shard, seg, doc_id, pos,
             COALESCE(bpev.id, unicode(tk)) AS id,
-            CAST(FLOOR(CAST(pos AS DOUBLE) / 256.0) AS BIGINT) AS bin
+            CAST(pos // 256 AS BIGINT) AS bin
           FROM tok LEFT JOIN bpev ON bpev.tok = tok.tk)
         SELECT shard, CAST(seg AS INT) AS segment, bin,
           CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
@@ -5821,9 +5837,9 @@ object DataOpsQueries {
         c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, shard,
-          CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) AS bin,
+          CAST((cum - n_tok) // 64 AS BIGINT) AS bin,
           CAST(cum - n_tok AS BIGINT)
-            - CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 64 AS bin_offset
+            - CAST((cum - n_tok) // 64 AS BIGINT) * 64 AS bin_offset
         FROM c ORDER BY doc_id""")),
 
     // ---- SimHash near-dup pairs (banded candidates, Hamming <= 3) ----

@@ -409,8 +409,17 @@ object ExtraQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("ql3_backfill").toString
         val lake = s"$tmp/lake"
+        // Fixture sizing, the ql4 lesson applied to its sibling row:
+        // this row makes THREE full passes over its lake (initial
+        // write, affected-window overwrite, verification read-back) —
+        // pass-count × row-volume cost, while the operator under test
+        // (affected-partition discovery + dynamic overwrite of only
+        // those dirs) is partition-dir-shaped. A bounded 1-in-3 slice
+        // with tickers mod 16 keeps the same dir structure and both
+        // overwrite arms tripping at every SF.
         val ev = t(s, dir, "events")
-          .withColumn("ticker", concat(lit("U"), col("user_id") % 32))
+          .filter(col("event_id") % 3 === 0)
+          .withColumn("ticker", concat(lit("U"), col("user_id") % 16))
         def bars(factor: Double) = ev.select(col("ticker"),
           col("ts").as("datetime"),
           (col("value") * factor).as("close"),
@@ -431,8 +440,9 @@ object ExtraQueries {
             col("month").cast("int").as("mo"), col("close"))
           .orderBy(col("ticker"), col("ts_us"), col("close"))
       },
-      Some("""WITH ev AS (SELECT 'U'||CAST(user_id % 32 AS VARCHAR) AS ticker,
-            ts, event_id, event_type, value FROM events),
+      Some("""WITH ev AS (SELECT 'U'||CAST(user_id % 16 AS VARCHAR) AS ticker,
+            ts, event_id, event_type, value FROM events
+          WHERE event_id % 3 = 0),
         sp AS (SELECT DISTINCT ticker, CAST(ts AS DATE) AS ed FROM ev
           WHERE event_type = 'purchase' AND event_id % 29 = 0),
         dy AS (SELECT ticker,

@@ -131,11 +131,21 @@ object Mixture {
         TextOps.hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
           .as("h"))
       .withColumn("shard", (col("h") % shards).cast("int"))
-    val sizes = base.groupBy(col(groupCol))
-      .agg(sum(col("n_tok")).as("grp_tok"))
-    val total = sizes.join(shareDf, groupCol)
+    // Shares LEFT-join the measured sizes: a listed stratum with zero
+    // docs (or zero tokens) coalesces to grp_tok = 0, so the binding
+    // min collapses the whole mixture total to 0 and every keep flag
+    // is false — a LOUD empty output instead of silently violating the
+    // requested proportions by letting the missing stratum drop out of
+    // the min (spec-pinned in MixtureSpec).
+    val sizes = shareDf
+      .join(broadcast(base.groupBy(col(groupCol))
+          .agg(sum(col("n_tok")).as("grp_tok"))),
+        Seq(groupCol), "left")
+      .select(col(groupCol), col("share"),
+        coalesce(col("grp_tok"), lit(0L)).as("grp_tok"))
+    val total = sizes
       .agg(min(col("grp_tok").cast("double") / col("share")).as("mix_total"))
-    val targets = sizes.join(shareDf, groupCol)
+    val targets = sizes
       .crossJoin(broadcast(total))
       .select(col(groupCol), col("grp_tok"),
         least(floor(col("share") * col("mix_total")), col("grp_tok"))
@@ -151,7 +161,7 @@ object Mixture {
         col("target_tok").cast("int").as("target_tok"),
         col("shard"),
         ((col("cum") - col("n_tok")) <
-          floor(col("target_tok") / lit(shards.toDouble)).cast("long"))
+          expr(s"target_tok div ${shards}L"))
           .as("keep"))
   }
 }

@@ -36,9 +36,10 @@ object Pack {
       .withColumn("shard", (col("h") % shards).cast("int"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       // start offset of the doc in its shard stream; bin = offset/budget
+      // (integral `div` — exact on longs unconditionally, where double
+      // floor-division is exact only below 2^53 cumulative tokens)
       .withColumn("start", col("cum") - col("n_tok"))
-      .withColumn("bin",
-        floor(col("start") / lit(binTokens.toDouble)).cast("long"))
+      .withColumn("bin", expr(s"start div ${binTokens}L"))
       .withColumn("bin_offset", col("start") - col("bin") * binTokens)
       .select(col(idCol), col("n_tok"), col("shard"), col("bin"),
         col("bin_offset"))
@@ -91,10 +92,11 @@ object Pack {
       // push (n_tok is not a partition column), and the empty docs
       // contribute +0 to every running sum, so offsets are unchanged
       .filter(col("n_tok") > 0)
-      // bins this doc overlaps: floor(start/L) .. floor((end-1)/L)
+      // bins this doc overlaps: start div L .. (end-1) div L (integral
+      // `div`: exact on longs unconditionally, unlike double floor)
       .withColumn("bin", explode(sequence(
-        floor(col("start") / lit(binTokens.toDouble)),
-        floor((col("start") + col("n_tok") - 1) / lit(binTokens.toDouble)))))
+        expr(s"start div ${L}L"),
+        expr(s"(start + n_tok - 1) div ${L}L"))))
       .withColumn("lo", greatest(col("bin") * L, col("start")))
       .withColumn("hi",
         least((col("bin") + 1) * L, col("start") + col("n_tok")))
