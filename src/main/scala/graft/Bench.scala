@@ -98,6 +98,12 @@ object Bench {
         // Dropping the previous query's caches (outside its timed window)
         // gives every query a clean storage pool.
         spark.catalog.clearCache()
+        // Same hygiene for the heap: a query's garbage (shuffle buffers,
+        // dropped cache blocks, codegen classes) otherwise lands as GC
+        // pauses inside whichever LATER query trips the collector —
+        // cross-row contamination, not that query's plan cost. Collect
+        // it here, outside every timed window.
+        System.gc()
         (dt, ok)
       }
       val ok = samples.forall(_._2)
