@@ -76,9 +76,32 @@ case class BpeTokenIds(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The pre-tokenized arm of the same count — merges confined to
+  * GPT-2-style space-attached pre-tokens (see
+  * [[graft.text.Bpe.fixtureCountPretok]]); qt42 measures the
+  * word-boundary delta against the free-crossing [[BpeTokenCount]].
+  */
+case class BpeTokenCountPretok(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.text.Bpe.fixtureCountPretok(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Bpe.fixtureCountPretok($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountPretok =
+    copy(child = newChild)
+}
+
 object BpeEncode {
   def bpe_token_count(c: Column): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(c)))
+
+  def bpe_token_count_pretok(c: Column): Column =
+    ColumnBridge.column(BpeTokenCountPretok(ColumnBridge.expression(c)))
 
   def bpe_tokens(c: Column): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(c)))

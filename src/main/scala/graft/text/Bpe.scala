@@ -271,4 +271,32 @@ object Bpe {
   def fixtureIds(text: UTF8String): ArrayData =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(fixture.tokenizeIds(normalize(text)))
+
+  /** GPT-2-style PRE-TOKENIZED count under the SAME table: the
+    * normalized text splits into space-attached pre-tokens (first word
+    * bare, every later word carrying its preceding space — the Ġ
+    * convention of GPT-2's encoder regex), each encoded independently,
+    * so merges apply WITHIN pre-tokens and never cross a word
+    * boundary. Space-containing merges still fire (the bundled table's
+    * top merge IS (' ', 's')); only boundary-crossing runs change, so
+    * count_pretok − count is exactly the word-boundary effect qt42
+    * measures. A production pre-tokenized deployment would also TRAIN
+    * pre-tokenized; applying the bundled table keeps the two arms'
+    * difference attributable to application alone.
+    */
+  def fixtureCountPretok(text: UTF8String): Int = {
+    val n = normalize(text)
+    if (n.isEmpty) return 0
+    var total = 0
+    var start = 0
+    while (start < n.length) {
+      // the search from start+1 keeps the pre-token's LEADING space
+      // attached (norm collapses runs, so spaces are single)
+      var end = n.indexOf(' ', if (start == 0) 0 else start + 1)
+      if (end < 0) end = n.length
+      total += fixture.countTokens(n.substring(start, end))
+      start = end
+    }
+    total
+  }
 }
