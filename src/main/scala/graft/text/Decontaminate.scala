@@ -306,6 +306,81 @@ object Decontaminate {
       repeatedRunSpans(docs, textCol, idCol, anchor, minRun),
       textCol, idCol)
 
+  /** CROSS-document repeated-run spans — the train-train form of the
+    * published ExactSubstr standard (Lee et al. 2022: remove every
+    * >= minRun-token substring occurring verbatim in more than one
+    * TRAINING document, keeping one copy), completing the family next
+    * to train-eval ([[longestSharedRun]]/[[exciseSharedRuns]]) and
+    * within-doc ([[repeatedRunSpans]]). Every maximal shared token run
+    * >= `minRun` between two DISTINCT documents, as half-open 0-based
+    * spans over the HIGHER-id document — excising them keeps exactly
+    * the lowest-id occurrence corpus-wide (doc_id order is the
+    * canonical "first", the same keep rule as the dedup families).
+    *
+    * Same ONE-gram-pass group-and-unfold as [[repeatedRunSpans]], with
+    * positions grouped per gram ACROSS documents: the (doc, pos)-sorted
+    * occurrence array unfolds into ordered cross-doc anchor pairs
+    * (da < db strictly; same-doc pairs are qt38's operator and are
+    * skipped here), islands chain per (da, db, diagonal) — windows
+    * bounded by one PAIR's anchors, never a corpus dimension — and
+    * spans dedup across earlier partners (d1<d2<d3 sharing one run
+    * excises d2 and d3 once each). A gram-table self-join would
+    * encode the corpus twice (the measured qt38 lesson).
+    *
+    * Posting posture — where the no-cap EXACTNESS contract meets skew:
+    * a cross-doc posting is corpus-frequency sized (m occurrences
+    * unfold to m² ordered pairs), hotter than qt38's within-doc
+    * lists. The contract stands — a capped posting is a silently KEPT
+    * duplicate — so the guard is upstream and measured, not a cap:
+    * boilerplate (qt16) and repetition (qt8) gates run first
+    * (clean-then-check), and qt41 audits the residual posting
+    * distribution both scopes, both sides of the gate (the qd13
+    * measure-the-guard discipline; raw fixture max posting: 4 at
+    * sf0.1, Σm² = 278k — the unfold is candidate-bounded, not
+    * corpus²).
+    */
+  def crossDocRunSpans(docs: DataFrame, textCol: String, idCol: String,
+      anchor: Int = 5, minRun: Int = 8): DataFrame = {
+    require(minRun >= anchor,
+      s"minRun must be >= anchor for completeness, got $minRun < $anchor")
+    import org.apache.spark.sql.expressions.Window
+    val g = spread(docs).select(col(idCol).as("doc"),
+      posexplode(WordNgramHashes.word_ngram_hashes_pos(col(textCol), anchor))
+        .as(Seq("pos", "g")))
+    val occ = g.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("pos")))).as("os"))
+      .filter(size(col("os")) >= 2)
+    val pairs = occ.select(
+        explode(flatten(transform(col("os"), (e, idx) =>
+          transform(slice(col("os"), lit(1), idx), o =>
+            struct(o.getField("doc").as("da"), e.getField("doc").as("db"),
+              (e.getField("pos") - o.getField("pos")).as("diag"),
+              e.getField("pos").as("jpos")))))).as("p"))
+      .filter(col("p.da") =!= col("p.db"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        col("p.diag").as("diag"), col("p.jpos").as("jpos"))
+    val w = Window.partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("jpos"))
+    pairs.withColumn("island", col("jpos") - row_number().over(w))
+      .groupBy(col("da"), col("db"), col("diag"), col("island"))
+      .agg(min(col("jpos")).as("s2"), count(lit(1)).as("n_anchor"))
+      .filter(col("n_anchor") + (anchor - 1) >= minRun)
+      .select(col("db").as("span_id"), col("s2").cast("int").as("s"),
+        (col("s2") + col("n_anchor") + (anchor - 1)).cast("int").as("e"))
+      .distinct()
+  }
+
+  /** [[crossDocRunSpans]] applied surgically — one row per document:
+    * later copies of every cross-document >= `minRun` shared run
+    * removed, the lowest-id document's copy kept. The shared
+    * positional-disjunction excision.
+    */
+  def exciseCrossDocRuns(docs: DataFrame, textCol: String,
+      idCol: String, anchor: Int = 5, minRun: Int = 8): DataFrame =
+    exciseSpans(docs,
+      crossDocRunSpans(docs, textCol, idCol, anchor, minRun),
+      textCol, idCol)
+
   /** Shared excision attach: fold `spans` (span_id, s, e) to one array
     * per flagged doc, attach by a doc-keyed left join (AQE sizes it as
     * a broadcast — flagged docs are the rare case), excise by a pure

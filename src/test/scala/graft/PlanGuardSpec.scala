@@ -109,6 +109,11 @@ class PlanGuardSpec extends SparkTestBase {
       // gram pass, no self-join) — the only join left is the span
       // attach, which must stay a doc-keyed equi-join
       "exciseRepeatedRuns" -> Decontaminate.exciseRepeatedRuns(
+        docs, "text", "doc_id"),
+      // the cross-doc form unfolds ordered pairs from per-gram
+      // occurrence arrays — same contract: no self-join, no NLJ; the
+      // span attach stays the doc-keyed equi-join
+      "exciseCrossDocRuns" -> Decontaminate.exciseCrossDocRuns(
         docs, "text", "doc_id")
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }

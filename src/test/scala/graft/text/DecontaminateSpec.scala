@@ -237,4 +237,42 @@ class DecontaminateSpec extends SparkTestBase {
       .select($"span_id", $"s", $"e").as[(Long, Int, Int)].collect().toSeq
     assert(spans == Seq((7L, 9, 17))) // the second copy, never the first
   }
+
+  test("exciseCrossDocRuns: later DOCUMENTS lose the shared run, lowest " +
+      "id keeps it, chains collapse to one copy corpus-wide") {
+    val run9 = doc("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9")
+    val docs = Seq(
+      (1L, "alpha " + run9 + " tail"),   // lowest id: keeps its copy
+      (2L, "pre " + run9),               // later copy: excised
+      (3L, run9 + " post"),              // later copy via d1 AND d2: once
+      (4L, "nothing shared with anyone here at all"),
+      (5L, doc("s1", "s2", "s3", "s4", "s5", "s6", "s7") + " " +
+        doc("s1", "s2", "s3", "s4", "s5", "s6", "s7")) // intra-doc only
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.exciseCrossDocRuns(docs, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_tok", "n_excised", "redacted_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out(0) == ((1L, 0, 11, 0, "alpha " + run9 + " tail")))
+    assert(out(1) == ((2L, 1, 10, 9, "pre")))
+    assert(out(2) == ((3L, 1, 10, 9, "post")))
+    assert(out(3)._2 == 0 && out(3)._4 == 0)
+    // a WITHIN-doc repeat is qt38's operator, never flagged here
+    assert(out(4)._2 == 0 && out(4)._4 == 0)
+  }
+
+  test("crossDocRunSpans: below-minRun shared runs are not spans; spans " +
+      "land on the higher doc id only") {
+    val run7 = doc("d1", "d2", "d3", "d4", "d5", "d6", "d7")
+    val run8 = doc("e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8")
+    val docs = Seq(
+      (10L, run7 + " xx " + run8),
+      (20L, run7 + " yy " + run8)
+    ).toDF("doc_id", "text")
+    val spans = Decontaminate.crossDocRunSpans(docs, "text", "doc_id",
+        anchor = 5, minRun = 8)
+      .select($"span_id", $"s", $"e").as[(Long, Int, Int)].collect().toSeq
+    assert(spans == Seq((20L, 8, 16)), spans) // run8 on doc 20; run7 too short
+  }
 }
