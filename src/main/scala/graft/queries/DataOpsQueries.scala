@@ -199,6 +199,82 @@ object DataOpsQueries {
     s"bpev(tok, id) AS (SELECT * FROM (VALUES $vals) v(tok, id))"
   }
 
+  /** The document-lake maintenance policy closed-form — shared
+    * VERBATIM by ql7 (one whole-slice batch) and qst16 (the same
+    * batch streamed as keyed per-day micro-batches): the maintained
+    * lake's final state is policy-determined, so stream ≡ batch is
+    * pinned on the stored artifact itself.
+    */
+  private lazy val docLakeMaintOracleSql: String =
+    s"""WITH u AS (${urlFixtureSql(
+        "doc_id % ((SELECT COUNT(*) FROM documents) * 18 // 25)")}),$urlDomainCtes,
+        pc AS (SELECT dom.doc_id, dom.canonical_url, d.lang,
+            (('0x' || substr(md5(CAST(dom.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS in_corpus
+          FROM dom JOIN documents d ON d.doc_id = dom.doc_id),
+        cr AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM pc
+          WHERE in_corpus GROUP BY canonical_url),
+        crl AS (SELECT cr.canonical_url, cr.doc_id, pc.lang
+          FROM cr JOIN pc ON pc.canonical_url = cr.canonical_url
+            AND pc.doc_id = cr.doc_id),
+        br AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM pc
+          WHERE NOT in_corpus GROUP BY canonical_url),
+        brl AS (SELECT br.canonical_url, br.doc_id, pc.lang
+          FROM br JOIN pc ON pc.canonical_url = br.canonical_url
+            AND pc.doc_id = br.doc_id),
+        fin AS (
+          SELECT crl.canonical_url, crl.doc_id, crl.lang,
+            COALESCE(brl.doc_id, crl.doc_id) AS last_fetch_id
+          FROM crl LEFT JOIN brl ON brl.canonical_url = crl.canonical_url
+          UNION ALL
+          SELECT brl.canonical_url, brl.doc_id, brl.lang, brl.doc_id
+          FROM brl WHERE NOT EXISTS (SELECT 1 FROM crl
+            WHERE crl.canonical_url = brl.canonical_url))
+        SELECT canonical_url, doc_id, lang, last_fetch_id,
+          (last_fetch_id <> doc_id) AS refreshed
+        FROM fin ORDER BY canonical_url"""
+
+  /** Unrolled K-step BPE-TRAINER oracle — the qs11/qs14 unrolled-Lloyd
+    * treatment applied to the one other iterative fit in the repo:
+    * step i's CTEs count the adjacent pairs of corpus state i (ALL
+    * positions, overlapping included), take the argmax with the
+    * (count DESC, left ASC, right ASC) tie-break, and sweep it into
+    * state i+1 with one `replace` over the same delimiter-encoded
+    * string bpeCteSql sweeps (one replace = one left-to-right
+    * non-overlapping BPE application). Every chained CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and the doubly-consumed
+    * state chain would otherwise expand exponentially (measured: the
+    * un-materialized form exhausts file handles re-opening the scan
+    * 2^K times). Mirrors [[graft.text.BpeTrain.trainMerges]] exactly;
+    * validated against the scripts/train_bpe.py loop at all three SFs
+    * during development.
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""st0 AS MATERIALIZED (SELECT doc_id,
+        '|' || array_to_string(string_split(n, ''), '||') || '|' AS s
+        FROM (SELECT doc_id, $normSql AS n FROM documents
+          WHERE doc_id % 10 = 0) q WHERE n <> '')""")
+    for (i <- 0 until k) {
+      parts += s"""p$i AS MATERIALIZED (SELECT t[j] AS l, t[j+1] AS r, COUNT(*) AS n
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS j
+          FROM (SELECT string_split(s[2:len(s)-1], '||') AS t FROM st$i) tk
+          WHERE len(t) > 1) q
+        GROUP BY 1, 2)"""
+      parts += s"""b$i AS MATERIALIZED (SELECT l, r, n,
+        '|' || l || '||' || r || '|' AS pat, '|' || l || r || '|' AS rep
+        FROM p$i ORDER BY n DESC, l, r LIMIT 1)"""
+      if (i < k - 1)
+        parts += s"""st${i + 1} AS MATERIALIZED (SELECT doc_id,
+          replace(st$i.s, b$i.pat, b$i.rep) AS s
+          FROM st$i CROSS JOIN b$i)"""
+    }
+    val sel = (0 until k).map(i =>
+      s"SELECT $i AS rank, l AS left_tok, r AS right_tok, " +
+        s"CAST(n AS BIGINT) AS n_pair FROM b$i")
+      .mkString("\nUNION ALL ")
+    "WITH " + parts.mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+  }
+
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
     * scheme/host case, userinfo, www, trailing host dots, https (:443
@@ -3499,6 +3575,30 @@ object DataOpsQueries {
             - CAST((cum - n_tok) // 64 AS BIGINT) * 64 AS bin_offset
         FROM c ORDER BY doc_id""")),
 
+    // ---- In-engine BPE TRAINING (qt39): the head of the trainer
+    // chain qt32/qt33/qt34 consume — learn the first K merges FROM the
+    // corpus, distributed (per-round: one pair-count aggregate over
+    // the persisted delimiter-string state + a driver argmax of one
+    // row + one codegen `replace` sweep — the bounded-iteration fit
+    // shape of the unrolled-Lloyd rows). K = 20 keeps the row
+    // driver-sized while exercising the full loop; BpeTrainSpec closes
+    // the provenance loop by pinning the learned prefix == the bundled
+    // scripts/train_bpe.py table on the sf0.001 corpus it was frozen
+    // from. The oracle replays all K rounds as an unrolled
+    // MATERIALIZED CTE chain — the trainer is fully oracled on EVERY
+    // corpus, not just the fixture's. ----
+    // The row trains on a deterministic 1-in-10 corpus slice — vocab
+    // learning is statistics over pair frequencies, and production
+    // trainers sample their corpus for exactly this reason (the loop
+    // is identical; the caller chooses the slice). K x one-aggregate-
+    // per-round is the cost shape either way.
+    QueryDef("qt39_bpe_train",
+      (s, dir) => graft.text.BpeTrain
+        .trainMerges(t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0), "text", k = 20)
+        .orderBy(col("rank")),
+      Some(bpeTrainSql(20))),
+
     // ---- TOKEN-budget mixture targeting (qt34): qt22's language
     // recipe re-denominated in BPE tokens — the form a trainer's data
     // card actually specifies ("40% en BY TOKENS"). Stratum token
@@ -3723,6 +3823,171 @@ object DataOpsQueries {
         FROM outx LEFT JOIN ns USING (doc_id)
         ORDER BY outx.doc_id""")),
 
+    // ---- Pre-tokenized BPE arm (qt42): the bundled encode is
+    // deliberately pre-tokenizer-free (merges cross spaces); GPT-2-
+    // class production tokenizers regex-split FIRST, changing counts
+    // exactly at word boundaries. This row runs BOTH arms of the SAME
+    // table in one scan — free-crossing (qt32's denominator) and
+    // space-attached pre-tokens (the Ġ convention; space merges still
+    // fire WITHIN a pre-token) — and reports the per-doc boundary
+    // delta, making the denominator choice a measured quantity. The
+    // oracle replays the sweep per PRE-TOKEN row through the same
+    // bpem table (equivalence per pre-token: same trainer-table
+    // argument, BpeSpec-pinned). ----
+    QueryDef("qt42_bpe_pretokenized",
+      (s, dir) => graft.ops.Partitioning.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.BpeEncode.bpe_token_count(col("text"))
+            .as("n_tok_bpe"),
+          graft.functions.BpeEncode.bpe_token_count_pretok(col("text"))
+            .as("n_tok_pretok"))
+        .withColumn("boundary_delta",
+          col("n_tok_pretok") - col("n_tok_bpe"))
+        .orderBy(col("doc_id")),
+      Some {
+        val nm = graft.text.Bpe.fixture.merges.length
+        s"""WITH RECURSIVE $bpeCteSql,
+        ptw AS (SELECT doc_id, i, CASE WHEN i = 1 THEN w[i]
+            ELSE ' ' || w[i] END AS pt
+          FROM (SELECT doc_id, string_split($normSql, ' ') AS w,
+              unnest(generate_series(1, len(string_split($normSql, ' ')))) AS i
+            FROM documents) q),
+        ptbase AS (SELECT doc_id, i, CASE WHEN pt = '' THEN ''
+            ELSE '|' || array_to_string(string_split(pt, ''), '||') || '|' END AS s
+          FROM ptw),
+        ptst AS (SELECT doc_id, i, s, 0 AS it FROM ptbase
+          UNION ALL
+          SELECT ptst.doc_id, ptst.i, replace(ptst.s, bpem.pat, bpem.rep),
+            ptst.it + 1
+          FROM ptst JOIN bpem ON bpem.rk = ptst.it),
+        ptn AS (SELECT doc_id, SUM(CASE WHEN s = '' THEN 0
+            ELSE len(string_split(s, '||')) END) AS n_pretok
+          FROM ptst WHERE it = $nm GROUP BY doc_id)
+        SELECT b.doc_id, CAST(b.n_tok_bpe AS INT) AS n_tok_bpe,
+          CAST(ptn.n_pretok AS INT) AS n_tok_pretok,
+          CAST(ptn.n_pretok - b.n_tok_bpe AS INT) AS boundary_delta
+        FROM bpe b JOIN ptn ON ptn.doc_id = b.doc_id
+        ORDER BY b.doc_id"""
+      }),
+
+    // ---- TRAIN-TRAIN cross-document exact-substring dedup (qt40):
+    // the remaining published ExactSubstr form (Lee et al. 2022 —
+    // qt35/qt37 are train-EVAL, qt38 is within-doc): every >= 8-token
+    // run shared verbatim by two distinct documents is excised from
+    // the higher-id document, keeping exactly the lowest-id copy
+    // corpus-wide. ONE gram pass, positions grouped per gram ACROSS
+    // docs, ordered (da < db) pairs unfolded from the sorted
+    // occurrence array, islands per (da, db, diagonal) — no self-join,
+    // no cap (see crossDocRunSpans' posting-posture note; qt41 is the
+    // audit). The corpus trips naturally at every SF (25 shared runs
+    // >= 8 tokens at sf0.01, 256 at sf0.1, max ~95 tokens) with
+    // hundreds of measured negatives. ----
+    QueryDef("qt40_cross_doc_dedup",
+      (s, dir) => graft.text.Decontaminate.exciseCrossDocRuns(
+          t(s, dir, "documents"), "text", "doc_id",
+          anchor = 5, minRun = 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        pg AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS g
+          FROM (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 5 + 1)) AS i
+            FROM d WHERE len(toks) >= 5) q),
+        m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+            b.pos - a.pos AS diag, b.pos AS jpos
+          FROM pg a JOIN pg b
+            ON a.g = b.g AND a.doc_id < b.doc_id),
+        isl AS (SELECT da, db, diag, jpos,
+            jpos - ROW_NUMBER() OVER (PARTITION BY da, db, diag
+              ORDER BY jpos) AS island
+          FROM m),
+        runs AS (SELECT db AS doc_id, MIN(jpos) AS s,
+            CAST(COUNT(*) + 4 AS BIGINT) AS run_len
+          FROM isl GROUP BY da, db, diag, island
+          HAVING COUNT(*) + 4 >= 8),
+        spans AS (SELECT DISTINCT doc_id, s, s + run_len AS e FROM runs),
+        ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+        tp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+          FROM d),
+        px AS (SELECT tp.doc_id, tp.i, tp.toks[tp.i] AS tok,
+            EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = tp.doc_id
+              AND tp.i - 1 >= sp.s AND tp.i - 1 < sp.e) AS cut
+          FROM tp),
+        outx AS (SELECT doc_id,
+            CAST(COUNT(*) AS INT) AS n_tok,
+            CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS INT) AS n_excised,
+            COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT cut), '') AS redacted_text
+          FROM px GROUP BY doc_id)
+        SELECT outx.doc_id, CAST(COALESCE(ns.n_spans, 0) AS INT) AS n_spans,
+          outx.n_tok, outx.n_excised, outx.redacted_text
+        FROM outx LEFT JOIN ns USING (doc_id)
+        ORDER BY outx.doc_id""")),
+
+    // ---- ExactSubstr postings audit (qt41) — the qd13 measure-the-
+    // guard discipline for the gram-posting skew the no-cap contract
+    // rides on: from ONE gram pass, the posting-size histogram at BOTH
+    // scopes (per-(doc, gram) position lists — qt38's unfold bound —
+    // and per-gram corpus-wide occurrence counts — qt40's Σm² pair
+    // work), each on BOTH sides of the qt8-class repetition gate
+    // (dup_token_frac <= 0.65, dropping ~20% of this corpus — a
+    // genuinely tripping gate, the qt36 2-arms-per-doc explode). The
+    // residual after the gate is thereby measured, not asserted. ----
+    QueryDef("qt41_postings_audit",
+      (s, dir) => {
+        val armed = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          .select(col("doc_id"), col("text"),
+            TextOps.dupTokenFraction(col("text")).as("dtf"))
+          .select(col("doc_id"), col("text"),
+            explode(when(col("dtf") <= 0.65,
+              array(lit("all"), lit("post_gate")))
+              .otherwise(array(lit("all")))).as("arm"))
+        val occ = armed.select(col("arm"), col("doc_id"),
+          posexplode(graft.functions.WordNgramHashes
+            .word_ngram_hashes_pos(col("text"), 5)).as(Seq("pos", "g")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val intra = occ.groupBy(col("arm"), col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("m"))
+          .groupBy(col("arm"), col("m"))
+          .agg(count(lit(1)).as("n_groups"))
+          .select(lit("intra_doc").as("scope"), col("arm"),
+            col("m").cast("int").as("list_size"), col("n_groups"))
+        val cross = occ.groupBy(col("arm"), col("g"))
+          .agg(count(lit(1)).as("m"))
+          .groupBy(col("arm"), col("m"))
+          .agg(count(lit(1)).as("n_groups"))
+          .select(lit("cross_doc").as("scope"), col("arm"),
+            col("m").cast("int").as("list_size"), col("n_groups"))
+        intra.unionByName(cross)
+          .orderBy(col("scope"), col("arm"), col("list_size"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        dupf AS (SELECT doc_id,
+            CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS dtf
+          FROM d),
+        arms AS (SELECT doc_id, unnest(CASE WHEN dtf <= 0.65
+            THEN ['all', 'post_gate'] ELSE ['all'] END) AS arm
+          FROM dupf),
+        pg AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS g
+          FROM (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 5 + 1)) AS i
+            FROM d WHERE len(toks) >= 5) q),
+        o AS (SELECT a.arm, pg.doc_id, pg.g FROM pg
+          JOIN arms a ON a.doc_id = pg.doc_id),
+        intra AS (SELECT arm, doc_id, g, COUNT(*) AS m FROM o GROUP BY 1, 2, 3),
+        ih AS (SELECT 'intra_doc' AS scope, arm,
+            CAST(m AS INT) AS list_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+          FROM intra GROUP BY arm, m),
+        crossg AS (SELECT arm, g, COUNT(*) AS m FROM o GROUP BY 1, 2),
+        ch AS (SELECT 'cross_doc' AS scope, arm,
+            CAST(m AS INT) AS list_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+          FROM crossg GROUP BY arm, m)
+        SELECT * FROM ih UNION ALL SELECT * FROM ch
+        ORDER BY scope, arm, list_size""")),
+
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —
     // the ql3/ql6 dynamic-overwrite discipline applied to the document
@@ -3812,32 +4077,7 @@ object DataOpsQueries {
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
-      Some(s"""WITH u AS (${urlFixtureSql(
-          "doc_id % ((SELECT COUNT(*) FROM documents) * 18 // 25)")}),$urlDomainCtes,
-        pc AS (SELECT dom.doc_id, dom.canonical_url, d.lang,
-            (('0x' || substr(md5(CAST(dom.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90) AS in_corpus
-          FROM dom JOIN documents d ON d.doc_id = dom.doc_id),
-        cr AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM pc
-          WHERE in_corpus GROUP BY canonical_url),
-        crl AS (SELECT cr.canonical_url, cr.doc_id, pc.lang
-          FROM cr JOIN pc ON pc.canonical_url = cr.canonical_url
-            AND pc.doc_id = cr.doc_id),
-        br AS (SELECT canonical_url, MIN(doc_id) AS doc_id FROM pc
-          WHERE NOT in_corpus GROUP BY canonical_url),
-        brl AS (SELECT br.canonical_url, br.doc_id, pc.lang
-          FROM br JOIN pc ON pc.canonical_url = br.canonical_url
-            AND pc.doc_id = br.doc_id),
-        fin AS (
-          SELECT crl.canonical_url, crl.doc_id, crl.lang,
-            COALESCE(brl.doc_id, crl.doc_id) AS last_fetch_id
-          FROM crl LEFT JOIN brl ON brl.canonical_url = crl.canonical_url
-          UNION ALL
-          SELECT brl.canonical_url, brl.doc_id, brl.lang, brl.doc_id
-          FROM brl WHERE NOT EXISTS (SELECT 1 FROM crl
-            WHERE crl.canonical_url = brl.canonical_url))
-        SELECT canonical_url, doc_id, lang, last_fetch_id,
-          (last_fetch_id <> doc_id) AS refreshed
-        FROM fin ORDER BY canonical_url""")),
+      Some(docLakeMaintOracleSql)),
 
     // ---- Split-leakage audit (qt36): the measurement that justifies
     // DOMAIN-keyed eval splits. A doc-hash split strands pages of one
@@ -4363,6 +4603,102 @@ object DataOpsQueries {
           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS seq_str
         FROM tid GROUP BY shard, seg, bin
         ORDER BY shard, segment, bin""")),
+
+    // ---- STREAMED document-lake maintenance (qst16): ql7's
+    // refreshAndAppend driven from a crawl stream — a crawl IS a
+    // stream, and the maintenance fold is its natural sink. Arrival
+    // files are KEYED per day (canonical_url hash parity), the shape a
+    // real crawler produces (a day's fetch list, each url fetched once
+    // that day) and the condition under which streamed maintenance is
+    // exactly batch maintenance: every key's batch docs land in ONE
+    // micro-batch, so per-day reps = whole-batch reps restricted to
+    // that day and the final lake state is policy-determined.
+    // foreachBatch → DocLake.refreshAndAppend per micro-batch; both
+    // arms required to trip across the stream; oracle = ql7's SQL
+    // VERBATIM (the ql10 → qst15 stored-artifact pattern). ----
+    QueryDef("qst16_stream_doc_lake",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("qst16_doclake")
+        val lake = s"$tmp/docs"
+        val arrivals = scratchDir("stq_arrivals16")
+        val ckpt = scratchDir("stq_ckpt16")
+        import scala.jdk.CollectionConverters._
+        def cleanup(p: java.nio.file.Path): Unit =
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        try {
+          val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+          val pathMod = (lang.count() * 18 / 25).toInt
+          val canon = urlsFromDocs(s, dir, pathMod = pathMod)
+            .withColumn("part",
+              TextOps.hashSplit(col("doc_id"), Seq(90), Seq("corpus", "batch")))
+            .join(lang, "doc_id")
+            .select(col("doc_id"), col("part"), col("lang"),
+              graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+          def reps(df: DataFrame): DataFrame =
+            df.groupBy(col("canonical_url"))
+              .agg(min(col("doc_id")).as("doc_id"),
+                min_by(col("lang"), col("doc_id")).as("lang"))
+              .select(col("canonical_url"), col("doc_id"), col("lang"),
+                col("doc_id").as("last_fetch_id"))
+          reps(canon.filter(col("part") === "corpus"))
+            .repartition(col("lang"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("lang").parquet(lake)
+          // one arrival file per crawl day, keys partitioned by day
+          val batchSide = canon.filter(col("part") === "batch")
+            .select(col("doc_id"), col("lang"), col("canonical_url"))
+          Seq(0, 1).foreach { day =>
+            val stage = java.nio.file.Files.createTempDirectory(tmp, s"day$day")
+            batchSide
+              .filter(TextOps.hash60(col("canonical_url")) % 2 === day)
+              .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+            val f = java.nio.file.Files.list(stage).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            java.nio.file.Files.move(f, arrivals.resolve(s"day$day.parquet"))
+            cleanup(stage)
+          }
+          val nRef = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nNew = new java.util.concurrent.atomic.AtomicLong(0L)
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = try {
+            s.readStream.schema("doc_id LONG, lang STRING, canonical_url STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(arrivals.toString)
+              .writeStream
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val (r, a) = graft.lake.DocLake.refreshAndAppend(
+                  s, lake, reps(batch), "canonical_url", "lang",
+                  updateCols = Seq("last_fetch_id"))
+                nRef.addAndGet(r); nNew.addAndGet(a)
+                ()
+              }
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          q.awaitTermination()
+          require(nRef.get() > 0 && nNew.get() > 0,
+            s"fixture must trip both arms across the stream, got " +
+              s"refresh=${nRef.get()} append=${nNew.get()}")
+          val stored = s.read.parquet(lake)
+            .select(col("canonical_url"), col("doc_id"), col("lang"),
+              col("last_fetch_id"),
+              (col("last_fetch_id") =!= col("doc_id")).as("refreshed"))
+            .orderBy(col("canonical_url")).collect()
+          import org.apache.spark.sql.types._
+          s.createDataFrame(stored.toSeq.asJava, StructType(Seq(
+            StructField("canonical_url", StringType),
+            StructField("doc_id", LongType),
+            StructField("lang", StringType),
+            StructField("last_fetch_id", LongType),
+            StructField("refreshed", BooleanType))))
+        } finally {
+          cleanup(tmp); cleanup(arrivals); cleanup(ckpt)
+        }
+      },
+      Some(docLakeMaintOracleSql)),
 
     // ---- Model-based quality filtering (qt28): the hashing-trick
     // linear classifier EVERY production corpus build runs (a trained
