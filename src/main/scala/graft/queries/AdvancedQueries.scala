@@ -457,7 +457,7 @@ object AdvancedQueries {
     QueryDef("qs4_lsh_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qe",
             k = 5, planes = 6)
@@ -468,7 +468,7 @@ object AdvancedQueries {
           ${lshBucketSql("embedding", planes = 6, table = 0)} AS bucket
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
-          FROM b WHERE vec_id < 8),
+          FROM b WHERE vec_id < 4),
         sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
             ${cosineSql("c.embedding", "q.qe")} AS cosine
           FROM b c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.query_id),
@@ -486,7 +486,7 @@ object AdvancedQueries {
     QueryDef("qs5_lsh_multi_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         Similarity.lshTopKMulti(e, q, "vec_id", "embedding", "query_id", "qe",
             k = 5, planes = 4, tables = 8)
@@ -503,7 +503,7 @@ object AdvancedQueries {
           $bucketCols
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qe, $qAliases
-          FROM b WHERE vec_id < 8),
+          FROM b WHERE vec_id < 4),
         cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
           FROM b c JOIN q ON ($anyMatch) AND c.vec_id <> q.query_id),
         sc AS (SELECT cand.query_id, cand.neighbor_id,
@@ -607,7 +607,7 @@ object AdvancedQueries {
     QueryDef("qs8_ann_recall",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         // result-sized (queries × k); every arm joins against it
         val brute = Similarity.bruteTopK(e, q,
@@ -639,7 +639,7 @@ object AdvancedQueries {
           s"${lshBucketSql("embedding", planes = 4, table = tb)} AS b$tb").mkString(",\n          ")
         val mAliases = (0 until nTables).map(tb => s"b$tb AS qb$tb").mkString(", ")
         val mAnyMatch = (0 until nTables).map(tb => s"c.b$tb = mq.qb$tb").mkString(" OR ")
-        s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
         br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
             ${cosineSql("e.embedding", "qv.qe")} AS cosine
           FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
@@ -650,7 +650,7 @@ object AdvancedQueries {
           ${lshBucketSql("embedding", planes = 6, table = 0)} AS bucket
           FROM embeddings),
         sq AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
-          FROM sb WHERE vec_id < 8),
+          FROM sb WHERE vec_id < 4),
         ls0 AS (SELECT sq.query_id, c.vec_id AS neighbor_id,
             ${cosineSql("c.embedding", "sq.qe")} AS cosine
           FROM sb c JOIN sq ON c.bucket = sq.qb AND c.vec_id <> sq.query_id),
@@ -661,7 +661,7 @@ object AdvancedQueries {
           $mBucketCols
           FROM embeddings),
         mq AS (SELECT vec_id AS query_id, embedding AS qe, $mAliases
-          FROM mb WHERE vec_id < 8),
+          FROM mb WHERE vec_id < 4),
         mc AS (SELECT DISTINCT mq.query_id, c.vec_id AS neighbor_id
           FROM mb c JOIN mq ON ($mAnyMatch) AND c.vec_id <> mq.query_id),
         ms0 AS (SELECT mc.query_id, mc.neighbor_id,
@@ -738,7 +738,7 @@ object AdvancedQueries {
     QueryDef("qs11_ann_recall_lloyd",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val brute = Similarity.bruteTopK(e, q,
             "vec_id", "embedding", "query_id", "qe", k = 5)
@@ -755,7 +755,7 @@ object AdvancedQueries {
       },
       Some {
         s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
-          FROM embeddings WHERE vec_id < 8),
+          FROM embeddings WHERE vec_id < 4),
         br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
             ${cosineSql("e.embedding", "qv.qe")} AS cosine
           FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
@@ -826,7 +826,7 @@ object AdvancedQueries {
     QueryDef("qs14_ann_recall_lloyd2",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val brute = Similarity.bruteTopK(e, q,
             "vec_id", "embedding", "query_id", "qe", k = 5)
@@ -843,7 +843,7 @@ object AdvancedQueries {
       },
       Some {
         s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qe
-          FROM embeddings WHERE vec_id < 8),
+          FROM embeddings WHERE vec_id < 4),
         br0 AS (SELECT qv.query_id, e.vec_id AS neighbor_id,
             ${cosineSql("e.embedding", "qv.qe")} AS cosine
           FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
@@ -945,7 +945,7 @@ object AdvancedQueries {
     // of qx5's text recipe): semantic dedup (qs9's LSH pair graph +
     // transitive closure — drop non-canonical near-dups), cluster-
     // balanced mixing (qs16's keep), and the SERVING-GRADE PQ code
-    // (qs21/qs22's m=16×k=256 — 16 bytes/vector at recall 0.9, not
+    // (qs21/qs22's m=16×k=256 — 16 bytes/vector at recall 0.85, not
     // qs17's m=4 toy) composed into one per-vector verdict +
     // compressed representation — dedup, mix, compress, the full
     // corpus-to-index build emitting the artifact qs22 actually
@@ -1049,7 +1049,7 @@ object AdvancedQueries {
           .join(sem, Seq("vec_id"), "left")
           .filter(coalesce(col("is_canonical"), lit(true)) && col("b_keep"))
           .select(col("vec_id"), col("embedding"))
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
         val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
@@ -1076,7 +1076,7 @@ object AdvancedQueries {
           LEFT JOIN lab l ON l.vec_id = ca.vec_id
           WHERE COALESCE(l.vec_id = l.cluster_id, TRUE)
             AND ($balancedKeepSql)),
-        qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
         vseeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256)),
         vcb AS (SELECT t.j, s.code,

@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   * codes per row (both built in ONE corpus pass — the stored serving
   * artifact), queries broadcast; no stage shuffles anything wider than
   * (query, id, code) until the final `shortK`-sized float fetch. The
-  * composite's recall is the PRODUCT of its stage retentions — each
-  * cut is measured in its own driver row (qs26 coarse 0.8, qs24 ADC
-  * 0.85) and qs29 measures the end-to-end point (0.65 at 50→20→5 on
+  * composite's recall is ceilinged by its stage retentions — each
+  * cut is measured in its own driver row (qs26 coarse 0.65, qs24 ADC
+  * 0.8) and qs29 measures the end-to-end point (0.65 at 50→20→5 on
   * the test corpus; widening shortK to coarseK recovers the stage-1
   * ceiling exactly, the property ServingSpec pins).
   */
@@ -274,7 +274,7 @@ object Serving {
     * stages 2-3 are shared with the scan form verbatim.
     *
     * MEASURED (qs32 vs qs29, same widths 50→20→5 on the test corpus):
-    * mean recall 0.775 vs the full-scan form's 0.65 — the cell
+    * mean recall 0.75 vs the full-scan form's 0.65 — the cell
     * prefilter is better correlated with cosine than raw Hamming, so
     * probing buys recall AND drops the per-query scan to the probed
     * fraction. The scan form remains the reference when no cell
