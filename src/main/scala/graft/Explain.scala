@@ -140,7 +140,21 @@ object Explain {
         // pass (positions grouped per (doc, gram), pairs unfolded
         // from the sorted array — no self-join) with per-(doc,
         // diagonal) windows only
-        "qt37_span_excision", "qt38_intra_doc_excision")
+        "qt37_span_excision", "qt38_intra_doc_excision",
+        // round-15 additions: the cross-doc ExactSubstr form is ONE
+        // gram pass (positions grouped per gram across docs, ordered
+        // pairs unfolded — no self-join) with per-(da, db, diagonal)
+        // windows and the doc-keyed excision attach; the postings
+        // audit is one gram explode + two double-folds off a persisted
+        // occurrence table; the pre-tokenized arm is two codegen count
+        // expressions riding ONE scan — no join, no extra exchange
+        "qt40_cross_doc_dedup", "qt41_postings_audit",
+        "qt42_bpe_pretokenized")
+    // (qt39_bpe_train is deliberately absent: its body RUNS k
+    // driver-argmax rounds — a fit, not a lazy plan; its shape is
+    // documented on BpeTrain and pinned by BpeTrainSpec)
+    // (qst16_stream_doc_lake: a stream writing a temp lake — absent
+    // for the ql5 reason)
     // (ql7_doc_lake_maintenance, ql8_training_shard_lake,
     // ql9_packed_sequences and ql10_packed_lake_append are
     // deliberately absent for the same reason as ql5: their bodies
