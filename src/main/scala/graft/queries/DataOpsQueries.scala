@@ -4023,6 +4023,11 @@ object DataOpsQueries {
             .join(lang, "doc_id")
             .select(col("doc_id"), col("part"), col("lang"),
               graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+            // multiple consumers (rep aggregates per slice; qst16 adds
+            // the per-day arrival writes) — persist or the URL-fixture
+            // + canonicalize chain re-derives per consumer (the
+            // qd7/qx4 class)
+            .persist(StorageLevel.MEMORY_AND_DISK)
           // one partial-aggregable pass per slice: min_by recovers the
           // rep's lang without a join-back (doc_id is unique, so the
           // min_by tiebreak is moot)
@@ -4637,6 +4642,11 @@ object DataOpsQueries {
             .join(lang, "doc_id")
             .select(col("doc_id"), col("part"), col("lang"),
               graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+            // multiple consumers (rep aggregates per slice; qst16 adds
+            // the per-day arrival writes) — persist or the URL-fixture
+            // + canonicalize chain re-derives per consumer (the
+            // qd7/qx4 class)
+            .persist(StorageLevel.MEMORY_AND_DISK)
           def reps(df: DataFrame): DataFrame =
             df.groupBy(col("canonical_url"))
               .agg(min(col("doc_id")).as("doc_id"),
@@ -4751,15 +4761,21 @@ object DataOpsQueries {
     QueryDef("qx10_web_corpus_release",
       (s, dir) => {
         val blocklist = Seq("site12.com", "site26.co.uk")
+        // dom feeds the rep aggregate AND the annotate join; ann feeds
+        // the cap's TWO passes (the qt27 caller-owned-cache contract)
+        // plus the final projection — unpersisted, the PSL+canonicalize
+        // chain re-derives per consumer (the qd7/qx4 class)
         val dom = graft.text.Urls.registrableDomainsPsl(
             urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
           .select(col("doc_id"), col("domain"),
             graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
           .withColumn("blocked", col("domain").isin(blocklist: _*))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val reps = dom.groupBy(col("canonical_url"))
           .agg(min(col("doc_id")).as("canonical_id"))
         val ann = dom.join(reps, "canonical_url")
           .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val inCap = graft.text.Urls.domainCap(
             ann.filter(col("is_canonical") && !col("blocked"))
               .select(col("doc_id"), col("domain")),
@@ -4839,15 +4855,19 @@ object DataOpsQueries {
               col("clean_text") =!= "").as("content_keep"))
         // provenance half — qx10's chain
         val blocklist = Seq("site12.com", "site26.co.uk")
+        // the qx10 persists (dom: rep agg + annotate join; pAnn: the
+        // cap's two passes + the final provenance projection)
         val dom = graft.text.Urls.registrableDomainsPsl(
             urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
           .select(col("doc_id"), col("domain"),
             graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
           .withColumn("blocked", col("domain").isin(blocklist: _*))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val reps = dom.groupBy(col("canonical_url"))
           .agg(min(col("doc_id")).as("canonical_id"))
         val pAnn = dom.join(reps, "canonical_url")
           .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val inCap = graft.text.Urls.domainCap(
             pAnn.filter(col("is_canonical") && !col("blocked"))
               .select(col("doc_id"), col("domain")),
