@@ -338,10 +338,15 @@ object Dedup {
     *    small join. The label tables hold only docs that occur in
     *    pairs, never the corpus.
     *  - Quotient fast path: when the contracted edge list fits
-    *    `driverEdgeCap` rows (16 B each; default 1M = 16 MB), the loop
-    *    is replaced by driver-side min-rooted union-find over the
-    *    quotient — bounded like the Ivf/Pq model fits, with the
-    *    distributed loop as the unconditional over-cap fallback.
+    *    `driverEdgeCap` rows, the loop is replaced by driver-side
+    *    min-rooted union-find over the quotient — bounded like the
+    *    Ivf/Pq model fits, with the distributed loop as the
+    *    unconditional over-cap fallback. Edges are collected as typed
+    *    (Long, Long) tuples, ~48 B each on the heap with collect
+    *    serialization on top — the default cap of 2^18 bounds the
+    *    transient at ~12-25 MB (the measured sf0.1 quotient is a few
+    *    HUNDRED edges; the cap is pure headroom, and a quotient still
+    *    above it belongs in the loop anyway).
     *    `driverEdgeCap = 0` forces the loop (how DedupSpec pins
     *    fastpath ≡ loop).
     *
@@ -371,7 +376,7 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 20,
       pairsMaterialized: Boolean = false,
-      driverEdgeCap: Int = 1 << 20): DataFrame = {
+      driverEdgeCap: Int = 1 << 18): DataFrame = {
     // Materialize the (possibly expensive) upstream pair pipeline ONCE,
     // as the slim directed list — 16 bytes/pair. The symmetric view is
     // derived lazily per scan (explode from the local RDD is cheap);
@@ -424,9 +429,17 @@ object Dedup {
     // guard with the pointer-jumping loop as the unconditional
     // fallback, so the operator never DEPENDS on the quotient being
     // small; DedupSpec pins fastpath ≡ loop via driverEdgeCap = 0.
-    val smallEdges =
-      if (driverEdgeCap > 0) edges.limit(driverEdgeCap + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+    // Collected as typed (Long, Long) tuples, not GenericRows with
+    // boxed fields — at the cap the transient is ~12-25 MB rather
+    // than the 100+ MB a Row collect materializes.
+    val smallEdges: Array[(Long, Long)] =
+      if (driverEdgeCap > 0)
+        edges.limit(driverEdgeCap + 1)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .collect()
+      else Array.empty[(Long, Long)]
     val loopMap: DataFrame =
       if (driverEdgeCap > 0 && smallEdges.length <= driverEdgeCap) {
         // Union-find with path compression; unions always attach the
@@ -442,12 +455,12 @@ object Dedup {
           while (c != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        smallEdges.foreach { row =>
-          val a = find(row.getLong(0)); val b = find(row.getLong(1))
+        smallEdges.foreach { case (s, d) =>
+          val a = find(s); val b = find(d)
           if (a < b) parent(b) = a else if (b < a) parent(a) = b
         }
         // edges is symmetrized, so every quotient node occurs as src
-        val nodes = smallEdges.iterator.map(_.getLong(0)).toArray.distinct
+        val nodes = smallEdges.iterator.map(_._1).toArray.distinct
         val spark = pairs.sparkSession
         import spark.implicits._
         broadcast(nodes.toSeq.map(n => (n, find(n)))

@@ -57,6 +57,12 @@ object DocLake {
     val hadoopPath = new org.apache.hadoop.fs.Path(lakeRoot,
       "_staging_appends_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Everything from the staging write onward sits in try/finally:
+    // a failure mid-maintenance must not orphan the staging dir
+    // (invisible to readers, but retried batches would otherwise
+    // accumulate one dead _staging_appends_* dir per failure under
+    // the lake root, unbounded).
+    try {
     batch
       .join(lk.select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
@@ -110,7 +116,7 @@ object DocLake {
         .write.mode(SaveMode.Append)
         .partitionBy(partCol).parquet(lakeRoot)
     }
-    fs.delete(hadoopPath, true)
     (nRefresh, nAppend)
+    } finally fs.delete(hadoopPath, true)
   }
 }

@@ -244,9 +244,17 @@ object DataOpsQueries {
     * MATERIALIZED: DuckDB inlines plain CTEs, and the doubly-consumed
     * state chain would otherwise expand exponentially (measured: the
     * un-materialized form exhausts file handles re-opening the scan
-    * 2^K times). Mirrors [[graft.text.BpeTrain.trainMerges]] exactly;
-    * validated against the scripts/train_bpe.py loop at all three SFs
-    * during development.
+    * 2^K times). Mirrors [[graft.text.BpeTrain.trainMerges]] exactly
+    * INCLUDING its stop condition: each b$i keeps only a best pair
+    * with count >= 2 (the trainer stops below that), and when a round
+    * finds none the LEFT JOIN ON TRUE propagates the state unchanged
+    * (COALESCE pattern '|||' cannot occur — tokens are non-empty and
+    * '|'-free — so the replace is a no-op) and every later b$j is
+    * empty too, so the UNION ALL emits exactly the trainer's
+    * early-stopped prefix on ANY corpus, not just ones with K viable
+    * merges. Validated against the scripts/train_bpe.py loop at all
+    * three SFs during development, and on a pair-exhausting corpus
+    * ("abab"/"cd" at K=5 emits the single learned merge).
     */
   private def bpeTrainSql(k: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer(
@@ -262,11 +270,11 @@ object DataOpsQueries {
         GROUP BY 1, 2)"""
       parts += s"""b$i AS MATERIALIZED (SELECT l, r, n,
         '|' || l || '||' || r || '|' AS pat, '|' || l || r || '|' AS rep
-        FROM p$i ORDER BY n DESC, l, r LIMIT 1)"""
+        FROM p$i WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1)"""
       if (i < k - 1)
         parts += s"""st${i + 1} AS MATERIALIZED (SELECT doc_id,
-          replace(st$i.s, b$i.pat, b$i.rep) AS s
-          FROM st$i CROSS JOIN b$i)"""
+          replace(st$i.s, COALESCE(b$i.pat, '|||'), COALESCE(b$i.rep, '')) AS s
+          FROM st$i LEFT JOIN b$i ON TRUE)"""
     }
     val sel = (0 until k).map(i =>
       s"SELECT $i AS rank, l AS left_tok, r AS right_tok, " +
@@ -4672,10 +4680,20 @@ object DataOpsQueries {
           }
           val nRef = new java.util.concurrent.atomic.AtomicLong(0L)
           val nNew = new java.util.concurrent.atomic.AtomicLong(0L)
+          // The pinned width must cover the WHOLE drained stream, not
+          // just start(): the heavy per-micro-batch work
+          // (DocLake.refreshAndAppend) runs in foreachBatch on the
+          // OUTER session `s`, whose conf is read at each batch — a
+          // restore right after start() (the runAvailableNow pattern,
+          // correct there because that stream's work is all inside
+          // the cloned-session plan) would race the maintenance joins
+          // back to the session default. Restore after
+          // awaitTermination instead.
           val prevParts = s.conf.get("spark.sql.shuffle.partitions")
           s.conf.set("spark.sql.shuffle.partitions", "8")
-          val q = try {
-            s.readStream.schema("doc_id LONG, lang STRING, canonical_url STRING")
+          try {
+            val q = s.readStream
+              .schema("doc_id LONG, lang STRING, canonical_url STRING")
               .option("maxFilesPerTrigger", "1")
               .parquet(arrivals.toString)
               .writeStream
@@ -4689,8 +4707,8 @@ object DataOpsQueries {
               .option("checkpointLocation", ckpt.toString)
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
+            q.awaitTermination()
           } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          q.awaitTermination()
           require(nRef.get() > 0 && nNew.get() > 0,
             s"fixture must trip both arms across the stream, got " +
               s"refresh=${nRef.get()} append=${nNew.get()}")

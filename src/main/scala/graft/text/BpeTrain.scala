@@ -46,7 +46,10 @@ import org.apache.spark.sql.functions._
   *
   * Delimiter contract (shared with the oracle CTEs): `|` must not
   * occur in the corpus alphabet — boundaries would be ambiguous in
-  * both engines identically (see bpeCteSql's guard).
+  * both engines identically, which the gate could never catch — so
+  * trainLoop ENFORCES it with a raise_error branch riding the
+  * state-build projection (the same loudness as bpeCteSql's
+  * require()d '|'-free fixture table).
   *
   * Reference basis: none — north-star capability; algorithm public
   * (arXiv:1508.07909).
@@ -91,11 +94,24 @@ object BpeTrain {
     // single-core. 8 is the measured knee for dim-sized fits; a lake-
     // scale caller's input arrives already partitioned by volume and
     // the repartition is then a near-no-op coalesce target.
+    // Delimiter contract ENFORCED, not just documented (bpeCteSql
+    // require()s its fixture table is '|'-free; the trainer must be
+    // equally loud): a corpus doc containing '|' would make state
+    // boundaries ambiguous in both engines IDENTICALLY — the gate
+    // could never catch the corruption — so fail fast on the first
+    // offending row. The guard rides the state-build projection
+    // itself (a `when` branch of the consumed expression, codegen,
+    // zero extra pass over the corpus).
     val pre = docs
       .select(TextOps.norm(col(textCol)).as("n"))
       .filter(col("n") =!= "")
       .select(concat(lit("|"),
-        concat_ws("||", filter(split(col("n"), ""), t => length(t) > 0)),
+        concat_ws("||", filter(split(
+          when(col("n").contains("|"), raise_error(concat(
+            lit("BpeTrain delimiter contract violated: normalized " +
+              "corpus text contains '|' (excerpt: "),
+            substring(col("n"), 1, 40), lit(")"))).cast("string"))
+            .otherwise(col("n")), ""), t => length(t) > 0)),
         lit("|")).as("s"))
     // a floor, never a target: a volume-partitioned corpus keeps its
     // own parallelism

@@ -57,6 +57,18 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(m.toSeq == Seq((0, "y", "y", 2L)), m.toSeq)
   }
 
+  test("delimiter contract: a '|' in the corpus fails loudly") {
+    // ambiguous-boundary corruption would be IDENTICAL in engine and
+    // oracle (the gate can't catch it), so the trainer must refuse
+    val docs = Seq((1L, "ok text"), (2L, "bad|doc")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      BpeTrain.trainMerges(docs, "text", 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("delimiter contract")), e.getMessage)
+  }
+
   test("tie-break: equal counts resolved by smallest (left, right)") {
     // "ba" x2 and "dc" x2 both count 2; (b,a) < (d,c) lexicographically
     val docs = Seq((1L, "baQba"), (2L, "dcRdc")).toDF("doc_id", "text")
