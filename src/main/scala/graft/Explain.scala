@@ -149,12 +149,26 @@ object Explain {
         // occurrence table; the pre-tokenized arm is two codegen count
         // expressions riding ONE scan — no join, no extra exchange
         "qt40_cross_doc_dedup", "qt41_postings_audit",
-        "qt42_bpe_pretokenized")
+        "qt42_bpe_pretokenized",
+        // round-16 additions: the n-gram-LM rows — model attaches
+        // must stay broadcast equi-joins on (lang, gram) keys over
+        // the persisted count subtrees, the per-doc mean a plain
+        // two-phase HashAggregate (the fixed-point sum — NOT an
+        // ObjectHashAggregate, which would mean the ordered-fold
+        // form crept back), and the tertile thresholds a sample-
+        // sized window + broadcast lang attach; the fertility audit
+        // is two codegen count expressions riding one spread scan
+        // into a |lang|-row aggregate
+        "qt43_ngram_lm_score", "qt44_lm_tertile_gate",
+        "qt45_tokenizer_fertility")
     // (qt39_bpe_train is deliberately absent: its body RUNS k
     // driver-argmax rounds — a fit, not a lazy plan; its shape is
     // documented on BpeTrain and pinned by BpeTrainSpec)
     // (qst16_stream_doc_lake: a stream writing a temp lake — absent
     // for the ql5 reason)
+    // (qst17_stream_lm_score: stateless typed-map scoring inside a
+    // stream — no lazy batch plan to render; the mirror contract is
+    // pinned by the shared qt43 oracle and NgramLmSpec)
     // (ql7_doc_lake_maintenance, ql8_training_shard_lake,
     // ql9_packed_sequences and ql10_packed_lake_append are
     // deliberately absent for the same reason as ql5: their bodies

@@ -82,10 +82,16 @@ object DocLake {
         .parquet(paths.toSeq: _*)
       val upd = batch.select((keyCol +: updateCols).map(c =>
         col(c).as(s"__b_$c")): _*)
+      // persisted: the count and the overwrite below both consume it
+      // (batch-sized — only refreshed ROWS, never the slice), and the
+      // count's materialization happens while the pre-overwrite files
+      // are still in place, same read window as the overwrite job's
+      // own scan
       val refreshed = slice
         .join(broadcast(upd), col(keyCol) === col(s"__b_$keyCol"))
         .select(cols.map(c =>
           (if (updateCols.contains(c)) col(s"__b_$c") else col(c)).as(c)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       nRefresh = refreshed.count()
       val untouched = slice
         .join(broadcast(batchKeys), Seq(keyCol), "left_anti")
@@ -107,6 +113,7 @@ object DocLake {
           case None =>
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
+        refreshed.unpersist()
       }
     }
     val freshAppends = appends

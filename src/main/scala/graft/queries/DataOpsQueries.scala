@@ -283,6 +283,91 @@ object DataOpsQueries {
     "WITH " + parts.mkString(",\n") + "\n" + sel + "\nORDER BY rank"
   }
 
+  /** Documents dressed with deterministic id-derived RARE tokens for
+    * the n-gram-LM rows: doc_id % 31 = 17 appends ' zq<doc_id % 50>'.
+    * With the % 5 target slice, CRT makes the trained zq set exactly
+    * the % 50 residues divisible by 5 (the doc_id ≡ 110 (mod 155)
+    * class), so rare-but-seen unigrams AND genuinely-OOV tokens both
+    * exist at every SF (sf0.01: 13 OOV positions; sf0.1: 129) —
+    * the add-one floor and the minCount prune are never no-op arms.
+    */
+  private def lmDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 31 === 17,
+          concat(lit(" zq"), (col("doc_id") % 50).cast("string")))
+          .otherwise(lit(""))).as("text2"))
+
+  private val lmNormSql =
+    "lower(trim(regexp_replace(text2, '\\s+', ' ', 'g')))"
+
+  /** Shared oracle chain for the n-gram-LM rows (qt43/qt44): mirrors
+    * [[graft.text.NgramLm]] — per-language Stupid Backoff trigram
+    * model trained on the doc_id % 5 = 0 slice of the zq-dressed
+    * corpus, minCount-2 pruned ratio tables with RAW-count
+    * denominators, add-one unigram floor, and the per-document
+    * FIXED-POINT mean (floor(s * 2^32) summed as exact BIGINTs —
+    * order-independent, bit-for-bit Spark's sum(floor(...)) long
+    * aggregate; validated identical across DuckDB thread counts).
+    * Ends at `scs(doc_id, lang, n_tok, lm_score)`.
+    */
+  private lazy val ngramLmCteSql: String =
+    s"""dd AS MATERIALIZED (SELECT doc_id, lang,
+        text || CASE WHEN doc_id % 31 = 17
+          THEN ' zq' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END AS text2
+        FROM documents),
+      ltok AS MATERIALIZED (SELECT doc_id, lang, string_split(n, ' ') AS t
+        FROM (SELECT doc_id, lang, $lmNormSql AS n FROM dd) q WHERE n <> ''),
+      ltgt AS MATERIALIZED (SELECT * FROM ltok WHERE doc_id % 5 = 0),
+      lunic AS MATERIALIZED (SELECT lang, u.w, COUNT(*) AS c1
+        FROM ltgt, unnest(ltgt.t) AS u(w) GROUP BY 1, 2),
+      llsc AS MATERIALIZED (SELECT lang, SUM(c1) AS n_tot, COUNT(*) AS v_sz
+        FROM lunic GROUP BY lang),
+      lbic AS MATERIALIZED (SELECT lang, t[j] AS w1, t[j+1] AS w0, COUNT(*) AS c2
+        FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS j
+          FROM ltgt WHERE len(t) > 1) q GROUP BY 1, 2, 3),
+      ltric AS MATERIALIZED (SELECT lang, t[j] AS w2, t[j+1] AS w1,
+          t[j+2] AS w0, COUNT(*) AS c3
+        FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 2)) AS j
+          FROM ltgt WHERE len(t) > 2) q GROUP BY 1, 2, 3, 4),
+      lbim AS MATERIALIZED (SELECT b.lang, b.w1, b.w0,
+          CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS s2
+        FROM lbic b JOIN lunic u ON u.lang = b.lang AND u.w = b.w1
+        WHERE b.c2 >= 2),
+      ltrm AS MATERIALIZED (SELECT t3.lang, t3.w2, t3.w1, t3.w0,
+          CAST(t3.c3 AS DOUBLE) / CAST(b.c2 AS DOUBLE) AS s3
+        FROM ltric t3 JOIN lbic b ON b.lang = t3.lang AND b.w1 = t3.w2
+          AND b.w0 = t3.w1
+        WHERE t3.c3 >= 2),
+      lpos AS (SELECT doc_id, lang, j - 1 AS pos, len(t) AS n_tok, t[j] AS w0,
+          CASE WHEN j >= 2 THEN t[j-1] END AS w1,
+          CASE WHEN j >= 3 THEN t[j-2] END AS w2
+        FROM (SELECT doc_id, lang, t,
+          unnest(generate_series(1, len(t))) AS j FROM ltok) q),
+      lsv AS (SELECT p.doc_id, p.lang, p.pos, p.n_tok,
+          CASE WHEN p.pos >= 2 THEN COALESCE(tr.s3, CAST(0.4 AS DOUBLE) * bi.s2,
+              CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+              (CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) /
+                CAST(l.n_tot + l.v_sz AS DOUBLE)))
+            WHEN p.pos = 1 THEN COALESCE(bi.s2, CAST(0.4 AS DOUBLE) *
+              (CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) /
+                CAST(l.n_tot + l.v_sz AS DOUBLE)))
+            ELSE CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) /
+              CAST(l.n_tot + l.v_sz AS DOUBLE)
+          END AS s
+        FROM lpos p
+        JOIN llsc l ON l.lang = p.lang
+        LEFT JOIN lunic u ON u.lang = p.lang AND u.w = p.w0
+        LEFT JOIN lbim bi ON bi.lang = p.lang AND bi.w1 = p.w1
+          AND bi.w0 = p.w0
+        LEFT JOIN ltrm tr ON tr.lang = p.lang AND tr.w2 = p.w2
+          AND tr.w1 = p.w1 AND tr.w0 = p.w0),
+      scs AS MATERIALIZED (SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok,
+          (CAST(SUM(CAST(floor(s * CAST(4294967296 AS DOUBLE)) AS BIGINT))
+              AS DOUBLE) / CAST(4294967296 AS DOUBLE)) /
+            CAST(n_tok AS DOUBLE) AS lm_score
+        FROM lsv GROUP BY doc_id, lang, n_tok)"""
+
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
     * scheme/host case, userinfo, www, trailing host dots, https (:443
@@ -3997,6 +4082,158 @@ object DataOpsQueries {
           FROM crossg GROUP BY arm, m)
         SELECT * FROM ih UNION ALL SELECT * FROM ch
         ORDER BY scope, arm, list_size""")),
+
+    // ---- In-engine n-gram LM quality scoring (qt43): the CCNet
+    // pipeline's model half — train a per-language Stupid Backoff
+    // trigram LM on a trusted target slice of the corpus itself
+    // (doc_id % 5 = 0, the deterministic stand-in for "our Wikipedia
+    // dump"), then score EVERY document by mean per-token
+    // predictability. Counting is three exploded integer aggregates;
+    // scoring is one corpus pass with three broadcast model joins and
+    // a FIXED-POINT mean (order-independent long sum — log-free by
+    // construction; see NgramLm's scaladoc for why the log/exp pair
+    // stays out of the oracled value path and why the fixed-point
+    // grid replaces an ordered fold). The corpus is dressed with id-derived rare
+    // tokens (doc_id % 31 = 17 appends ' zq<doc_id % 50>') so the
+    // add-one OOV floor and the minCount prune GENUINELY trip at
+    // every SF: by CRT the trained zq tokens are exactly the % 50
+    // residues divisible by 5, every other zq stays OOV. ----
+    QueryDef("qt43_ngram_lm_score",
+      (s, dir) => {
+        val docs = lmDocs(s, dir)
+        val model = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 5 === 0), "text2", "lang")
+        graft.text.NgramLm.score(docs, "doc_id", "text2", "lang", model)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $ngramLmCteSql\n" +
+        "SELECT doc_id, lang, n_tok, lm_score FROM scs ORDER BY doc_id")),
+
+    // ---- CCNet head/middle/tail gate (qt44): per-language tertile
+    // thresholds over qt43's score, taken as exact order statistics
+    // of a deterministic id-sample (CCNet computes its cutoffs on a
+    // sample — which also keeps the only sort sample-sized and slim);
+    // bucket by strict comparison against the sampled elements, keep
+    // = head ∨ middle. Buckets genuinely partition at every SF
+    // (sf0.01: 196/146/158 head/middle/tail). ----
+    QueryDef("qt44_lm_tertile_gate",
+      (s, dir) => {
+        val docs = lmDocs(s, dir)
+        val model = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 5 === 0), "text2", "lang")
+        // tertileGate consumes scores TWICE (threshold sample +
+        // final join) — persist the scored table (slim, doc-count
+        // rows) or the whole LM pipeline re-derives per consumer
+        // (the qx10/qd7 class)
+        val scores = graft.text.NgramLm.score(
+            docs, "doc_id", "text2", "lang", model)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        graft.text.NgramLm.tertileGate(scores)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $ngramLmCteSql,
+        smp AS (SELECT lang, lm_score, doc_id FROM scs WHERE doc_id % 3 = 0),
+        rk AS (SELECT lang, lm_score,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS m FROM smp),
+        th AS (SELECT lang,
+            MAX(CASE WHEN rn = CAST(ceil(CAST(m AS DOUBLE) / 3.0) AS BIGINT)
+              THEN lm_score END) AS t1,
+            MAX(CASE WHEN rn = CAST(ceil(2.0 * CAST(m AS DOUBLE) / 3.0) AS BIGINT)
+              THEN lm_score END) AS t2
+          FROM rk GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.lm_score,
+          CASE WHEN s.lm_score > th.t2 THEN 'head'
+               WHEN s.lm_score > th.t1 THEN 'middle' ELSE 'tail' END AS bucket,
+          (s.lm_score > th.t1) AS keep
+        FROM scs s JOIN th ON th.lang = s.lang ORDER BY s.doc_id""")),
+
+    // ---- Tokenizer fertility audit (qt45): the per-language
+    // tokenizer-quality table a multilingual corpus build signs off
+    // on (fertility — subword tokens per word — is the standard
+    // cross-language tokenizer metric, Rust et al. 2021,
+    // arXiv:2012.15613): BPE tokens per whitespace word and chars per
+    // BPE token, per language. qt32 showed the two denominators drift
+    // document by document; this row aggregates the drift to the
+    // slice level where mixture and packing decisions are actually
+    // made (a language whose fertility runs high gets silently
+    // under-weighted by a word-denominated budget). One corpus scan:
+    // the codegen BPE count rides the scan (spread first — the
+    // one-partition gotcha), integer partial aggregates map-side into
+    // a |languages|-row table, two exact-long divisions at the end.
+    // ----
+    QueryDef("qt45_tokenizer_fertility",
+      (s, dir) => {
+        val txt = col("text")
+        val nrm = TextOps.norm(txt)
+        graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          .select(col("lang"),
+            graft.functions.BpeEncode.bpe_token_count(txt).as("nt"),
+            TextOps.tokenCountWs(txt).as("nw"),
+            length(nrm).as("nc"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("int").as("n_docs"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("nw")).as("n_words"),
+            sum(col("nt")).as("n_bpe_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            col("n_words"), col("n_bpe_tokens"),
+            (col("n_bpe_tokens").cast("double") /
+              col("n_words").cast("double")).as("fertility"),
+            (col("n_chars").cast("double") /
+              col("n_bpe_tokens").cast("double")).as("chars_per_token"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH RECURSIVE $bpeCteSql,
+        fb AS (SELECT doc_id, lang, length($normSql) AS nc,
+            CASE WHEN $normSql = '' THEN 0
+              ELSE len(string_split($normSql, ' ')) END AS nw
+          FROM documents)
+        SELECT fb.lang, CAST(COUNT(*) AS INT) AS n_docs,
+          SUM(fb.nc) AS n_chars, SUM(fb.nw) AS n_words,
+          SUM(p.n_tok_bpe) AS n_bpe_tokens,
+          CAST(SUM(p.n_tok_bpe) AS DOUBLE) / CAST(SUM(fb.nw) AS DOUBLE)
+            AS fertility,
+          CAST(SUM(fb.nc) AS DOUBLE) / CAST(SUM(p.n_tok_bpe) AS DOUBLE)
+            AS chars_per_token
+        FROM fb JOIN bpe p ON p.doc_id = fb.doc_id
+        GROUP BY fb.lang ORDER BY fb.lang""")),
+
+    // ---- Streamed LM quality scoring (qst17): qt43 at the crawl
+    // edge — documents ARRIVE as a stream and are scored against a
+    // FROZEN Stupid Backoff model (trained in batch on the target
+    // slice, collected once — the Ivf/Pq model-fit collect class —
+    // and broadcast as the KB-sized LUT the ADC rows established).
+    // Scoring is completely STATELESS: a typed map riding the
+    // stream, no shuffle, no state store, no watermark — the serving
+    // shape for ingest-time quality gating. NgramLm.scoreLocal
+    // carries the mirror contract (same norm order, same backoff
+    // ladder, same left-associated 0.4 products, same fixed-point
+    // accumulate), and the oracle IS qt43's chain VERBATIM, so
+    // stream ≡ batch is pinned on the score itself. ----
+    QueryDef("qst17_stream_lm_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = lmDocs(s, dir)
+        val model = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 5 === 0), "text2", "lang")
+        val bc = s.sparkContext.broadcast(
+          graft.text.NgramLm.collectModel(model))
+        val streamed = replayTable(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"), when(col("doc_id") % 31 === 17,
+              concat(lit(" zq"), (col("doc_id") % 50).cast("string")))
+              .otherwise(lit(""))).as("text2"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, lang, text2) =>
+            graft.text.NgramLm.scoreLocal(text2, lang, bc.value)
+              .map { case (nTok, sc) => (id, lang, nTok, sc) }
+          }
+          .toDF("doc_id", "lang", "n_tok", "lm_score")
+        runAvailableNow(s, streamed).orderBy(col("doc_id"))
+      },
+      Some(s"WITH $ngramLmCteSql\n" +
+        "SELECT doc_id, lang, n_tok, lm_score FROM scs ORDER BY doc_id")),
 
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —

@@ -114,7 +114,18 @@ class PlanGuardSpec extends SparkTestBase {
       // occurrence arrays — same contract: no self-join, no NLJ; the
       // span attach stays the doc-keyed equi-join
       "exciseCrossDocRuns" -> Decontaminate.exciseCrossDocRuns(
-        docs, "text", "doc_id")
+        docs, "text", "doc_id"),
+      // n-gram LM scoring + tertile gate: the three model attaches
+      // must stay broadcast equi-joins on (lang, gram) keys and the
+      // threshold attach a broadcast lang equi-join — the only
+      // exchanges are the gram-count aggregates and the doc-keyed
+      // fixed-point mean
+      "ngramLmScoreAndGate" -> {
+        val m = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 5 === 0), "text", "lang")
+        graft.text.NgramLm.tertileGate(graft.text.NgramLm.score(
+          docs, "doc_id", "text", "lang", m))
+      }
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[NgramLm]]'s Stupid Backoff semantics on a hand-computable
+  * corpus: backoff ladder level selection, the minCount prune, the
+  * add-one OOV floor, the fixed-point mean, and the tertile gate's
+  * order-statistic thresholds.
+  */
+class NgramLmSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def fp(xs: Seq[Double]): Double =
+    xs.map(s => math.floor(s * 4294967296.0)).sum / 4294967296.0 / xs.length
+
+  test("backoff ladder, prune, and OOV floor match hand computation") {
+    // target: "a b c a b d" x2 docs -> unigrams a:4 b:4 c:2 d:2 (N=12,
+    // V=4); bigrams (a,b):4 (b,c):2 (c,a):2 (b,d):2 kept, none pruned;
+    // trigrams (a,b,c):2 (a,b,d):2 (b,c,a):2 (c,a,b):2 kept
+    val target = Seq((0L, "en", "a b c a b d"), (5L, "en", "a b c a b d"))
+      .toDF("doc_id", "lang", "text")
+    val model = NgramLm.train(target, "text", "lang")
+    // scoring doc "a b c x": pos0 uni a=(4+1)/(12+4); pos1 bi (a,b)=4/4;
+    // pos2 tri (a,b,c)=2/4; pos3: tri (b,c,x) miss, bi (c,x) miss ->
+    // 0.4*0.4*OOV floor (x unseen: (0+1)/16)
+    val got = NgramLm.score(
+        Seq((1L, "en", "a b c x")).toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", model)
+      .select($"doc_id", $"n_tok", $"lm_score")
+      .as[(Long, Int, Double)].collect().head
+    val want = fp(Seq(5.0 / 16, 4.0 / 4, 2.0 / 4, 0.4 * 0.4 * (1.0 / 16)))
+    assert(got == ((1L, 4, want)), s"got $got want $want")
+  }
+
+  test("minCount prunes singleton grams out of the model") {
+    // bigram (a,b) occurs once -> pruned; scoring "a b" backs off to
+    // 0.4 * uni(b) even though the bigram was SEEN
+    val target = Seq((0L, "en", "a b"), (5L, "en", "b b"))
+      .toDF("doc_id", "lang", "text")
+    // unigrams: a:1 b:3 (N=4, V=2); bigrams all count 1 -> model empty
+    val model = NgramLm.train(target, "text", "lang")
+    assert(model.bi.count() == 0L && model.tri.count() == 0L)
+    val got = NgramLm.score(
+        Seq((1L, "en", "a b")).toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", model)
+      .select($"lm_score").as[Double].collect().head
+    val want = fp(Seq(2.0 / 6, 0.4 * (4.0 / 6)))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("documents of an unmodeled language are dropped, not scored") {
+    val target = Seq((0L, "en", "a b a b")).toDF("doc_id", "lang", "text")
+    val model = NgramLm.train(target, "text", "lang")
+    val scored = NgramLm.score(
+      Seq((1L, "en", "a b"), (2L, "fr", "a b"))
+        .toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", model)
+    assert(scored.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("tertile gate: thresholds are sampled order statistics, strict >") {
+    // scores 1..9 on doc_ids 0,3,6,...,24 (all sampled: doc_id % 3 = 0);
+    // m=9, k1=3 -> t1=3rd smallest, k2=6 -> t2=6th smallest
+    val scores = (0 until 9).map(i =>
+        (i * 3L, "en", 10, (i + 1).toDouble / 10))
+      .toDF("doc_id", "lang", "n_tok", "lm_score")
+    val got = NgramLm.tertileGate(scores)
+      .select($"doc_id", $"bucket", $"keep")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    val buckets = got.map(_._2).toSeq
+    assert(buckets == Seq("tail", "tail", "tail",
+      "middle", "middle", "middle", "head", "head", "head"), buckets)
+    assert(got.map(_._3).toSeq == buckets.map(_ != "tail"))
+  }
+
+  test("boundary ties land on the non-head side of a strict >") {
+    // all scores equal -> t1 = t2 = the value; nothing is > it ->
+    // every doc is tail, keep = false (deterministic on any engine)
+    val scores = (0 until 6).map(i => (i.toLong, "en", 5, 0.5))
+      .toDF("doc_id", "lang", "n_tok", "lm_score")
+    val got = NgramLm.tertileGate(scores)
+      .select($"bucket").as[String].collect().toSet
+    assert(got == Set("tail"))
+  }
+}
