@@ -22,6 +22,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 pass
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+# The driver's gate hashes the pandas RENDERING of every cell, so an
+# oracle whose bare SUM(INTEGER) comes back from DuckDB as HUGEINT (which
+# pandas materializes as float64: "19525.0") fails the driver even when
+# every value is numerically equal to the engine's BIGINT ("19525").
+# To keep this local gate a conservative superset of the driver's, compare
+# dtype CLASSES too: int-vs-float (or any cross-class pair) is a FAIL here
+# even though the values compare equal — the fix is always to CAST the
+# oracle column to the engine's type (e.g. CAST(SUM(x) AS BIGINT)).
+def dtype_class(dt) -> str:
+    k = getattr(dt, "kind", "?")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "ts", "m": "td", "O": "obj", "S": "obj",
+            "U": "obj"}.get(k, k)
+
+def dtype_mismatch(got: pd.DataFrame, exp: pd.DataFrame):
+    bad = []
+    for c in got.columns:
+        g, e = dtype_class(got[c].dtype), dtype_class(exp[c].dtype)
+        if g != e:
+            bad.append(f"{c}: spark={got[c].dtype}({g}) oracle={exp[c].dtype}({e})")
+    return bad
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +66,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        bad_types = dtype_mismatch(got, exp)
+        if bad_types:
+            print(f"FAIL {name}: dtype class mismatch: {'; '.join(bad_types)}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=True)

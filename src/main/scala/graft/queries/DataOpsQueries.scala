@@ -759,6 +759,64 @@ object DataOpsQueries {
           (s.doc_id IN (SELECT batch_id FROM nr)) AS dup_near
         FROM sp s WHERE s.part = 'batch' ORDER BY s.doc_id"""
 
+  /** Shared content + provenance halves of the release verdict
+    * (qx11/qx13): content = qx4's boilerplate-clean → exact-dedup →
+    * n-gram decontamination chain; provenance = qx10's canonical-URL →
+    * URL-dedup → blocklist → domain-cap → quality-floor chain. Both
+    * returned doc-keyed as one boolean each so composites conjoin
+    * them without seeing the other side's corpus-sized intermediates.
+    */
+  private def releaseHalves(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    // content half — qx4's chain (cleaned persisted: three
+    // consumers, the qd7 no-exchange-reuse class)
+    val cleaned = graft.text.Boilerplate.removeBoilerplate(
+        t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
+      .withColumn("split",
+        TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ann = Dedup.exactDupAnnotate(cleaned, "clean_text", "doc_id")
+    val cont = graft.text.Decontaminate.contaminated(
+        cleaned.filter(col("split") === "train"),
+        cleaned.filter(col("split") === "eval"),
+        "clean_text", "doc_id", n = 8)
+    val content = ann.join(cont, ann("doc_id") === cont("train_id"), "left")
+      .select(col("doc_id"),
+        (col("split") === "train" && col("doc_id") === col("canonical_id") &&
+          coalesce(col("n_shared_grams"), lit(0L)) === 0 &&
+          col("clean_text") =!= "").as("content_keep"))
+    // provenance half — qx10's chain
+    val blocklist = Seq("site12.com", "site26.co.uk")
+    // the qx10 persists (dom: rep agg + annotate join; pAnn: the
+    // cap's two passes + the final provenance projection)
+    val dom = graft.text.Urls.registrableDomainsPsl(
+        urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
+      .select(col("doc_id"), col("domain"),
+        graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = dom.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    val pAnn = dom.join(reps, "canonical_url")
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inCap = graft.text.Urls.domainCap(
+        pAnn.filter(col("is_canonical") && !col("blocked"))
+          .select(col("doc_id"), col("domain")),
+        "doc_id", "domain", cap = 2)
+      .select(col("doc_id"), col("keep").as("in_cap"))
+    val scored = t(s, dir, "documents").select(col("doc_id"),
+      TextOps.hashedClassifierScore(col("text"),
+        TextOps.stubQualityWeights()).as("score"))
+    val prov = pAnn.join(inCap, Seq("doc_id"), "left")
+      .join(scored, "doc_id")
+      .select(col("doc_id"),
+        (col("is_canonical") && !col("blocked") &&
+          coalesce(col("in_cap"), lit(false)) &&
+          col("score") >= -0.08).as("provenance_keep"))
+    (content, prov)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + quality scoring ----
@@ -4143,10 +4201,11 @@ object DataOpsQueries {
               THEN lm_score END) AS t2
           FROM rk GROUP BY lang)
         SELECT s.doc_id, s.lang, s.lm_score,
-          CASE WHEN s.lm_score > th.t2 THEN 'head'
-               WHEN s.lm_score > th.t1 THEN 'middle' ELSE 'tail' END AS bucket,
-          (s.lm_score > th.t1) AS keep
-        FROM scs s JOIN th ON th.lang = s.lang ORDER BY s.doc_id""")),
+          CASE WHEN th.t2 IS NOT NULL AND s.lm_score > th.t2 THEN 'head'
+               WHEN th.t1 IS NOT NULL AND s.lm_score > th.t1 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+          COALESCE(s.lm_score > th.t1, FALSE) AS keep
+        FROM scs s LEFT JOIN th ON th.lang = s.lang ORDER BY s.doc_id""")),
 
     // ---- Tokenizer fertility audit (qt45): the per-language
     // tokenizer-quality table a multilingual corpus build signs off
@@ -4169,7 +4228,12 @@ object DataOpsQueries {
         graft.ops.Partitioning.spread(t(s, dir, "documents"))
           .select(col("lang"),
             graft.functions.BpeEncode.bpe_token_count(txt).as("nt"),
-            TextOps.tokenCountWs(txt).as("nw"),
+            // empty-text guard: size(split('', ' ')) = 1 in Spark but
+            // the whitespace word count of an empty doc is 0 — mirror
+            // the oracle's CASE so an empty/ws-only document cannot
+            // silently skew fertility
+            when(nrm === "", lit(0))
+              .otherwise(TextOps.tokenCountWs(txt)).as("nw"),
             length(nrm).as("nc"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).cast("int").as("n_docs"),
@@ -4190,8 +4254,9 @@ object DataOpsQueries {
               ELSE len(string_split($normSql, ' ')) END AS nw
           FROM documents)
         SELECT fb.lang, CAST(COUNT(*) AS INT) AS n_docs,
-          SUM(fb.nc) AS n_chars, SUM(fb.nw) AS n_words,
-          SUM(p.n_tok_bpe) AS n_bpe_tokens,
+          CAST(SUM(fb.nc) AS BIGINT) AS n_chars,
+          CAST(SUM(fb.nw) AS BIGINT) AS n_words,
+          CAST(SUM(p.n_tok_bpe) AS BIGINT) AS n_bpe_tokens,
           CAST(SUM(p.n_tok_bpe) AS DOUBLE) / CAST(SUM(fb.nw) AS DOUBLE)
             AS fertility,
           CAST(SUM(fb.nc) AS DOUBLE) / CAST(SUM(p.n_tok_bpe) AS DOUBLE)
@@ -5091,52 +5156,7 @@ object DataOpsQueries {
     // conjunction genuinely rejects 13 provenance survivors). ----
     QueryDef("qx11_full_release",
       (s, dir) => {
-        // content half — qx4's chain (cleaned persisted: three
-        // consumers, the qd7 no-exchange-reuse class)
-        val cleaned = graft.text.Boilerplate.removeBoilerplate(
-            t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
-          .withColumn("split",
-            TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val ann = Dedup.exactDupAnnotate(cleaned, "clean_text", "doc_id")
-        val cont = graft.text.Decontaminate.contaminated(
-            cleaned.filter(col("split") === "train"),
-            cleaned.filter(col("split") === "eval"),
-            "clean_text", "doc_id", n = 8)
-        val content = ann.join(cont, ann("doc_id") === cont("train_id"), "left")
-          .select(col("doc_id"),
-            (col("split") === "train" && col("doc_id") === col("canonical_id") &&
-              coalesce(col("n_shared_grams"), lit(0L)) === 0 &&
-              col("clean_text") =!= "").as("content_keep"))
-        // provenance half — qx10's chain
-        val blocklist = Seq("site12.com", "site26.co.uk")
-        // the qx10 persists (dom: rep agg + annotate join; pAnn: the
-        // cap's two passes + the final provenance projection)
-        val dom = graft.text.Urls.registrableDomainsPsl(
-            urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
-          .select(col("doc_id"), col("domain"),
-            graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
-          .withColumn("blocked", col("domain").isin(blocklist: _*))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val reps = dom.groupBy(col("canonical_url"))
-          .agg(min(col("doc_id")).as("canonical_id"))
-        val pAnn = dom.join(reps, "canonical_url")
-          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val inCap = graft.text.Urls.domainCap(
-            pAnn.filter(col("is_canonical") && !col("blocked"))
-              .select(col("doc_id"), col("domain")),
-            "doc_id", "domain", cap = 2)
-          .select(col("doc_id"), col("keep").as("in_cap"))
-        val scored = t(s, dir, "documents").select(col("doc_id"),
-          TextOps.hashedClassifierScore(col("text"),
-            TextOps.stubQualityWeights()).as("score"))
-        val prov = pAnn.join(inCap, Seq("doc_id"), "left")
-          .join(scored, "doc_id")
-          .select(col("doc_id"),
-            (col("is_canonical") && !col("blocked") &&
-              coalesce(col("in_cap"), lit(false)) &&
-              col("score") >= -0.08).as("provenance_keep"))
+        val (content, prov) = releaseHalves(s, dir)
         content.join(prov, "doc_id")
           .select(col("doc_id"), col("content_keep"), col("provenance_keep"),
             (col("content_keep") && col("provenance_keep")).as("keep"))
@@ -5206,6 +5226,130 @@ object DataOpsQueries {
         SELECT content.doc_id, content_keep, provenance_keep,
           (content_keep AND provenance_keep) AS keep
         FROM content JOIN prov ON prov.doc_id = content.doc_id
+        ORDER BY content.doc_id""")),
+
+    // ---- Release verdict WITH the quality gate (qx13): qx11's
+    // content ∧ provenance conjunction composed with qt44's CCNet
+    // head/middle/tail LM gate — keep = content_keep ∧
+    // provenance_keep ∧ quality_keep, where quality_keep is
+    // tertileGate's "not tail" bit over the Stupid Backoff LM score
+    // (trained on the doc_id % 5 target slice, qt43). A page can be
+    // clean, canonical, in-cap text that the LM still reads as
+    // gibberish — CCNet's gate belongs in the shipping verdict the
+    // same way qt20/qt21 sit in qx5. Docs the scorer drops (empty
+    // after normalization / unmodeled language) default to
+    // quality_keep = false — unscorable is unpublishable. All three
+    // arms genuinely trip at both SFs (sf0.01: 13 docs rejected
+    // ONLY by quality among content∧provenance keeps, 10 only by
+    // content, 280 only by provenance; 31 releases — sf0.001:
+    // 9/6/284, 33 releases). The three verdict subtrees stay
+    // independent until the final doc-keyed joins: the LM's
+    // broadcast-gram scoring never sees the URL table, the PSL walk
+    // never sees gram hashes — at 100 TB each half scales on its own
+    // already-audited plan (qx11, qt43/qt44) and the composition
+    // adds two slim hash joins.
+    QueryDef("qx13_release_with_quality",
+      (s, dir) => {
+        val (content, prov) = releaseHalves(s, dir)
+        val docs = lmDocs(s, dir)
+        val model = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 5 === 0), "text2", "lang")
+        // scores feed tertileGate twice (threshold sample + final
+        // join) — persist, the qx10/qd7 rule
+        val scores = graft.text.NgramLm.score(
+            docs, "doc_id", "text2", "lang", model)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val quality = graft.text.NgramLm.tertileGate(scores)
+          .select(col("doc_id"), col("keep").as("quality_keep"))
+        content.join(prov, "doc_id")
+          .join(quality, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("content_keep"), col("provenance_keep"),
+            coalesce(col("quality_keep"), lit(false)).as("quality_keep"),
+            (col("content_keep") && col("provenance_keep") &&
+              coalesce(col("quality_keep"), lit(false))).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes,
+        b AS (SELECT doc_id, domain, canonical_url,
+            MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+            list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
+          FROM dom),
+        r AS (SELECT doc_id, (rk <= 2) AS in_cap FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              doc_id) AS rk
+          FROM b WHERE doc_id = canonical_id AND NOT blocked)),
+        tx AS (SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        sc AS (SELECT doc_id,
+            list_reduce(list_transform(toks,
+              t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
+                   / 997.0 - 0.5),
+              (x, y) -> x + y) / len(toks) AS score
+          FROM tx),
+        d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
+          FROM d),
+        useg AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
+        e AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM useg),
+        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
+        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
+        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h),
+        cl AS (SELECT doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS n_dropped,
+          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+          FROM j GROUP BY doc_id),
+        sp AS (SELECT cl.*,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM cl),
+        can AS (SELECT sp.*,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))))) AS canonical_id
+          FROM sp),
+        ct AS (SELECT doc_id, split,
+          string_split(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))), ' ') AS ctoks
+          FROM sp),
+        g8 AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(generate_series(1, len(ctoks) - 7),
+              i -> ('0x' || substr(md5(array_to_string(ctoks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
+          FROM ct WHERE len(ctoks) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval'),
+        sh AS (SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM g8 t JOIN eg ON eg.g = t.g WHERE t.split = 'train'
+          GROUP BY t.doc_id),
+        content AS (SELECT cn.doc_id,
+          (cn.split = 'train' AND cn.doc_id = cn.canonical_id
+            AND COALESCE(sh.n_shared, 0) = 0 AND cn.clean_text <> '') AS content_keep
+          FROM can cn LEFT JOIN sh ON sh.doc_id = cn.doc_id),
+        prov AS (SELECT b.doc_id,
+          ((b.doc_id = b.canonical_id) AND NOT b.blocked
+            AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS provenance_keep
+          FROM b LEFT JOIN r ON r.doc_id = b.doc_id
+          JOIN sc ON sc.doc_id = b.doc_id),
+        $ngramLmCteSql,
+        smp AS (SELECT lang, lm_score, doc_id FROM scs WHERE doc_id % 3 = 0),
+        rk AS (SELECT lang, lm_score,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS m FROM smp),
+        th AS (SELECT lang,
+            MAX(CASE WHEN rn = CAST(ceil(CAST(m AS DOUBLE) / 3.0) AS BIGINT)
+              THEN lm_score END) AS t1,
+            MAX(CASE WHEN rn = CAST(ceil(2.0 * CAST(m AS DOUBLE) / 3.0) AS BIGINT)
+              THEN lm_score END) AS t2
+          FROM rk GROUP BY lang),
+        qual AS (SELECT s.doc_id,
+            COALESCE(s.lm_score > th.t1, FALSE) AS quality_keep
+          FROM scs s LEFT JOIN th ON th.lang = s.lang)
+        SELECT content.doc_id, content_keep, provenance_keep,
+          COALESCE(qual.quality_keep, FALSE) AS quality_keep,
+          (content_keep AND provenance_keep
+            AND COALESCE(qual.quality_keep, FALSE)) AS keep
+        FROM content JOIN prov ON prov.doc_id = content.doc_id
+        LEFT JOIN qual ON qual.doc_id = content.doc_id
         ORDER BY content.doc_id""")),
 
     // ---- Decontamination panel (qx12): one verdict row per TRAIN

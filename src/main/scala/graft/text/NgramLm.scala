@@ -203,8 +203,14 @@ object NgramLm {
   /** Driver-collected model for the STREAM-EDGE serving shape: the
     * pruned per-language tables as plain maps — the ADC-LUT class
     * (vocab-bounded after the minCount prune; KBs-to-MBs, broadcast
-    * once, never corpus-sized). Keys are gram tokens joined by ''
-    * (cannot occur in whitespace-tokenized text).
+    * once, never corpus-sized). Keys are gram tokens joined by ' ' —
+    * tokens come from split-on-space, so a space cannot occur INSIDE
+    * a token and the key is unambiguous. (The previous U+0001 joiner
+    * was wrong twice over: norm() collapses only \s+, so a control
+    * byte CAN survive inside a token and distinct grams could collide
+    * in the toMap — silently breaking the stream≡batch mirror — and
+    * the raw byte made git treat this file as binary. NgramLmSpec
+    * pins the collision case.)
     */
   final case class LocalModel(
       uni: Map[(String, String), Long],
@@ -212,7 +218,7 @@ object NgramLm {
       tri: Map[(String, String), Double],
       stats: Map[String, (Long, Long)]) extends Serializable
 
-  private def gk(parts: String*): String = parts.mkString("")
+  private def gk(parts: String*): String = parts.mkString(" ")
 
   /** Collect a trained model to the driver (model-fit-sized collect,
     * the Ivf/Pq class).
@@ -301,6 +307,11 @@ object NgramLm {
     * land identically in any engine.
     */
   def tertileGate(scores: DataFrame, sampleMod: Long = 3): DataFrame = {
+    // threshold attach is a LEFT join with a documented default: a
+    // language with zero docs in the id-sample gets bucket='tail',
+    // keep=false (the conservative CCNet disposition — unsampled means
+    // un-calibrated, not publishable) instead of silently vanishing
+    // from the output the way an inner join would drop it.
     val smp = scores.filter(col("doc_id") % sampleMod === 0)
       .select(col("lang"), col("lm_score"), col("doc_id"))
     val w = Window.partitionBy(col("lang"))
@@ -314,11 +325,13 @@ object NgramLm {
       max(when(col("rn") ===
           ceil(lit(2.0) * col("m").cast("double") / lit(3.0)).cast("long"),
         col("lm_score"))).as("t2"))
-    scores.join(broadcast(th), Seq("lang"))
+    scores.join(broadcast(th), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("lm_score"),
-        when(col("lm_score") > col("t2"), lit("head"))
-          .when(col("lm_score") > col("t1"), lit("middle"))
+        when(col("t2").isNotNull && col("lm_score") > col("t2"),
+          lit("head"))
+          .when(col("t1").isNotNull && col("lm_score") > col("t1"),
+            lit("middle"))
           .otherwise(lit("tail")).as("bucket"),
-        (col("lm_score") > col("t1")).as("keep"))
+        coalesce(col("lm_score") > col("t1"), lit(false)).as("keep"))
   }
 }

@@ -81,6 +81,49 @@ class NgramLmSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == buckets.map(_ != "tail"))
   }
 
+  test("gram keys cannot collide: scoreLocal == score on (a,bc)/(ab,c)") {
+    // ("a","bc") and ("ab","c") concatenate identically — a
+    // separator-free (or token-legal-separator) gram key would
+    // conflate them in LocalModel's toMap and scoreLocal would
+    // silently serve the wrong bigram ratio. Give the two bigrams
+    // DIFFERENT values so a collision is detectable: bi(a,bc)=2/3,
+    // bi(ab,c)=2/2.
+    val target = Seq(
+        (0L, "en", "a bc a bc a"),
+        (5L, "en", "ab c ab c"))
+      .toDF("doc_id", "lang", "text")
+    val model = NgramLm.train(target, "text", "lang")
+    val bi = model.bi.collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(bi(("a", "bc")) == 2.0 / 3 && bi(("ab", "c")) == 2.0 / 2, bi)
+    val local = NgramLm.collectModel(model)
+    val docs = Seq((1L, "en", "a bc"), (2L, "en", "ab c"))
+    val dist = NgramLm.score(docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", model)
+      .select($"doc_id", $"n_tok", $"lm_score")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    docs.foreach { case (id, lang, txt) =>
+      assert(NgramLm.scoreLocal(txt, lang, local) == Some(dist(id)),
+        s"doc $id: local != distributed")
+    }
+  }
+
+  test("tertile gate keeps a language absent from the sample: tail/false") {
+    // fr has no doc_id % 3 == 0 row -> no thresholds; the LEFT join
+    // must retain its docs with the documented conservative default
+    // (bucket='tail', keep=false), not drop the language
+    val scores = ((0 until 9).map(i =>
+        (i * 3L, "en", 10, (i + 1).toDouble / 10)) ++
+        Seq((1L, "fr", 10, 0.9), (2L, "fr", 10, 0.1)))
+      .toDF("doc_id", "lang", "n_tok", "lm_score")
+    val fr = NgramLm.tertileGate(scores)
+      .filter($"lang" === "fr")
+      .select($"doc_id", $"bucket", $"keep")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(fr == Seq((1L, "tail", false), (2L, "tail", false)), fr)
+  }
+
   test("boundary ties land on the non-head side of a strict >") {
     // all scores equal -> t1 = t2 = the value; nothing is > it ->
     // every doc is tail, keep = false (deterministic on any engine)
