@@ -160,7 +160,24 @@ object Explain {
         // is two codegen count expressions riding one spread scan
         // into a |lang|-row aggregate
         "qt43_ngram_lm_score", "qt44_lm_tertile_gate",
-        "qt45_tokenizer_fertility")
+        "qt45_tokenizer_fertility",
+        // round-17 additions: the release-with-quality composite
+        // must keep all THREE verdict subtrees doc-keyed (content,
+        // provenance, LM gate — no corpus-sized build side on any
+        // arm, the LM attach broadcast); DSIR scoring must be a pure
+        // codegen expression riding the corpus scan (plan-literal
+        // ratio LUT, no join) with the min/max normalizer a 1-row
+        // broadcast attach and ONE exploded count exchange in the
+        // fit
+        "qx13_release_with_quality", "qt47_dsir_resample")
+    // (qt46_trained_quality_classifier is deliberately absent for
+    // the qt39 reason: its body RUNS K gradient-aggregate rounds —
+    // a fit, not a lazy plan; the serving fold it ends in is the
+    // qt28 shape, whose plan IS watched, and ClassifierSpec pins
+    // the fold equivalence)
+    // (qst18_stream_dsir: stateless typed-map scoring inside a
+    // stream — absent for the qst17 reason; the mirror is pinned by
+    // the shared qt47 oracle and DsirSpec)
     // (qt39_bpe_train is deliberately absent: its body RUNS k
     // driver-argmax rounds — a fit, not a lazy plan; its shape is
     // documented on BpeTrain and pinned by BpeTrainSpec)

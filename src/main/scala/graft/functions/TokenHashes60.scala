@@ -40,6 +40,24 @@ case class TokenHashes60(child: Expression) extends UnaryExpression {
 
 object TokenHashes60 {
 
+  /** hash60 of ONE string against a caller-held digest — the scalar
+    * twin of [[compute]]'s inner loop (same md5-nibble walk,
+    * bit-identical), for stream-edge local scorers that mirror the
+    * column form ([[graft.text.Dsir.scoreLocal]]). The digest is a
+    * parameter so a per-document loop reuses one instance.
+    */
+  def hashOne(md: MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xF else d(i >> 1) & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   /** Called from generated code. */
   def compute(tokens: ArrayData): ArrayData = {
     val md = MessageDigest.getInstance("MD5")

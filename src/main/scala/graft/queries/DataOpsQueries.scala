@@ -368,6 +368,112 @@ object DataOpsQueries {
             CAST(n_tok AS DOUBLE) AS lm_score
         FROM lsv GROUP BY doc_id, lang, n_tok)"""
 
+  /** Unrolled-SQL oracle for qt46: replays [[graft.text.Classifier
+    * .trainQuality]]'s K=8 batch-gradient steps as a
+    * materialized-CTE chain (the qs11/qt39 unrolled-fit precedent) —
+    * per-step gradient sums as floor(g*2^32) BIGINTs (the
+    * order-independent fixed-point device), dense weight arrays
+    * rebuilt per step for the ordered margin fold (list_reduce ≡ the
+    * engine's 0.0-seeded aggregate in IEEE, the qt28 equivalence),
+    * Elliott probabilities 0.5 + 0.5*(m/(1+|m|)) (rational — exp()
+    * is barred by the measured libm/StrictMath divergence), and a
+    * CASE-guarded update so buckets outside a step's gradient stay
+    * bit-identical to the prior step. MATERIALIZED is load-bearing:
+    * DuckDB inlines plain CTEs and a chained per-step state would
+    * expand exponentially (the r15 BpeTrain lesson). Step 1 is
+    * special-cased to p = 0.5 exactly (all-zero weights), mirroring
+    * the engine's step-0 shortcut.
+    */
+  private lazy val qt46OracleSql: String = {
+    val dim = 4096
+    val steps = 8
+    val eta = "128.0"
+    val stop = "['the','a','of','and','to','is','in']"
+    val sb = new StringBuilder
+    sb.append(s"""WITH dl AS MATERIALIZED (SELECT doc_id,
+        CAST(CASE WHEN 50 * len(list_filter(toks, s2 -> list_contains($stop, s2))) >= 3 * len(toks)
+          THEN 1 ELSE 0 END AS INT) AS y,
+        CAST(len(toks) AS DOUBLE) AS n,
+        list_transform(toks, s2 -> CAST(('0x' || substr(md5('qc:' || s2), 1, 15))::BIGINT % $dim AS INT)) AS bs
+      FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents) q),
+      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
+      dom AS MATERIALIZED (SELECT unnest(generate_series(0, ${dim - 1})) AS b),
+      g1 AS MATERIALIZED (SELECT b,
+          SUM(CAST(floor((CAST(y AS DOUBLE) - 0.5) / n * 4294967296.0) AS BIGINT)) AS g
+        FROM (SELECT unnest(bs) AS b, y, n FROM dl) q GROUP BY b),
+      w1 AS MATERIALIZED (SELECT dom.b,
+          CASE WHEN g1.g IS NULL THEN 0.0
+            ELSE $eta * (CAST(g1.g AS DOUBLE) / 4294967296.0 / nn.nd) END AS w
+        FROM dom LEFT JOIN g1 ON g1.b = dom.b, nn),
+      a1 AS MATERIALIZED (SELECT list(w ORDER BY b) AS wa FROM w1)""")
+    for (i <- 2 to steps) {
+      val p = i - 1
+      sb.append(s""",
+      m$i AS MATERIALIZED (SELECT doc_id, y, n, bs,
+          list_reduce(list_transform(bs, b -> a$p.wa[b + 1]), (x, z) -> x + z) / n AS m
+        FROM dl, a$p),
+      g$i AS MATERIALIZED (SELECT b,
+          SUM(CAST(floor((CAST(y AS DOUBLE) - (0.5 + 0.5 * (m / (1.0 + abs(m))))) / n * 4294967296.0) AS BIGINT)) AS g
+        FROM (SELECT unnest(bs) AS b, y, n, m FROM m$i) q GROUP BY b),
+      w$i AS MATERIALIZED (SELECT w$p.b,
+          CASE WHEN g$i.g IS NULL THEN w$p.w
+            ELSE w$p.w + $eta * (CAST(g$i.g AS DOUBLE) / 4294967296.0 / nn.nd) END AS w
+        FROM w$p LEFT JOIN g$i ON g$i.b = w$p.b, nn),
+      a$i AS MATERIALIZED (SELECT list(w ORDER BY b) AS wa FROM w$i)""")
+    }
+    sb.append(s"""
+      SELECT doc_id, y AS label,
+        list_reduce(list_transform(bs, b -> a$steps.wa[b + 1]), (x, z) -> x + z) / n AS score,
+        (list_reduce(list_transform(bs, b -> a$steps.wa[b + 1]), (x, z) -> x + z) / n > 0.0) AS keep
+      FROM dl, a$steps ORDER BY doc_id""")
+    sb.toString
+  }
+
+  /** Closed-form oracle for qt47 (DSIR): bigram buckets from the
+    * shifted-index transform, both distributions' counts, the
+    * add-one-smoothed ratio rebuilt per bucket in the engine's exact
+    * division order, the fixed-point ratio mean, and the salted-hash
+    * draw against the min-max-normalized weight (with the degenerate
+    * max=min corpus keeping nothing — never a NaN compare).
+    */
+  private lazy val qt47OracleSql: String = {
+    val dim = 4096
+    val stop = "['the','a','of','and','to','is','in']"
+    s"""WITH dt AS MATERIALIZED (SELECT doc_id, toks,
+        (50 * len(list_filter(toks, s2 -> list_contains($stop, s2))) >= 3 * len(toks)) AS is_target,
+        CASE WHEN len(toks) < 2 THEN []
+          ELSE list_transform(generate_series(1, len(toks) - 1),
+            i -> CAST(('0x' || substr(md5('ds:' || toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT % $dim AS INT))
+        END AS bs
+      FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents) q),
+      ct AS MATERIALIZED (SELECT b, COUNT(*) AS c
+        FROM (SELECT unnest(bs) AS b FROM dt WHERE is_target) q GROUP BY b),
+      cr AS MATERIALIZED (SELECT b, COUNT(*) AS c
+        FROM (SELECT unnest(bs) AS b FROM dt) q GROUP BY b),
+      tot AS MATERIALIZED (SELECT
+          (SELECT CAST(SUM(len(bs)) AS BIGINT) FROM dt WHERE is_target) AS tt,
+          (SELECT CAST(SUM(len(bs)) AS BIGINT) FROM dt) AS tr),
+      lut AS MATERIALIZED (SELECT dom.b,
+          (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) / CAST(tot.tt + $dim AS DOUBLE)) /
+          (CAST(COALESCE(cr.c, 0) + 1 AS DOUBLE) / CAST(tot.tr + $dim AS DOUBLE)) AS r
+        FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS b) dom
+        LEFT JOIN ct ON ct.b = dom.b LEFT JOIN cr ON cr.b = dom.b, tot),
+      ra AS MATERIALIZED (SELECT list(r ORDER BY b) AS ra FROM lut),
+      wt AS MATERIALIZED (SELECT doc_id, is_target, len(bs) AS n_grams,
+          CASE WHEN len(bs) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(bs,
+                b -> CAST(floor(ra.ra[b + 1] * 4294967296.0) AS BIGINT))) AS DOUBLE)
+              / 4294967296.0 / CAST(len(bs) AS DOUBLE)
+          END AS weight
+        FROM dt, ra),
+      mx AS (SELECT MAX(weight) AS mw, MIN(weight) AS mn FROM wt)
+      SELECT wt.doc_id, wt.is_target, CAST(wt.n_grams AS INT) AS n_grams, wt.weight,
+        CASE WHEN mx.mw = mx.mn THEN FALSE
+          ELSE CAST(('0x' || substr(md5('dsir:' || CAST(wt.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS DOUBLE)
+            / 1048576.0 < (wt.weight - mx.mn) / (mx.mw - mx.mn) END AS keep
+      FROM wt, mx ORDER BY wt.doc_id"""
+  }
+
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
     * scheme/host case, userinfo, www, trailing host dots, https (:443
@@ -4264,6 +4370,84 @@ object DataOpsQueries {
         FROM fb JOIN bpe p ON p.doc_id = fb.doc_id
         GROUP BY fb.lang ORDER BY fb.lang""")),
 
+    // ---- Trained quality classifier (qt46): closes the quality
+    // stack's one "train it, don't import it" gap — qt28 serves a
+    // documented STUB weight vector through the hashed-linear
+    // inference shape; this row TRAINS the real vector in-engine
+    // (8 batch-gradient logistic-regression steps over hashed-BOW
+    // features, labels distilling the closed-form Gopher-ish
+    // stopword rule) and serves the corpus through the same fold.
+    // Each step is one map-side-combinable fixed-point gradient
+    // aggregate (exchange width ≤ distinct token buckets) + a
+    // dim-bounded driver update (the Ivf/Pq model-fit collect
+    // class); at 100 TB the prepared (y, buckets, n) projection is
+    // persisted once and each step is a slim scan — K passes is the
+    // textbook batch-GD cost, and the K=8 / eta=128 / dim=4096
+    // choice is MEASURED: training accuracy 0.928 (sf0.01) / 0.816
+    // (sf0.001) from the 0.48 all-zero baseline. The oracle replays
+    // all 8 steps as an unrolled materialized-CTE chain and matches
+    // bit-for-bit (Elliott sigmoid + power-of-two eta + fixed-point
+    // gradients — every op single-IEEE, nothing transcendental).
+    // ClassifierSpec pins the margin fold ≡ hashedClassifierScore,
+    // so the trained vector is drop-in for qt28's serving shape. ----
+    QueryDef("qt46_trained_quality_classifier",
+      (s, dir) => {
+        val prep = graft.text.Classifier.prepareQuality(
+            graft.ops.Partitioning.spread(t(s, dir, "documents")),
+            "text", "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val w = graft.text.Classifier.trainQuality(prep)
+        prep.select(col("doc_id"), col("y").as("label"),
+            graft.text.Classifier.margin(col("bs"), col("n"), w)
+              .as("score"))
+          .withColumn("keep", col("score") > lit(0.0))
+          .orderBy(col("doc_id"))
+      },
+      Some(qt46OracleSql)),
+
+    // ---- DSIR importance resampling (qt47): the published sampling
+    // layer between quality filtering and mixture targeting (Xie et
+    // al. 2023, arXiv:2302.03169) — qt22/qt34 decide how much of
+    // each SLICE to take, DSIR decides WHICH raw documents look most
+    // like the target. Target slice = the stopword-rule positives
+    // (qt46's label), features = salted hashed bigrams, per-doc
+    // importance = fixed-point MEAN of add-one-smoothed target/raw
+    // bucket ratios (the log-sum form is barred by the measured
+    // libm doctrine; the ratio mean is its monotone surrogate), and
+    // the resampling draw is a deterministic salted doc-id hash
+    // against the min-max-normalized weight — reproducible under any
+    // partitioning, which an RNG-stream draw is not. Plan shape: ONE
+    // exploded count aggregate fits both distributions (map-side
+    // combine, width ≤ dim), the ratio LUT rides the plan as a
+    // dim-sized literal (the Ivf centroidsLit class) so scoring is a
+    // pure codegen expression on the corpus scan, and the min/max
+    // normalizer is a 1-row broadcast attach — no corpus shuffle
+    // anywhere. Genuinely resamples at both SFs: keep-rate 0.60 on
+    // target-like docs vs 0.33-0.36 on the rest (~48% kept). ----
+    QueryDef("qt47_dsir_resample",
+      (s, dir) => {
+        val prep = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
+              graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
+            graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lut = graft.text.Dsir.fitRatioLut(prep, "is_target")
+        val wts = prep.select(col("doc_id"), col("is_target"),
+            size(col("bs")).cast("int").as("n_grams"),
+            graft.text.Dsir.importanceWeight(col("bs"), lut).as("weight"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val mm = wts.agg(max(col("weight")).as("mw"),
+          min(col("weight")).as("mn"))
+        wts.crossJoin(broadcast(mm))
+          .select(col("doc_id"), col("is_target"), col("n_grams"),
+            col("weight"),
+            graft.text.Dsir.keepByWeight(col("doc_id"), col("weight"),
+              col("mn"), col("mw")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(qt47OracleSql)),
+
     // ---- Streamed LM quality scoring (qst17): qt43 at the crawl
     // edge — documents ARRIVE as a stream and are scored against a
     // FROZEN Stupid Backoff model (trained in batch on the target
@@ -4299,6 +4483,45 @@ object DataOpsQueries {
       },
       Some(s"WITH $ngramLmCteSql\n" +
         "SELECT doc_id, lang, n_tok, lm_score FROM scs ORDER BY doc_id")),
+
+    // ---- Streamed DSIR resampling (qst18): qt47 at the crawl edge —
+    // documents ARRIVE as a stream and are verdicted against a FROZEN
+    // importance model (ratio LUT + min/max normalizers, fit in batch
+    // on the stored corpus — the model-fit collect class — and
+    // broadcast). Completely STATELESS, the qst17 shape: a typed map
+    // riding the stream, no shuffle, no state store, no watermark —
+    // ingest-time "does this crawl page look like the target?"
+    // gating. Dsir.scoreLocal carries the mirror contract (shared
+    // normLocal, scalar twin of the hash kernel, same fixed-point
+    // accumulate and draw), so the oracle is qt47's SQL verbatim —
+    // the strongest streaming≡batch pin available. ----
+    QueryDef("qst18_stream_dsir",
+      (s, dir) => {
+        import s.implicits._
+        val prep = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
+              graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
+            graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lut = graft.text.Dsir.fitRatioLut(prep, "is_target")
+        val mm = prep.select(
+            graft.text.Dsir.importanceWeight(col("bs"), lut).as("w"))
+          .agg(max(col("w")), min(col("w"))).head()
+        val (mx, mn) = (mm.getDouble(0), mm.getDouble(1))
+        val bcLut = s.sparkContext.broadcast(lut)
+        val streamed = replayTable(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val (isT, nG, w, keep) =
+              graft.text.Dsir.scoreLocal(id, text, bcLut.value, mn, mx)
+            (id, isT, nG, w, keep)
+          }
+          .toDF("doc_id", "is_target", "n_grams", "weight", "keep")
+        runAvailableNow(s, streamed).orderBy(col("doc_id"))
+      },
+      Some(qt47OracleSql)),
 
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —

@@ -255,19 +255,10 @@ object NgramLm {
   def scoreLocal(text: String, lang: String, m: LocalModel):
       Option[(Int, Double)] = {
     m.stats.get(lang).flatMap { case (nTot, vSz) =>
-      // mirror TextOps.norm EXACTLY, including operation ORDER:
-      // regexp_replace(\s+ -> ' ') innermost, then trim, then lower.
-      // Spark's trim strips ' ' only (UTF8String.trim), so strip
-      // spaces by hand rather than Java's <=0x20 trim; lower is
-      // ASCII-equal between UTF8String and Locale.ROOT (this corpus
-      // is ASCII — a non-ASCII deployment pins the locale the same
-      // way the ADC typed-map twins pin their fold order).
-      val collapsed = text.replaceAll("\\s+", " ")
-      var b = 0
-      var e = collapsed.length
-      while (b < e && collapsed.charAt(b) == ' ') b += 1
-      while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
-      val n = collapsed.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+      // TextOps.normLocal mirrors TextOps.norm exactly (operation
+      // order, trim semantics, locale) — the shared local-normalizer
+      // contract of every stream-edge scorer
+      val n = TextOps.normLocal(text)
       if (n.isEmpty) None
       else {
         val t = n.split(" ", -1)

@@ -39,6 +39,31 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(norm(text), " ")
 
+  /** Driver/executor-LOCAL mirror of [[norm]] for the stream-edge
+    * scorers (NgramLm.scoreLocal, Dsir.scoreLocal) — EXACT operation
+    * order: regexp_replace(\s+ -> ' ') innermost, then trim, then
+    * lower. Spark's trim strips ' ' only (UTF8String.trim), so strip
+    * spaces by hand rather than Java's <=0x20 trim; lower is
+    * ASCII-equal between UTF8String and Locale.ROOT on this corpus (a
+    * non-ASCII deployment pins the locale the same way the ADC
+    * typed-map twins pin their fold order).
+    */
+  def normLocal(text: String): String = {
+    val collapsed = text.replaceAll("\\s+", " ")
+    var b = 0
+    var e = collapsed.length
+    while (b < e && collapsed.charAt(b) == ' ') b += 1
+    while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+    collapsed.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Local mirror of [[tokens]]: split-on-space of [[normLocal]] with
+    * limit -1, so an empty norm yields the single empty token exactly
+    * as Spark's split does.
+    */
+  def tokensLocal(text: String): Array[String] =
+    normLocal(text).split(" ", -1)
+
   /** Portable 60-bit hash: first 15 hex digits of md5, as a positive
     * long. Identical in any engine with md5 (DuckDB:
     * `('0x' || substr(md5(x),1,15))::BIGINT`).

@@ -129,6 +129,33 @@ class PlanGuardSpec extends SparkTestBase {
     ).foreach { case (name, df) => assertNoQuadraticJoin(name, df) }
   }
 
+  test("model-literal scorers are map-only: no join, no exchange") {
+    // DSIR importance scoring and the trained-classifier margin carry
+    // their model as a plan-literal array (the Ivf centroidsLit
+    // class) — the whole point is that corpus scoring rides the scan
+    // with NO join and NO shuffle. A Join/Exchange node here means
+    // someone turned the LUT into a table. (qt47's 1-row min/max
+    // normalizer attach is the documented Bm25-class broadcast cross
+    // join and lives OUTSIDE these scoring subtrees.)
+    val lut = Array.fill(4096)(1.0)
+    Seq[(String, DataFrame)](
+      "dsirImportance" -> docs.select(
+        graft.text.Dsir.importanceWeight(
+          graft.text.Dsir.bigramBuckets(col("text")), lut)),
+      "classifierMargin" -> docs.select(
+        graft.text.Classifier.margin(
+          transform(graft.functions.TokenHashes60.token_hashes60(
+            graft.text.TextOps.tokens(col("text"))),
+            h => (h % 4096).cast("int")),
+          size(graft.text.TextOps.tokens(col("text"))), lut))
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      Seq("Join", "Exchange").foreach { bad =>
+        assert(!plan.contains(bad), s"$name plan contains $bad:\n$plan")
+      }
+    }
+  }
+
   test("serving ANN candidate joins stay cell equi-joins") {
     // the IVF family probes by CELL equi-join — a Cartesian/NLJ here
     // means the probe degraded to scoring every (query, vector) pair
