@@ -100,9 +100,12 @@ object TextOps {
   /** Deterministic stand-in weight vector for
     * [[hashedClassifierScore]] — w(b) = (b mod 997)/997 − 0.5,
     * engine-recomputable closed-form (the qt28 oracle derives the
-    * same values arithmetically). A production deployment replaces
-    * this with trained fasttext/logreg weights; the inference shape
-    * is identical.
+    * same values arithmetically). The TRAINED replacement exists:
+    * [[graft.text.Classifier.trainQuality]] fits real weights
+    * in-engine (qt46) and ClassifierSpec pins its margin fold
+    * bit-identical to this serving shape, so the swap is a literal
+    * array substitution; this stub stays as the closed-form fixture
+    * qt28's serving-shape oracle needs.
     */
   def stubQualityWeights(dim: Int = 4096): Array[Double] =
     Array.tabulate(dim)(b => (b % 997).toDouble / 997.0 - 0.5)
