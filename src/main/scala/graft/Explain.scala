@@ -178,6 +178,9 @@ object Explain {
     // (qst18_stream_dsir: stateless typed-map scoring inside a
     // stream — absent for the qst17 reason; the mirror is pinned by
     // the shared qt47 oracle and DsirSpec)
+    // (qst19_stream_quality_drift: a windowed streaming aggregate —
+    // absent for the qst16 reason; the drift arithmetic is pinned
+    // closed-form by its own oracle)
     // (qt39_bpe_train is deliberately absent: its body RUNS k
     // driver-argmax rounds — a fit, not a lazy plan; its shape is
     // documented on BpeTrain and pinned by BpeTrainSpec)

@@ -474,6 +474,54 @@ object DataOpsQueries {
       FROM wt, mx ORDER BY wt.doc_id"""
   }
 
+  /** Closed-form oracle for qst19 (streamed quality-drift monitor):
+    * the deployment-time reference histogram over the ORIGINAL corpus,
+    * the drift-dressed stream replay (window = doc_id % 4, the
+    * window-3 source change), both binned by the same fixed-edge rule,
+    * pivoted to per-window bin columns, and the triangular
+    * discrimination Σ (p−q)²/(p+q) written as an EXPLICIT
+    * left-associated 8-term sum (rational throughout — no
+    * transcendental; the term ORDER is part of the cross-engine
+    * contract, so it is spelled out rather than aggregated).
+    */
+  private lazy val qst19OracleSql: String = {
+    val scoreSql =
+      """list_reduce(list_transform(toks,
+        t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
+             / 997.0 - 0.5),
+        (x, y) -> x + y) / len(toks)"""
+    def binSql(scoreRef: String) =
+      s"LEAST(GREATEST(CAST(floor(($scoreRef + 0.25) / 0.0625) AS INT), 0), 7)"
+    val refCols = (0 until 8).map(k =>
+      s"SUM(CASE WHEN bin = $k THEN 1 ELSE 0 END) AS r$k").mkString(", ")
+    val winCols = (0 until 8).map(k =>
+      s"SUM(CASE WHEN bin = $k THEN 1 ELSE 0 END) AS c$k").mkString(", ")
+    val terms = (0 until 8).map { k =>
+      val p = s"CAST(wc.c$k AS DOUBLE) / CAST(wc.n AS DOUBLE)"
+      val q = s"CAST(rc.r$k AS DOUBLE) / CAST(rc.nr AS DOUBLE)"
+      s"CASE WHEN $p + $q > 0.0 THEN ($p - $q) * ($p - $q) / ($p + $q) ELSE 0.0 END"
+    }.mkString("\n        + ")
+    s"""WITH tx0 AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        FROM documents),
+      rb AS (SELECT ${binSql(s"($scoreSql)")} AS bin FROM tx0),
+      rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr, $refCols FROM rb),
+      d2 AS (SELECT doc_id,
+          text || CASE WHEN doc_id % 4 = 3
+            THEN ' zq zq zq zq zq zq zq zq' ELSE '' END AS text2
+        FROM documents),
+      tx AS (SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text2, '\\s+', ' ', 'g'))), ' ') AS toks
+        FROM d2),
+      sb AS (SELECT CAST(doc_id % 4 AS INT) AS window_id,
+          ${binSql(s"($scoreSql)")} AS bin FROM tx),
+      wc AS (SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n, $winCols
+        FROM sb GROUP BY window_id)
+      SELECT wc.window_id, CAST(wc.n AS INT) AS n_docs,
+        ($terms) AS drift,
+        (($terms) > 0.1) AS alert
+      FROM wc, rc ORDER BY wc.window_id"""
+  }
+
   /** Documents dressed up as a crawl-URL table: deterministic
     * id-derived URLs exercising every canonicalization rule — mixed
     * scheme/host case, userinfo, www, trailing host dots, https (:443
@@ -4522,6 +4570,86 @@ object DataOpsQueries {
         runAvailableNow(s, streamed).orderBy(col("doc_id"))
       },
       Some(qt47OracleSql)),
+
+    // ---- Streamed quality-drift monitor (qst19): the pipeline-OPS
+    // row every frozen scorer needs — once qt46/qt28-class weights are
+    // deployed at the ingest edge, the thing that silently breaks is
+    // the INPUT distribution (a crawl source changes, an upstream
+    // filter regresses), and score drift is the standard first alarm.
+    // Documents arrive in hourly ingest windows (window = doc_id % 4;
+    // window 3 carries a deterministic source change — the lmDocs
+    // zq-dressing device); each doc is scored by the FROZEN
+    // hashed-linear scorer (stateless, riding the stream), scores land
+    // in 8 fixed-edge bins, ONE windowed streaming aggregate pivots
+    // the histogram (state = windows × 9 longs — KB-sized at any
+    // corpus rate), and each flushed window's histogram is compared
+    // against the frozen DEPLOYMENT-TIME reference (an 8-double
+    // literal, the model-fit collect class) by triangular
+    // discrimination Σ (p−q)²/(p+q) — the rational member of the
+    // f-divergence family (KL/PSI need log, barred by the measured
+    // libm doctrine), written as an explicit left-associated 8-term
+    // sum so the fold order is part of the contract. Genuinely trips
+    // both ways at both SFs: clean windows D ≤ 0.031, the drifted
+    // window D ≈ 0.69/0.78 — alert = D > 0.1 fires on exactly one of
+    // four windows. ----
+    QueryDef("qst19_stream_quality_drift",
+      (s, dir) => {
+        import s.implicits._
+        def binOf(score: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          least(greatest(floor((score + lit(0.25)) / lit(0.0625))
+            .cast("int"), lit(0)), lit(7))
+        val stub = TextOps.stubQualityWeights()
+        // frozen deployment-time reference histogram (8 longs)
+        val refRows = t(s, dir, "documents")
+          .select(binOf(TextOps.hashedClassifierScore(col("text"), stub))
+            .as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("c")).collect()
+        val nRef = refRows.map(_.getLong(1)).sum
+        val qRef = Array.tabulate(8)(k =>
+          refRows.find(_.getInt(0) == k).map(_.getLong(1)).getOrElse(0L)
+            .toDouble / nRef.toDouble)
+        val sent = Seq(-1L).toDF("doc_id")
+          .select(col("doc_id"), lit("").as("text"),
+            timestamp_micros(lit(SentinelUs)).as("ts"))
+        withSentinelStream(s, sent,
+          "doc_id LONG, text STRING, ts TIMESTAMP") { sentArm =>
+          // 2024-01-01 00:00:00 UTC in epoch-µs; ingest hour = id % 4
+          val base = 1704067200000000L
+          val arr = replayTable(s, dir, "documents")
+            .select(col("doc_id"),
+              concat(col("text"), when(col("doc_id") % 4 === 3,
+                lit(" zq zq zq zq zq zq zq zq")).otherwise(lit("")))
+                .as("text"),
+              timestamp_micros(lit(base) +
+                (col("doc_id") % 4) * lit(3600000000L)).as("ts"))
+            .unionByName(sentArm)
+          val counts = arr.withWatermark("ts", "1 hour")
+            .select(col("ts"),
+              binOf(TextOps.hashedClassifierScore(col("text"), stub))
+                .as("bin"))
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"), (0 until 8).map(k =>
+              sum(when(col("bin") === k, 1L).otherwise(0L))
+                .as(s"c$k")): _*)
+          val flushed = runAvailableNow(s, counts)
+            .filter(year(col("window.start")) === 2024)
+          val n = col("n").cast("double")
+          val terms = (0 until 8).map { k =>
+            val p = col(s"c$k").cast("double") / n
+            val q = lit(qRef(k))
+            when(p + q > lit(0.0), (p - q) * (p - q) / (p + q))
+              .otherwise(lit(0.0))
+          }
+          val drift = terms.reduce(_ + _)
+          flushed.select(
+              hour(col("window.start")).cast("int").as("window_id"),
+              col("n").cast("int").as("n_docs"), drift.as("drift"),
+              (drift > lit(0.1)).as("alert"))
+            .orderBy(col("window_id"))
+        }
+      },
+      Some(qst19OracleSql)),
 
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —
