@@ -169,7 +169,13 @@ object Explain {
         // ratio LUT, no join) with the min/max normalizer a 1-row
         // broadcast attach and ONE exploded count exchange in the
         // fit
-        "qx13_release_with_quality", "qt47_dsir_resample")
+        "qx13_release_with_quality", "qt47_dsir_resample",
+        // the index-health audit must stay: assignment riding the
+        // scans (NearestCell codegen, centroid literals), ONE count
+        // exchange for both histograms, verdict a 1-row broadcast
+        // attach — a join or second exchange here means the
+        // occupancy fold degraded
+        "qs34_index_health_audit")
     // (qt46_trained_quality_classifier is deliberately absent for
     // the qt39 reason: its body RUNS K gradient-aggregate rounds —
     // a fit, not a lazy plan; the serving fold it ends in is the

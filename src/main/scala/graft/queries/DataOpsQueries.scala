@@ -3491,6 +3491,96 @@ object DataOpsQueries {
         FROM ex LEFT JOIN hit ON hit.query_id = ex.query_id
         ORDER BY ex.query_id""")),
 
+    // ---- IVF index-health audit + refit trigger (qs34): the serving
+    // lifecycle's missing ALARM. qs27 established that appends ride a
+    // FROZEN coarse quantizer — the production question that leaves
+    // open is WHEN the freeze must end: centroids fit on last
+    // quarter's distribution degrade silently as the corpus drifts
+    // (every ANN engine's retrain guidance is exactly this
+    // occupancy-skew check). One count aggregate over the (cell)
+    // projection computes BOTH the fit-time and post-append occupancy
+    // histograms (the fit rows ride with in_fit=1, the appended batch
+    // with 0 — one exchange, K rows out); the refit verdict is
+    // INTEGER arithmetic end to end: refit ⟺ 2·max·K ≥ 3·total
+    // (occupancy imbalance ≥ 1.5× the balanced share) — no float
+    // exists for two engines to disagree on. The fixture's batch
+    // arrives from a changed upstream encoder (deterministically
+    // pulled 90% toward centroid 0 — the lmDocs dressing device, in
+    // embedding space); the trigger genuinely trips both ways at
+    // both SFs: refit_at_fit FALSE (max 63-69 of 437 across 8
+    // cells), refit TRUE after the append (cell 0 grows 57→120 at
+    // sf0.01). 100 TB: occupancy is a K-row aggregate over a
+    // cell-projected scan, the verdict a 1-row broadcast attach —
+    // the audit costs one slim pass, which is the point: run it on
+    // every append. ----
+    QueryDef("qs34_index_health_audit",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val old = e.filter(col("vec_id") % 8 =!= 0)
+        val batch = e.filter(col("vec_id") % 8 === 0)
+        val cells = Ivf.fit(old, "vec_id", "embedding", k = 8, iters = 0)
+        val c0Lit = array(cells.centroids(0).map(lit): _*)
+        val dressed = batch.select(col("vec_id"),
+          zip_with(col("embedding"), c0Lit, (x, c) =>
+            (x.cast("double") * lit(0.1) + c * lit(0.9)).cast("float"))
+            .as("embedding"))
+        val occ = Ivf.assign(old, "vec_id", "embedding", cells)
+          .select(col("cell"), lit(1L).as("in_fit"))
+          .unionByName(Ivf.assign(dressed, "vec_id", "embedding", cells)
+            .select(col("cell"), lit(0L).as("in_fit")))
+          .groupBy(col("cell"))
+          .agg(sum(col("in_fit")).as("n_fit"), count(lit(1)).as("n_now"))
+        val tot = occ.agg(
+          max(col("n_fit")).as("mf"), sum(col("n_fit")).as("tf"),
+          max(col("n_now")).as("mn"), sum(col("n_now")).as("tn"))
+        occ.crossJoin(broadcast(tot))
+          .select(col("cell"),
+            col("n_fit").cast("int").as("n_fit"),
+            col("n_now").cast("int").as("n_now"),
+            (col("n_now") - col("n_fit")).cast("int").as("growth"),
+            (lit(2L) * col("mf") * lit(8L) >= lit(3L) * col("tf"))
+              .as("refit_at_fit"),
+            (lit(2L) * col("mn") * lit(8L) >= lit(3L) * col("tn"))
+              .as("refit"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 <> 0),
+        bat AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0),
+        seeds AS (SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM old ORDER BY vec_id LIMIT 8)),
+        czero AS (SELECT list_transform(ce, x -> CAST(x AS DOUBLE)) AS c0d
+          FROM seeds WHERE cell = 0),
+        batd AS (SELECT b.vec_id,
+            list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(CAST(b.embedding[i] AS DOUBLE) * 0.1 + czero.c0d[i] * 0.9 AS FLOAT)) AS embedding
+          FROM bat b, czero),
+        ao AS (SELECT vec_id, cell FROM (
+          SELECT o.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY o.vec_id
+            ORDER BY list_reduce(list_transform(range(1, len(o.embedding) + 1),
+              i -> (CAST(o.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                 * (CAST(o.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM old o CROSS JOIN seeds c) q WHERE rk = 1),
+        ab AS (SELECT vec_id, cell FROM (
+          SELECT b.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+            ORDER BY list_reduce(list_transform(range(1, len(b.embedding) + 1),
+              i -> (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                 * (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM batd b CROSS JOIN seeds c) q WHERE rk = 1),
+        occ AS (SELECT cell, CAST(SUM(in_fit) AS BIGINT) AS n_fit,
+            CAST(COUNT(*) AS BIGINT) AS n_now
+          FROM (SELECT cell, 1 AS in_fit FROM ao
+                UNION ALL SELECT cell, 0 FROM ab) u GROUP BY cell),
+        tot AS (SELECT MAX(n_fit) AS mf, CAST(SUM(n_fit) AS BIGINT) AS tf,
+            MAX(n_now) AS mn, CAST(SUM(n_now) AS BIGINT) AS tn FROM occ)
+        SELECT CAST(occ.cell AS INT) AS cell,
+          CAST(occ.n_fit AS INT) AS n_fit, CAST(occ.n_now AS INT) AS n_now,
+          CAST(occ.n_now - occ.n_fit AS INT) AS growth,
+          (2 * tot.mf * 8 >= 3 * tot.tf) AS refit_at_fit,
+          (2 * tot.mn * 8 >= 3 * tot.tn) AS refit
+        FROM occ, tot ORDER BY occ.cell""")),
+
     // ---- TOMBSTONE deletion at serve time (qs30): the story qs27's
     // append-only maintenance leaves open — released docs later
     // retracted (a 1-in-8 slice here) must never be served, and a
