@@ -4724,14 +4724,8 @@ object DataOpsQueries {
                 .as(s"c$k")): _*)
           val flushed = runAvailableNow(s, counts)
             .filter(year(col("window.start")) === 2024)
-          val n = col("n").cast("double")
-          val terms = (0 until 8).map { k =>
-            val p = col(s"c$k").cast("double") / n
-            val q = lit(qRef(k))
-            when(p + q > lit(0.0), (p - q) * (p - q) / (p + q))
-              .otherwise(lit(0.0))
-          }
-          val drift = terms.reduce(_ + _)
+          val drift = graft.ops.Drift.triangular(
+            (0 until 8).map(k => col(s"c$k")), col("n"), qRef)
           flushed.select(
               hour(col("window.start")).cast("int").as("window_id"),
               col("n").cast("int").as("n_docs"), drift.as("drift"),
