@@ -1412,6 +1412,47 @@ object DataOpsQueries {
         FROM documents d JOIN tg ON tg.lang = d.lang
         ORDER BY d.doc_id""")),
 
+    // ---- Temperature-scaled mixture (qt48): the α-sampling recipe of
+    // multilingual pretraining (Conneau & Lample 2019 §3.1; XLM-R,
+    // arXiv:1911.02116) — where qt22's shares are GIVEN (a data card),
+    // these are DERIVED from availability, w_g ∝ sqrt(n_g), flattening
+    // the natural distribution: the fixture's en (218 docs at sf0.01,
+    // 43.6% of the corpus) drops to a 30.6% share and subsamples to
+    // ~54% kept, while the binding SMALLEST language keeps in full —
+    // the published remedy for high-resource dominance. α is fixed at
+    // 1/2 because sqrt is the one power IEEE 754 requires correctly
+    // rounded (bit-equal Spark/DuckDB; general pow rides exp·log,
+    // barred by the libm doctrine), and the share denominator
+    // Σ sqrt(n_g) — a cross-row double sum — rides the fixed-point
+    // floor(·2^32) exact-long device. Downstream is qt22's proven
+    // binding-min/LEAST-clamp/salted-draw chain verbatim with the
+    // share table a broadcast attach instead of a literal; everything
+    // beyond the |strata|-row size aggregate is map-only. ----
+    QueryDef("qt48_temperature_mixture",
+      (s, dir) => graft.text.Mixture.temperatureMixtureKeep(
+          t(s, dir, "documents"), "doc_id", "lang")
+        .orderBy(col("doc_id")),
+      Some("""WITH sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS grp_n
+          FROM documents GROUP BY lang),
+        nm AS (SELECT lang, grp_n,
+            CAST(FLOOR(SQRT(CAST(grp_n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS num
+          FROM sz),
+        wt AS (SELECT CAST(SUM(num) AS BIGINT) AS wsum FROM nm),
+        sh AS (SELECT lang, grp_n,
+            CAST(num AS DOUBLE) / CAST(wsum AS DOUBLE) AS share
+          FROM nm CROSS JOIN wt),
+        tt AS (SELECT MIN(CAST(grp_n AS DOUBLE) / share) AS mix_total FROM sh),
+        tg AS (SELECT sh.lang, sh.grp_n, sh.share,
+            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+              CAST(sh.grp_n AS DOUBLE)) AS BIGINT) AS target_n
+          FROM sh CROSS JOIN tt)
+        SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n, tg.share,
+          CAST(tg.target_n AS INT) AS target_n,
+          ('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % tg.grp_n < tg.target_n AS keep
+        FROM documents d JOIN tg ON tg.lang = d.lang
+        ORDER BY d.doc_id""")),
+
     // ---- corpus RECIPE composite: the data-MIXING counterpart of
     // qx4's cleaning pipeline. Three independent per-doc verdicts —
     // dictionary quality (qt20's ratio >= 0.8), the per-language

@@ -33,6 +33,69 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** 2^32 — the fixed-point scale shared with [[NgramLm]]/[[Dsir]]. */
+  val FixedPoint = 4294967296.0
+
+  /** Temperature-scaled mixture — the α-sampling recipe of
+    * multilingual pretraining (Conneau & Lample 2019 §3.1, XLM-R
+    * arXiv:1911.02116 §5.1): instead of GIVEN target proportions
+    * ([[mixtureKeep]]'s data-card shape), shares are DERIVED from
+    * stratum availability as w_g ∝ n_g^α, flattening the natural
+    * distribution — high-resource strata stop dominating, low-resource
+    * strata are upweighted — with the binding-stratum/LEAST-clamp/
+    * salted-draw chain downstream verbatim.
+    *
+    * α is FIXED at 1/2: n^0.5 = sqrt(n) is the one member of the
+    * family IEEE 754 requires to be CORRECTLY ROUNDED — bit-identical
+    * between Spark (Math.sqrt) and DuckDB (libm sqrt) — while a
+    * general pow() rides exp·log, barred from oracled value paths by
+    * the measured libm/StrictMath divergence (SCALING.md log
+    * doctrine). A deployment wanting other α chains sqrt compositions
+    * (α = 1/4 = sqrt∘sqrt) or accepts its engine's pow.
+    *
+    * The share denominator Σ_g sqrt(n_g) is a cross-row DOUBLE sum —
+    * order-dependent in IEEE — so it rides the fixed-point device:
+    * num_g = floor(sqrt(n_g)·2^32) exact longs, W = Σ num_g (exact
+    * long sum), share_g = num_g/W (one IEEE division pair;
+    * quantization < 2^-32 of a share). Scale shape: the stratum-size
+    * aggregate is one partial-aggregated exchange of |strata| rows;
+    * numerators, W, and targets are all broadcast attaches; the keep
+    * verdict is the salted id-hash threshold — map-only, no RNG,
+    * reproducible under any partitioning.
+    *
+    * Output: (idCol, groupCol, grp_n, share, target_n, keep) — the
+    * derived share is emitted so a data card can record what α chose.
+    */
+  def temperatureMixtureKeep(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: String = "tmix"): DataFrame = {
+    val sizes = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("grp_n"))
+      .withColumn("num",
+        floor(sqrt(col("grp_n").cast("double")) * lit(FixedPoint))
+          .cast("long"))
+    val w = sizes.agg(sum(col("num")).as("wsum"))
+    val shares = sizes.crossJoin(broadcast(w))
+      .select(col(groupCol), col("grp_n"),
+        (col("num").cast("double") / col("wsum").cast("double"))
+          .as("share"))
+    val total = shares
+      .agg(min(col("grp_n").cast("double") / col("share")).as("mix_total"))
+    val targets = shares.crossJoin(broadcast(total))
+      .select(col(groupCol), col("grp_n"), col("share"),
+        least(floor(col("share") * col("mix_total")), col("grp_n"))
+          .as("target_n"))
+    docs.select(col(idCol), col(groupCol))
+      .join(broadcast(targets), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        col("grp_n").cast("int").as("grp_n"), col("share"),
+        col("target_n").cast("int").as("target_n"),
+        (TextOps.hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+          % col("grp_n") < col("target_n")).as("keep"))
+  }
+
   /** Per-document mixture-targeting verdict. Output:
     * (idCol, groupCol, grp_n, target_n, keep), one row per document
     * whose stratum appears in `shares`. `shares` must be positive and

@@ -60,6 +60,55 @@ class MixtureSpec extends SparkTestBase {
     assert(out.count() == 140)
   }
 
+  test("temperature shares flatten the natural distribution (α = 1/2)") {
+    val out = Mixture.temperatureMixtureKeep(docs, "doc_id", "grp")
+      .select($"grp", $"grp_n", $"share", $"target_n").distinct()
+      .as[(String, Int, Double, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.size == 3, "one share row per stratum")
+    // shares reproduce the documented arithmetic: fixed-point sqrt
+    // numerators over their exact long sum
+    val nums = Map("a" -> 100, "b" -> 40, "c" -> 10).map { case (g, n) =>
+      g -> math.floor(math.sqrt(n.toDouble) * 4294967296.0).toLong
+    }
+    val wsum = nums.values.sum
+    out.foreach { case (g, (_, share, _)) =>
+      assert(share == nums(g).toDouble / wsum.toDouble,
+        s"$g share $share != derived ${nums(g).toDouble / wsum.toDouble}")
+    }
+    // flattening: the big stratum's derived share sits strictly below
+    // its natural proportion, the small stratum's strictly above
+    assert(out("a")._2 < 100.0 / 150.0, s"a not flattened: ${out("a")}")
+    assert(out("c")._2 > 10.0 / 150.0, s"c not upweighted: ${out("c")}")
+    // binding stratum = argmin n_g/w_g = argmin sqrt(n_g) = c, kept
+    // in full — exactly (the LEAST clamp), not FP-probably
+    assert(out("c")._3 == out("c")._1,
+      s"binding stratum subsampled: ${out("c")}")
+    // everyone else genuinely subsamples on this skew
+    assert(out("a")._3 < out("a")._1, s"a not subsampled: ${out("a")}")
+    assert(out("b")._3 < out("b")._1, s"b not subsampled: ${out("b")}")
+  }
+
+  test("temperature keep draw is deterministic and target-shaped") {
+    val run1 = Mixture.temperatureMixtureKeep(docs, "doc_id", "grp")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val run2 = Mixture.temperatureMixtureKeep(
+        docs.repartition(7), "doc_id", "grp")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(run1 == run2, "keep verdicts must not depend on partitioning")
+    // achieved keeps track the targets within hash noise (4 sigma)
+    val tg = Mixture.temperatureMixtureKeep(docs, "doc_id", "grp")
+      .select($"grp", $"grp_n", $"target_n").distinct()
+      .as[(String, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val byGrp = docs.as[(Long, String)].collect().groupBy(_._2)
+    byGrp.foreach { case (g, rows) =>
+      val kept = rows.count(r => run1(r._1))
+      val sd = math.sqrt(tg(g)._1.toDouble) / 2 + 1
+      assert(math.abs(kept - tg(g)._2) <= 4 * sd,
+        s"$g kept $kept vs target ${tg(g)._2}")
+    }
+  }
+
   test("share validation rejects bad recipes") {
     intercept[IllegalArgumentException] {
       Mixture.mixtureKeep(docs, "doc_id", "grp", Seq("a" -> 0.5))
