@@ -57,11 +57,20 @@ object Mixture {
     * order-dependent in IEEE — so it rides the fixed-point device:
     * num_g = floor(sqrt(n_g)·2^32) exact longs, W = Σ num_g (exact
     * long sum), share_g = num_g/W (one IEEE division pair;
-    * quantization < 2^-32 of a share). Scale shape: the stratum-size
-    * aggregate is one partial-aggregated exchange of |strata| rows;
-    * numerators, W, and targets are all broadcast attaches; the keep
-    * verdict is the salted id-hash threshold — map-only, no RNG,
-    * reproducible under any partitioning.
+    * quantization < 2^-32 of a share).
+    *
+    * Scale shape: the corpus pays exactly ONE |strata|-row size
+    * aggregate, collected to the driver (the Ivf/Pq/Dsir model-fit
+    * collect class — the share/total/target arithmetic is
+    * stratum-table-sized, not corpus-sized), and the finished target
+    * table broadcast-attaches to the docs scan; the keep verdict is
+    * the salted id-hash threshold — map-only, no RNG, reproducible
+    * under any partitioning. (The first cut derived shares in-plan;
+    * its executed plan repeated the size-aggregate subtree under four
+    * consumers with no static exchange reuse — the fold to one
+    * aggregate + driver arithmetic is the measured fix, and every
+    * driver op mirrors the oracle: Math.sqrt is correctly rounded,
+    * the long sum exact, min over doubles order-independent.)
     *
     * Output: (idCol, groupCol, grp_n, share, target_n, keep) — the
     * derived share is emitted so a data card can record what α chose.
@@ -71,22 +80,27 @@ object Mixture {
       idCol: String,
       groupCol: String,
       salt: String = "tmix"): DataFrame = {
-    val sizes = docs.groupBy(col(groupCol))
+    val s = docs.sparkSession
+    import s.implicits._
+    val sizes: Array[(String, Long)] = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("grp_n"))
-      .withColumn("num",
-        floor(sqrt(col("grp_n").cast("double")) * lit(FixedPoint))
-          .cast("long"))
-    val w = sizes.agg(sum(col("num")).as("wsum"))
-    val shares = sizes.crossJoin(broadcast(w))
-      .select(col(groupCol), col("grp_n"),
-        (col("num").cast("double") / col("wsum").cast("double"))
-          .as("share"))
-    val total = shares
-      .agg(min(col("grp_n").cast("double") / col("share")).as("mix_total"))
-    val targets = shares.crossJoin(broadcast(total))
-      .select(col(groupCol), col("grp_n"), col("share"),
-        least(floor(col("share") * col("mix_total")), col("grp_n"))
-          .as("target_n"))
+      .select(col(groupCol).cast("string"), col("grp_n"))
+      .as[(String, Long)].collect()
+    require(sizes.nonEmpty, "no strata: empty input")
+    val nums = sizes.map { case (g, n) =>
+      (g, n, math.floor(math.sqrt(n.toDouble) * FixedPoint).toLong)
+    }
+    val wsum = nums.map(_._3).sum
+    val withShare = nums.map { case (g, n, num) =>
+      (g, n, num.toDouble / wsum.toDouble)
+    }
+    val mixTotal = withShare.map { case (_, n, share) =>
+      n.toDouble / share
+    }.min
+    val targets = withShare.map { case (g, n, share) =>
+      (g, n, share,
+        math.min(math.floor(share * mixTotal), n.toDouble).toLong)
+    }.toSeq.toDF(groupCol, "grp_n", "share", "target_n")
     docs.select(col(idCol), col(groupCol))
       .join(broadcast(targets), Seq(groupCol))
       .select(col(idCol), col(groupCol),
