@@ -474,6 +474,36 @@ object DataOpsQueries {
       FROM wt, mx ORDER BY wt.doc_id"""
   }
 
+  /** Closed-form oracle for qt48 (temperature-scaled mixture), shared
+    * verbatim by its crawl-edge stream twin qst20 — the strongest
+    * streaming≡batch pin available: same derived-share arithmetic
+    * (sqrt is correctly rounded in IEEE 754, so the oracle reproduces
+    * every share bit-for-bit; the Σ sqrt(n_g) denominator rides the
+    * fixed-point exact-long device), same LEAST-clamped targets, same
+    * salted-hash draw.
+    */
+  private lazy val qt48OracleSql: String =
+    """WITH sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS grp_n
+          FROM documents GROUP BY lang),
+        nm AS (SELECT lang, grp_n,
+            CAST(FLOOR(SQRT(CAST(grp_n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS num
+          FROM sz),
+        wt AS (SELECT CAST(SUM(num) AS BIGINT) AS wsum FROM nm),
+        sh AS (SELECT lang, grp_n,
+            CAST(num AS DOUBLE) / CAST(wsum AS DOUBLE) AS share
+          FROM nm CROSS JOIN wt),
+        tt AS (SELECT MIN(CAST(grp_n AS DOUBLE) / share) AS mix_total FROM sh),
+        tg AS (SELECT sh.lang, sh.grp_n, sh.share,
+            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+              CAST(sh.grp_n AS DOUBLE)) AS BIGINT) AS target_n
+          FROM sh CROSS JOIN tt)
+        SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n, tg.share,
+          CAST(tg.target_n AS INT) AS target_n,
+          ('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % tg.grp_n < tg.target_n AS keep
+        FROM documents d JOIN tg ON tg.lang = d.lang
+        ORDER BY d.doc_id"""
+
   /** Closed-form oracle for qst19 (streamed quality-drift monitor):
     * the deployment-time reference histogram over the ORIGINAL corpus,
     * the drift-dressed stream replay (window = doc_id % 4, the
@@ -1432,26 +1462,7 @@ object DataOpsQueries {
       (s, dir) => graft.text.Mixture.temperatureMixtureKeep(
           t(s, dir, "documents"), "doc_id", "lang")
         .orderBy(col("doc_id")),
-      Some("""WITH sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS grp_n
-          FROM documents GROUP BY lang),
-        nm AS (SELECT lang, grp_n,
-            CAST(FLOOR(SQRT(CAST(grp_n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS num
-          FROM sz),
-        wt AS (SELECT CAST(SUM(num) AS BIGINT) AS wsum FROM nm),
-        sh AS (SELECT lang, grp_n,
-            CAST(num AS DOUBLE) / CAST(wsum AS DOUBLE) AS share
-          FROM nm CROSS JOIN wt),
-        tt AS (SELECT MIN(CAST(grp_n AS DOUBLE) / share) AS mix_total FROM sh),
-        tg AS (SELECT sh.lang, sh.grp_n, sh.share,
-            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
-              CAST(sh.grp_n AS DOUBLE)) AS BIGINT) AS target_n
-          FROM sh CROSS JOIN tt)
-        SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n, tg.share,
-          CAST(tg.target_n AS INT) AS target_n,
-          ('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-            % tg.grp_n < tg.target_n AS keep
-        FROM documents d JOIN tg ON tg.lang = d.lang
-        ORDER BY d.doc_id""")),
+      Some(qt48OracleSql)),
 
     // ---- corpus RECIPE composite: the data-MIXING counterpart of
     // qx4's cleaning pipeline. Three independent per-doc verdicts —
@@ -4775,6 +4786,28 @@ object DataOpsQueries {
         }
       },
       Some(qst19OracleSql)),
+
+    // ---- Streamed mixture admission gate (qst20): qt48 at the crawl
+    // edge — the ingest-time "does this page fit the recipe?" verdict
+    // every mixture-targeted corpus build runs at admission rather
+    // than in a batch sweep. The α = 1/2 temperature target table is
+    // fit ONCE in batch on the stored corpus (Mixture
+    // .temperatureTargets — the |strata|-row model-fit collect class)
+    // and FROZEN; arriving documents verdict against it via a
+    // stream-static broadcast equi-join + the salted-hash keep —
+    // completely STATELESS (no state store, no watermark), and both
+    // halves of the verdict are Mixture.attachTargets, the SAME
+    // column expressions the batch row runs, so the oracle is qt48's
+    // SQL VERBATIM — the strongest streaming≡batch pin available. ----
+    QueryDef("qst20_stream_mixture_gate",
+      (s, dir) => {
+        val targets = graft.text.Mixture.temperatureTargets(
+          t(s, dir, "documents"), "lang")
+        val streamed = graft.text.Mixture.attachTargets(
+          replayTable(s, dir, "documents"), "doc_id", "lang", targets)
+        runAvailableNow(s, streamed).orderBy(col("doc_id"))
+      },
+      Some(qt48OracleSql)),
 
     // ---- DOCUMENT-lake incremental maintenance (ql7): qt31 produces
     // per-batch verdicts; this row FOLDS them into the stored corpus —

@@ -80,6 +80,21 @@ object Mixture {
       idCol: String,
       groupCol: String,
       salt: String = "tmix"): DataFrame = {
+    val targets = temperatureTargets(docs, groupCol)
+    attachTargets(docs, idCol, groupCol, targets, salt)
+  }
+
+  /** The frozen α = 1/2 target table: (stratum, grp_n, share,
+    * target_n), one row per stratum — [[temperatureMixtureKeep]]'s
+    * model-fit half, exposed so the crawl-edge stream twin can fit it
+    * once in batch and verdict arrivals against the FROZEN table (the
+    * qst17/qst18 frozen-model class). Every op mirrors the oracle:
+    * Math.sqrt is correctly rounded, the numerator sum an exact long,
+    * min over doubles order-independent, and the LEAST clamp the same
+    * floor/min pair.
+    */
+  def temperatureTargets(docs: DataFrame, groupCol: String)
+      : Seq[(String, Long, Double, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     val sizes: Array[(String, Long)] = docs.groupBy(col(groupCol))
@@ -97,12 +112,25 @@ object Mixture {
     val mixTotal = withShare.map { case (_, n, share) =>
       n.toDouble / share
     }.min
-    val targets = withShare.map { case (g, n, share) =>
+    withShare.map { case (g, n, share) =>
       (g, n, share,
         math.min(math.floor(share * mixTotal), n.toDouble).toLong)
-    }.toSeq.toDF(groupCol, "grp_n", "share", "target_n")
+    }.toSeq
+  }
+
+  /** The verdict half: broadcast-attach a (frozen) target table and
+    * emit the salted-hash keep — map-only, stateless, the same
+    * expression batch-side and stream-side (which is what lets the
+    * stream twin's oracle be the batch SQL verbatim).
+    */
+  def attachTargets(docs: DataFrame, idCol: String, groupCol: String,
+      targets: Seq[(String, Long, Double, Long)],
+      salt: String = "tmix"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tDf = targets.toDF(groupCol, "grp_n", "share", "target_n")
     docs.select(col(idCol), col(groupCol))
-      .join(broadcast(targets), Seq(groupCol))
+      .join(broadcast(tDf), Seq(groupCol))
       .select(col(idCol), col(groupCol),
         col("grp_n").cast("int").as("grp_n"), col("share"),
         col("target_n").cast("int").as("target_n"),
