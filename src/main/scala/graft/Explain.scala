@@ -175,7 +175,15 @@ object Explain {
         // exchange for both histograms, verdict a 1-row broadcast
         // attach — a join or second exchange here means the
         // occupancy fold degraded
-        "qs34_index_health_audit")
+        "qs34_index_health_audit",
+        // the temperature-mixture attach must stay ONE broadcast
+        // equi-join on the docs scan with the keep a codegen hash
+        // threshold — its first cut derived shares IN-PLAN and
+        // repeated the size-aggregate subtree under four consumers
+        // (BENCH_LOCAL r17: 0.96 → 0.73s after the fold to one
+        // aggregate + driver arithmetic); an Aggregate node beyond
+        // the single size fit means that regression crept back
+        "qt48_temperature_mixture")
     // (qt46_trained_quality_classifier is deliberately absent for
     // the qt39 reason: its body RUNS K gradient-aggregate rounds —
     // a fit, not a lazy plan; the serving fold it ends in is the
@@ -187,6 +195,10 @@ object Explain {
     // (qst19_stream_quality_drift: a windowed streaming aggregate —
     // absent for the qst16 reason; the drift arithmetic is pinned
     // closed-form by its own oracle)
+    // (qst20_stream_mixture_gate: a stream-static broadcast attach —
+    // absent for the qst17 reason; the attach IS qt48's watched
+    // plan (shared Mixture.attachTargets) and the mirror is pinned
+    // by the shared qt48 oracle)
     // (qt39_bpe_train is deliberately absent: its body RUNS k
     // driver-argmax rounds — a fit, not a lazy plan; its shape is
     // documented on BpeTrain and pinned by BpeTrainSpec)

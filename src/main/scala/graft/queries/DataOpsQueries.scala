@@ -494,8 +494,10 @@ object DataOpsQueries {
           FROM nm CROSS JOIN wt),
         tt AS (SELECT MIN(CAST(grp_n AS DOUBLE) / share) AS mix_total FROM sh),
         tg AS (SELECT sh.lang, sh.grp_n, sh.share,
-            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
-              CAST(sh.grp_n AS DOUBLE)) AS BIGINT) AS target_n
+            CASE WHEN CAST(sh.grp_n AS DOUBLE) / sh.share = tt.mix_total
+              THEN sh.grp_n
+              ELSE CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+                CAST(sh.grp_n AS DOUBLE)) AS BIGINT) END AS target_n
           FROM sh CROSS JOIN tt)
         SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n, tg.share,
           CAST(tg.target_n AS INT) AS target_n,
@@ -1432,8 +1434,10 @@ object DataOpsQueries {
         tt AS (SELECT MIN(CAST(sz.grp_n AS DOUBLE) / sh.share) AS mix_total
           FROM sz JOIN sh ON sh.lang = sz.lang),
         tg AS (SELECT sz.lang, sz.grp_n,
-            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
-              CAST(sz.grp_n AS DOUBLE)) AS BIGINT) AS target_n
+            CASE WHEN CAST(sz.grp_n AS DOUBLE) / sh.share = tt.mix_total
+              THEN sz.grp_n
+              ELSE CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+                CAST(sz.grp_n AS DOUBLE)) AS BIGINT) END AS target_n
           FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt)
         SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n,
           CAST(tg.target_n AS INT) AS target_n,
@@ -1519,8 +1523,10 @@ object DataOpsQueries {
         tt AS (SELECT MIN(CAST(sz.grp_n AS DOUBLE) / sh.share) AS mix_total
           FROM sz JOIN sh ON sh.lang = sz.lang),
         tg AS (SELECT sz.lang, sz.grp_n,
-            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
-              CAST(sz.grp_n AS DOUBLE)) AS BIGINT) AS target_n
+            CASE WHEN CAST(sz.grp_n AS DOUBLE) / sh.share = tt.mix_total
+              THEN sz.grp_n
+              ELSE CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+                CAST(sz.grp_n AS DOUBLE)) AS BIGINT) END AS target_n
           FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt),
         m AS (SELECT d2.doc_id,
             ('0x' || substr(md5('mix:' || CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -4078,8 +4084,10 @@ object DataOpsQueries {
         tt AS (SELECT MIN(CAST(sz.grp_tok AS DOUBLE) / sh.share) AS mix_total
           FROM sz JOIN sh ON sh.lang = sz.lang),
         tg AS (SELECT sz.lang, sz.grp_tok,
-            CAST(LEAST(FLOOR(sh.share * tt.mix_total),
-              CAST(sz.grp_tok AS DOUBLE)) AS BIGINT) AS target_tok
+            CASE WHEN CAST(sz.grp_tok AS DOUBLE) / sh.share = tt.mix_total
+              THEN sz.grp_tok
+              ELSE CAST(LEAST(FLOOR(sh.share * tt.mix_total),
+                CAST(sz.grp_tok AS DOUBLE)) AS BIGINT) END AS target_tok
           FROM sz JOIN sh ON sh.lang = sz.lang CROSS JOIN tt),
         c AS (SELECT b2.*, SUM(n_tok) OVER (PARTITION BY b2.lang, b2.shard
             ORDER BY h, doc_id

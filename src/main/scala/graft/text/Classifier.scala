@@ -45,8 +45,8 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** 2^32 — the fixed-point scale shared with [[NgramLm]]. */
-  val FixedPoint = 4294967296.0
+  /** The engine-wide fixed-point scale ([[TextOps.FixedPoint]]). */
+  val FixedPoint: Double = TextOps.FixedPoint
 
   /** Rational (Elliott 1993, "fast sigmoid") S-curve
     * 0.5·(1 + m/(1+|m|)): same range/monotonicity as the logistic,
@@ -112,9 +112,10 @@ object Classifier {
     */
   def trainQuality(prepared: DataFrame, dim: Int = 4096,
       eta: Double = 128.0, steps: Int = 8): Array[Double] = {
-    require(eta > 0 &&
+    require(eta > 0 && java.lang.Double.isFinite(eta) &&
       (java.lang.Double.doubleToLongBits(eta) & 0xfffffffffffffL) == 0L,
-      s"eta must be a power of two for an exact weight update, got $eta")
+      s"eta must be a finite power of two for an exact weight update, " +
+        s"got $eta")
     val nDocs = prepared.count().toDouble
     val w = Array.fill(dim)(0.0)
     var step = 0

@@ -43,8 +43,8 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** 2^32 — the fixed-point scale shared with [[NgramLm]]. */
-  val FixedPoint = 4294967296.0
+  /** The engine-wide fixed-point scale ([[TextOps.FixedPoint]]). */
+  val FixedPoint: Double = TextOps.FixedPoint
 
   /** Salted hashed-bigram bucket array of the normalized token
     * stream (DSIR's features are hashed n-grams; bigrams carry the
@@ -99,6 +99,20 @@ object Dsir {
     counts.foreach { r =>
       lut(r.getInt(0)) = ratio(r.getLong(2), r.getLong(1))
     }
+    // Overflow guard on the fixed-point accumulate: each per-gram term
+    // is floor(r·2^32) and a doc contributes up to its gram count of
+    // them, so r < 2^12 keeps the exact-long sum safe through 2^19
+    // grams per document (2^12·2^32·2^19 = 2^63). A ratio beyond that
+    // means the target slice is >4096× rarer than the raw corpus at
+    // some bucket — no usable resampling signal, and silently wrapping
+    // the Long (Spark saturates, DuckDB raises) would diverge the
+    // engines; fail LOUDLY at fit time instead.
+    val rMax = lut.max
+    require(rMax < 4096.0,
+      f"ratio LUT max $rMax%.1f >= 2^12: floor(r*2^32) would risk Long " +
+        "overflow in the per-doc accumulate. The target slice is too " +
+        "rare relative to the corpus for a usable importance signal - " +
+        "widen the target definition or train on a target-enriched slice.")
     lut
   }
 

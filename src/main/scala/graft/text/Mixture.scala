@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * corpus that honors the proportions without oversampling any
   * stratum, and keep each document accordingly. The binding stratum
   * (the one whose availability runs out first: min over g of
-  * n_g / w_g) is kept in full — guaranteed exactly, via a LEAST clamp
-  * of the target against n_g (double arithmetic alone can round
-  * share·(n/share) a hair below n); every other stratum subsamples
+  * n_g / w_g) is kept in full — guaranteed exactly, via an explicit
+  * cap-equality branch plus a LEAST clamp (double arithmetic alone
+  * rounds share·(n/share) below n on a measured ~5% of (n, share)
+  * pairs, and above it on others); every other stratum subsamples
   * down to its proportional target floor(w_g · T).
   *
   * Scale shape (the point at 100 TB): stratum sizes are one partial-
@@ -33,8 +34,8 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** 2^32 — the fixed-point scale shared with [[NgramLm]]/[[Dsir]]. */
-  val FixedPoint = 4294967296.0
+  /** The engine-wide fixed-point scale ([[TextOps.FixedPoint]]). */
+  val FixedPoint: Double = TextOps.FixedPoint
 
   /** Temperature-scaled mixture — the α-sampling recipe of
     * multilingual pretraining (Conneau & Lample 2019 §3.1, XLM-R
@@ -113,8 +114,17 @@ object Mixture {
       n.toDouble / share
     }.min
     withShare.map { case (g, n, share) =>
-      (g, n, share,
-        math.min(math.floor(share * mixTotal), n.toDouble).toLong)
+      // Binding stratum kept in full BY CONSTRUCTION, not FP-probably:
+      // floor(share·(n/share)) rounds DOWN to n−1 on ~5% of (n, share)
+      // pairs (measured), and the LEAST clamp only repairs upward
+      // rounding — so the argmin stratum (cap == the min) is branched
+      // to n explicitly. The cap equality is one IEEE division per
+      // side, identical in any engine, so the oracle mirrors the
+      // branch with the same CASE.
+      val target =
+        if (n.toDouble / share == mixTotal) n
+        else math.min(math.floor(share * mixTotal), n.toDouble).toLong
+      (g, n, share, target)
     }.toSeq
   }
 
@@ -164,15 +174,21 @@ object Mixture {
     // binding total: the largest T with floor(w_g * T) <= n_g for all g
     val total = sizes.join(shareDf, groupCol)
       .agg(min(col("grp_n").cast("double") / col("share")).as("mix_total"))
-    // LEAST-clamp: mathematically floor(w_g·T) <= n_g for all g, but in
-    // double arithmetic share*(n/share) can round just below n, which
-    // would subsample one document from the binding stratum — the clamp
-    // makes the "binding stratum kept in full" invariant exact, not
-    // merely FP-probable.
+    // Binding-stratum exactness: mathematically floor(w_g·T) <= n_g
+    // for all g with equality at the binding stratum, but in double
+    // arithmetic share*(n/share) rounds BELOW n on ~5% of (n, share)
+    // pairs (measured) — which would subsample one document from the
+    // binding stratum. The LEAST clamp repairs upward rounding; the
+    // explicit cap-equality CASE (one IEEE division per side,
+    // engine-identical) repairs downward rounding, making "binding
+    // stratum kept in full" exact BY CONSTRUCTION.
     val targets = sizes.join(shareDf, groupCol)
       .crossJoin(broadcast(total))
       .select(col(groupCol), col("grp_n"),
-        least(floor(col("share") * col("mix_total")), col("grp_n"))
+        when(col("grp_n").cast("double") / col("share") ===
+            col("mix_total"), col("grp_n"))
+          .otherwise(
+            least(floor(col("share") * col("mix_total")), col("grp_n")))
           .as("target_n"))
     docs.select(col(idCol), col(groupCol))
       .join(broadcast(targets), Seq(groupCol))
@@ -250,10 +266,16 @@ object Mixture {
         coalesce(col("grp_tok"), lit(0L)).as("grp_tok"))
     val total = sizes
       .agg(min(col("grp_tok").cast("double") / col("share")).as("mix_total"))
+    // same binding-stratum CASE as the count form: floor(w·(tok/w))
+    // can round below tok_g, and the budget of the binding stratum
+    // must be exactly its availability
     val targets = sizes
       .crossJoin(broadcast(total))
       .select(col(groupCol), col("grp_tok"),
-        least(floor(col("share") * col("mix_total")), col("grp_tok"))
+        when(col("grp_tok").cast("double") / col("share") ===
+            col("mix_total"), col("grp_tok"))
+          .otherwise(
+            least(floor(col("share") * col("mix_total")), col("grp_tok")))
           .as("target_tok"))
     val w = Window.partitionBy(col(groupCol), col("shard"))
       .orderBy(col("h"), col(idCol))

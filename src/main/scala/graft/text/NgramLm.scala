@@ -194,9 +194,9 @@ object NgramLm {
     // ~2^31 tokens per doc), summed with full map-side combine
     scored
       .groupBy(col("doc_id"), col("lang"), col("n_tok"))
-      .agg(sum(floor(col("s") * lit(4294967296.0))).as("s_fp"))
+      .agg(sum(floor(col("s") * lit(TextOps.FixedPoint))).as("s_fp"))
       .select(col("doc_id"), col("lang"), col("n_tok").cast("int").as("n_tok"),
-        ((col("s_fp").cast("double") / lit(4294967296.0)) /
+        ((col("s_fp").cast("double") / lit(TextOps.FixedPoint)) /
           col("n_tok").cast("double")).as("lm_score"))
   }
 
@@ -277,11 +277,11 @@ object NgramLm {
             } else if (i == 1) {
               m.bi.get((lang, gk(t(0), t(1)))).getOrElse(Alpha * s1(t(1)))
             } else s1(t(0))
-          acc += math.floor(s * 4294967296.0).toLong
+          acc += math.floor(s * TextOps.FixedPoint).toLong
           i += 1
         }
         Some((t.length,
-          acc.toDouble / 4294967296.0 / t.length.toDouble))
+          acc.toDouble / TextOps.FixedPoint / t.length.toDouble))
       }
     }
   }

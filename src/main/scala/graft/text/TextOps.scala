@@ -64,6 +64,16 @@ object TextOps {
   def tokensLocal(text: String): Array[String] =
     normLocal(text).split(" ", -1)
 
+  /** 2^32 — THE fixed-point scale of every cross-engine exact-sum
+    * device in the engine (NgramLm score means, Classifier gradients,
+    * Dsir ratio means, Mixture temperature numerators): cross-row or
+    * cross-element DOUBLE sums are order-dependent in IEEE, so each
+    * term is quantized to floor(x·2^32) and summed as exact longs.
+    * One constant, one value — the 4294967296.0 literals inside the
+    * DuckDB oracle SQL strings mirror it and must never drift.
+    */
+  val FixedPoint = 4294967296.0
+
   /** Portable 60-bit hash: first 15 hex digits of md5, as a positive
     * long. Identical in any engine with md5 (DuckDB:
     * `('0x' || substr(md5(x),1,15))::BIGINT`).

@@ -1,21 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
 
 /** Pins [[Drift.triangular]]'s arithmetic on hand-computable
   * histograms: the exact term values and fold order, the both-zero
   * bin, the identical-distribution zero, the disjoint-support bound
   * of 2, and the arity guard.
   */
-class DriftSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class DriftSpec extends SparkTestBase {
 
   import spark.implicits._
 

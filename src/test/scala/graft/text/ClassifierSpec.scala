@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
 
 /** Pins [[Classifier]]'s trained-logistic-regression semantics: the
   * exact first-step weight update on a hand-computable corpus, the
@@ -10,13 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * qt28's [[TextOps.hashedClassifierScore]], genuine learning on a
   * separable corpus, and the power-of-two eta guard.
   */
-class ClassifierSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class ClassifierSpec extends SparkTestBase {
 
   import spark.implicits._
 

@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
 
 /** Pins [[Dsir]]'s importance-resampling semantics: the smoothed
   * ratio LUT on a hand-computable corpus, target-like docs weighing
@@ -10,13 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * degenerate-corpus (max=min) keep-nothing guard, and determinism of
   * the salted draw under repartitioning.
   */
-class DsirSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class DsirSpec extends SparkTestBase {
 
   import spark.implicits._
 

@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
 
 /** Randomized (seeded, reproducible) stream≡batch mirror pins: the
   * local stream-edge scorers must equal their distributed column
@@ -12,13 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * collide under a broken gram key ("a"/"bc" vs "ab"/"c"). A fixture
   * oracle can pass by luck; 200 random documents per property cannot.
   */
-class MirrorPropertySpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class MirrorPropertySpec extends SparkTestBase {
 
   import spark.implicits._
 
@@ -37,8 +31,10 @@ class MirrorPropertySpec extends AnyFunSuite {
         else {
           val k = 1 + rnd.nextInt(12)
           val words = Seq.fill(k)(Vocab(rnd.nextInt(Vocab.length)))
-          val lead = if (rnd.nextBoolean()) " " else ""
-          words.mkString(Seps(rnd.nextInt(Seps.length))) + lead
+          // exercise BOTH trim arms of normLocal on non-empty docs
+          val lead = if (rnd.nextBoolean()) " \t" else ""
+          val trail = if (rnd.nextBoolean()) " " else ""
+          lead + words.mkString(Seps(rnd.nextInt(Seps.length))) + trail
         }
       (i.toLong, text)
     }

@@ -109,6 +109,30 @@ class MixtureSpec extends SparkTestBase {
     }
   }
 
+  test("binding stratum survives DOWNWARD FP rounding (tripping fixtures)") {
+    // floor(share·(n/share)) rounds to n−1 on these pairs (found by
+    // search — ~5% of random (n, share) pairs trip); the LEAST clamp
+    // only repairs UPWARD rounding, so without the explicit
+    // cap-equality branch the binding stratum loses a document.
+    // Count form: strata (a=12, b=7), shares = natural proportions as
+    // doubles — binding is b and floor(w_b·cap) = 6, not 7.
+    val d2 = ((1 to 12).map(i => (i.toLong, "a")) ++
+      (13 to 19).map(i => (i.toLong, "b"))).toDF("doc_id", "grp")
+    val wa = 12.0 / 19.0
+    val out = Mixture.mixtureKeep(d2, "doc_id", "grp",
+        Seq("a" -> wa, "b" -> (1.0 - wa)))
+      .select($"grp", $"grp_n", $"target_n").distinct()
+      .as[(String, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("b")._2 == out("b")._1, s"binding b subsampled: ${out("b")}")
+    // Temperature form: sizes (a=2, b=10) — binding is a (smallest
+    // sqrt) and floor(share_a·cap) = 1, not 2, before the branch.
+    val d3 = ((1 to 2).map(i => (i.toLong, "a")) ++
+      (3 to 12).map(i => (i.toLong, "b"))).toDF("doc_id", "grp")
+    val tg = Mixture.temperatureTargets(d3, "grp")
+      .map(t => t._1 -> (t._2, t._4)).toMap
+    assert(tg("a")._2 == tg("a")._1, s"binding a subsampled: ${tg("a")}")
+  }
+
   test("share validation rejects bad recipes") {
     intercept[IllegalArgumentException] {
       Mixture.mixtureKeep(docs, "doc_id", "grp", Seq("a" -> 0.5))
