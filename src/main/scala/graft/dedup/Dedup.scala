@@ -44,6 +44,15 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(byHash))
   }
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Distinct sorted token array — the "bag of unique words" signature. */
   def tokenSet(textCol: Column): Column =
     array_sort(array_distinct(TextOps.tokens(textCol)))
@@ -51,6 +60,15 @@ object Dedup {
   /** Token-set duplicate groups (docs that are permutations/repetitions
     * of the same vocabulary): groups of size >= 2 with canonical id and
     * sorted member list.
+    *
+    * Scale note: `member_ids` is AUDIT output — the one unbounded
+    * per-group aggregate in this file (a boilerplate template
+    * duplicated millions of times puts every member in one
+    * collect_list buffer, the hot-clique shape [[capBuckets]] guards
+    * elsewhere). The verdict fields (n_docs, canonical_id) are plain
+    * partial-aggregable min/count; a lake-scale caller keeps those and
+    * takes membership as rows by joining set_sig back — drop the list,
+    * not the operator.
     */
   def tokenSetGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol),
@@ -385,6 +403,17 @@ object Dedup {
     // lineage (localCheckpoint() / a lake read): skip the internal
     // checkpoint so a pipeline sharing the pair list across consumers
     // pays pair generation exactly once (the qx3 curation shape).
+    // Ids must already be integral: a silent cast("long") would ANSI-
+    // error mid-contraction on string ids (or null every edge with
+    // ANSI off) — fail at plan-build with the remediation instead.
+    // String-keyed corpora (UUIDs, URLs) hash to a long key first
+    // (TextOps.hash60) and keep a (hash -> id) side table.
+    Seq(idACol, idBCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(isIntegral(dt),
+        s"dupClusters needs integral ids, got $c: ${dt.simpleString} - " +
+          "hash string ids to a long key (TextOps.hash60) first")
+    }
     val p0 = pairs
       .select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
@@ -511,12 +540,19 @@ object Dedup {
         (col("node") === col("label")).as("is_canonical"))
   }
 
-  /** Word n-grams (default bigrams) of the normalized text, distinct. */
+  /** Word n-grams (default bigrams) of the normalized text, distinct.
+    * Documents with fewer than `n` tokens yield an empty array — the
+    * [[graft.functions.WordNgramHashes]] contract; without the guard,
+    * `sequence(1, size-(n-1))` DESCENDS for short docs (Spark's
+    * sequence(1, 0) is [1, 0]) and element_at trips the ANSI
+    * invalid-index error on the very first sub-n document.
+    */
   def wordNgrams(text: Column, n: Int = 2): Column =
     TextOps.bindOnce(TextOps.tokens(text)) { toks =>
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
     }
 
   /** n-gram Jaccard near-dup pairs with PPJoin-style prefix + positional
@@ -541,6 +577,14 @@ object Dedup {
     * [[capBuckets]] — here the cap drops postings whose document
     * frequency exceeds it from the prefix index (positions preserved,
     * so the positional bound stays valid on the survivors).
+    *
+    * The default `broadcastDocFreq = true` route is EAGER at plan
+    * construction (it collects the (gram → df) vocabulary to the
+    * driver and broadcasts it — the model-fit collect class, same as
+    * contaminatedBloom's filter build) and typed on LONG doc ids; the
+    * `false` (lake) route is fully lazy and id-type-agnostic. Both
+    * produce the same rows — the require below makes the id contract
+    * loud instead of an upcast AnalysisException mid-plan.
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -548,6 +592,10 @@ object Dedup {
       broadcastSets: Boolean = true,
       broadcastDocFreq: Boolean = true,
       maxBucket: Int = 0): DataFrame = {
+    require(!broadcastDocFreq || isIntegral(docs.schema(idCol).dataType),
+      s"ngramJaccardPairs(broadcastDocFreq = true) needs an integral id, " +
+        s"got $idCol: ${docs.schema(idCol).dataType.simpleString} - " +
+        "use broadcastDocFreq = false (the lake route) for string ids")
     val grams = spread(docs).select(col(idCol).as("doc"),
       graft.functions.WordNgramHashes
         .word_ngram_hashes(col(textCol), n).as("gh")).persist(StorageLevel.MEMORY_AND_DISK)

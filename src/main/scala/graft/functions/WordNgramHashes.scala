@@ -72,11 +72,28 @@ case class WordNgramHashesPos(child: Expression, n: Int)
 
 object WordNgramHashes {
 
+  /** The norm mirror — collapse, SPACE-ONLY trim, UTF8String
+    * lowercase, in TextOps.norm's operation order. Java's
+    * `String.trim` is the wrong trim here: it strips every char
+    * <= 0x20, while Spark's `trim` (and DuckDB's) strips ' ' alone —
+    * a text with a leading control byte (U+0001 survives the \s+
+    * collapse: it is not \s) would tokenize one element SHORTER than
+    * the TextOps.tokens array the excision operators index, silently
+    * shifting every gram position by one (the NgramLm gram-key lesson,
+    * found again one layer down).
+    */
+  private def normalize(text: UTF8String): String = {
+    val collapsed = text.toString.replaceAll("\\s+", " ")
+    var b = 0
+    var e = collapsed.length
+    while (b < e && collapsed.charAt(b) == ' ') b += 1
+    while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+    UTF8String.fromString(collapsed.substring(b, e)).toLowerCase.toString
+  }
+
   /** Called from generated code: positional (all grams, in order). */
   def computePos(text: UTF8String, n: Int): ArrayData = {
-    val normed = UTF8String
-      .fromString(text.toString.replaceAll("\\s+", " ").trim)
-      .toLowerCase.toString
+    val normed = normalize(text)
     if (normed.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val toks = normed.split(' ')
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
@@ -112,11 +129,7 @@ object WordNgramHashes {
 
   /** Called from generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    // norm: \s+ -> " ", trim, lowercase — same operator order as
-    // TextOps.norm; lowercase via UTF8String to match Spark's Lower.
-    val normed = UTF8String
-      .fromString(text.toString.replaceAll("\\s+", " ").trim)
-      .toLowerCase.toString
+    val normed = normalize(text)
     if (normed.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val toks = normed.split(' ')
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)

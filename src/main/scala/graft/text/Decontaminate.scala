@@ -393,17 +393,35 @@ object Decontaminate {
       .groupBy(col("span_id"))
       .agg(count(lit(1)).cast("int").as("n_spans"),
         collect_list(struct(col("s"), col("e"))).as("__spans"))
-    val toks = TextOps.tokens(col(textCol))
-    // null span array = clean doc: keep all tokens (avoids conjuring a
-    // typed empty array); membership test is 0-based, matching tpos
-    val kept = when(col("__spans").isNull, toks).otherwise(
-      filter(toks, (_, i) => !exists(col("__spans"),
-        r => i >= r.getField("s") && i < r.getField("e"))))
+    // The tokenize chain and the lambda filter feed THREE output
+    // columns, and codegen subexpression elimination skips
+    // lambda-bearing trees — naively projecting n_tok / n_excised /
+    // redacted_text re-runs the regex normalize+split ~4x and the
+    // span-membership scan 2x per corpus row (the interpreted-HOF
+    // re-evaluation class bindOnce exists for). So both are bound ONCE
+    // per row (nested bindOnce) into a single struct, split in a
+    // SECOND projection; CollapseProject keeps the split because
+    // inlining would duplicate a non-cheap multi-referenced expression
+    // (verified in the executed plan: one regexp_replace per arm).
+    val stats = TextOps.bindOnce(TextOps.tokens(col(textCol))) { tk =>
+      // null span array = clean doc: keep all tokens (avoids conjuring
+      // a typed empty array); membership test is 0-based, matching tpos
+      val keptArr = when(col("__spans").isNull, tk).otherwise(
+        filter(tk, (_, i) => !exists(col("__spans"),
+          r => i >= r.getField("s") && i < r.getField("e"))))
+      TextOps.bindOnce(keptArr) { kp =>
+        struct(size(tk).as("n_tok"),
+          (size(tk) - size(kp)).as("n_excised"),
+          concat_ws(" ", kp).as("redacted_text"))
+      }
+    }
     docs.join(spansAgg, col(idCol) === col("span_id"), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0)).as("n_spans"),
-        size(toks).as("n_tok"),
-        (size(toks) - size(kept)).as("n_excised"),
-        concat_ws(" ", kept).as("redacted_text"))
+        stats.as("__st"))
+      .select(col(idCol), col("n_spans"),
+        col("__st.n_tok").as("n_tok"),
+        col("__st.n_excised").as("n_excised"),
+        col("__st.redacted_text").as("redacted_text"))
   }
 }
