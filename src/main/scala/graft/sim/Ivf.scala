@@ -361,16 +361,22 @@ object Ivf {
       // row out: a deterministic filter would be pushed below the
       // EventTimeWatermark node, silently dropping a zero-vector
       // sentinel before its timestamp ever advances the watermark
-      // (measured: no window ever flushed). Null-scored rows land in
-      // the sentinel's own never-flushed window; state stays bounded.
+      // (measured: no window ever flushed). In the replay harness the
+      // null-scored rows land in the sentinel's own never-flushed
+      // window; in a CONTINUOUS deployment that window can flush once
+      // later queries advance the watermark — so null-cosine
+      // candidates are additionally excluded from the collected list
+      // (collect_list skips null elements): an unscorable query that
+      // flushes emits topk = [], never k id-ordered neighbors with
+      // undefined scores. State stays bounded either way.
       .select(col(qIdCol), col(tsCol), col(idCol).as("neighbor_id"),
         when(col("adc_qnsq") > 0,
           Pq.adcCosine(col("codes"), col("adc_lut"), col("adc_qnsq"), pq))
           .as("cosine"))
       .groupBy(window(col(tsCol), windowDur), col(qIdCol))
-      .agg(slice(array_sort(collect_list(struct(
-        negate(col("cosine")).as("negc"), col("neighbor_id")))), 1, k)
-        .as("topk"))
+      .agg(slice(array_sort(collect_list(when(col("cosine").isNotNull,
+        struct(negate(col("cosine")).as("negc"), col("neighbor_id"))))),
+        1, k).as("topk"))
       .select(col(qIdCol), col("topk"))
   }
 
@@ -381,23 +387,9 @@ object Ivf {
   def topK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      model: Model, k: Int, nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    val corpusCells = assign(corpus, idCol, vecCol, model)
-    val queryCells = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) => bc.value.nearest(qv, nprobe).map(c => (qid, c)) }
-      .toDF(qIdCol, "cell")
-      .join(queries, qIdCol)
-    val scored = corpusCells.join(broadcast(queryCells), "cell")
-      .filter(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol).as("neighbor_id"),
-        Similarity.cosine(col(vecCol), col(qVecCol)).as("cosine"))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      model: Model, k: Int, nprobe: Int): DataFrame =
+    // the float-everywhere special case of topKOn — ONE copy of the
+    // probe-expansion/candidate-join/window plan to keep correct
+    topKOn(corpus, queries, idCol, vecCol, vecCol, qIdCol, qVecCol,
+      model, k, nprobe)
 }

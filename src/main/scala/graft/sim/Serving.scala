@@ -122,16 +122,7 @@ object Serving {
       .select(col(qIdCol).cast("long"), col(qVecCol), col(tsCol))
       .as[(Long, Array[Float], java.sql.Timestamp)]
       .map { case (qid, qv, ts) =>
-        // the sign code, bit-identical to Similarity.signBits' column
-        // form (same double cast, same strict >)
-        val thr = bcThr.value
-        var bits = 0L
-        var i = 0
-        while (i < thr.length) {
-          if (qv(i).toDouble > thr(i)) bits |= (1L << i)
-          i += 1
-        }
-        (qid, bits, qv, ts)
+        (qid, Similarity.signBitsLocal(qv, bcThr.value), qv, ts)
       }
       .toDF(qIdCol, "qbin", "__qvec", tsCol)
     val tk = graft.ops.TopK.topK(coarseK)
@@ -160,13 +151,17 @@ object Serving {
       shortK: Int): DataFrame = {
     val spark = flushed.sparkSession
     import spark.implicits._
+    // normSq(j)(c) mirrors Pq.adcNormSqLit's foldLeft exactly; it is
+    // query-INDEPENDENT, so it is built ONCE here (m·k doubles riding
+    // the closure — the column path's adcNormSqLit treatment) instead
+    // of m·k·subDim multiply-adds per flushed row
+    val nsq = bcPq.value.codebooks
+      .map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
     flushed.select(col(qIdCol), col("tk"), col("__qvec"))
       .as[(Long, Seq[graft.ops.TopKEntry], Array[Float])]
       .map { case (qid, entries, qv) =>
         val m = bcPq.value
         val (lut, _, qnsq) = Pq.adcTablesFor(qv, m)
-        // normSq(j)(c) mirrors Pq.adcNormSqLit's foldLeft exactly
-        val nsq = m.codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
         val scored = entries.map { e =>
           var num = 0.0; var rn = 0.0; var j = 0
           while (j < m.m) {
@@ -174,10 +169,17 @@ object Serving {
           }
           (num / (math.sqrt(rn) * math.sqrt(qnsq)), e.id)
         }
-        // (cosine desc, id asc) via primitive compares — ==/-0.0
-        // semantics match Spark's normalized double ordering
-        val short = scored.sortWith((a, b) =>
-          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(shortK)
+        // (cosine desc, id asc) through java.lang.Double.compare — the
+        // TOTAL order Spark's own double sort uses, so a NaN cosine
+        // (zero-norm query or all-zero codebook cell) ranks first here
+        // exactly as it would in the batch stage-2 window, and the
+        // comparator stays a strict weak ordering (a raw `>`-based
+        // sortWith violates TimSort's contract once NaN mixes with
+        // reals and can throw mid-micro-batch)
+        val short = scored.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(b._1, a._1)
+          c < 0 || (c == 0 && a._2 < b._2)
+        }.take(shortK)
         (qid, short.map(_._2))
       }
       .toDF(qIdCol, "shortlist")
@@ -214,13 +216,7 @@ object Serving {
       .select(col(qIdCol).cast("long"), col(qVecCol), col(tsCol))
       .as[(Long, Array[Float], java.sql.Timestamp)]
       .flatMap { case (qid, qv, ts) =>
-        val thr = bcThr.value
-        var bits = 0L
-        var i = 0
-        while (i < thr.length) {
-          if (qv(i).toDouble > thr(i)) bits |= (1L << i)
-          i += 1
-        }
+        val bits = Similarity.signBitsLocal(qv, bcThr.value)
         bcCells.value.nearest(qv, nprobe).map(c => (qid, c, bits, qv, ts))
       }
       .toDF(qIdCol, "cell", "qbin", "__qvec", tsCol)
@@ -286,8 +282,8 @@ object Serving {
       cells: Ivf.Model, thresholds: Array[Double], pq: Pq.Model,
       k: Int, coarseK: Int, shortK: Int, nprobe: Int): DataFrame = {
     // the 32 B/row artifact: cell + both code columns, one corpus pass
-    val art = Ivf.assign(graft.ops.Partitioning.spread(corpus),
-        idCol, vecCol, cells)
+    // (assign spreads its input itself — no outer spread)
+    val art = Ivf.assign(corpus, idCol, vecCol, cells)
       .select(col(idCol), col("cell"),
         Similarity.signBits(col(vecCol), thresholds).as("bincode"),
         Pq.codes(col(vecCol), pq).as("pqcodes"))

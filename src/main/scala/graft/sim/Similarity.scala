@@ -194,6 +194,26 @@ object Similarity {
       .reduceLeft(_ bitwiseOR _)
   }
 
+  /** Executor-local scalar twin of [[signBits]] for the stream-edge
+    * typed maps — same double cast, same strict >, same bit layout,
+    * and the SAME dim <= 64 contract: without the require, a 65th
+    * threshold would silently wrap `1L << 64` to bit 0 (JVM shift
+    * counts are mod 64) and scramble the code where the column form
+    * throws. One definition so the mirror cannot drift per call site.
+    */
+  private[graft] def signBitsLocal(qv: Array[Float],
+      thresholds: Array[Double]): Long = {
+    require(thresholds.length >= 1 && thresholds.length <= 64,
+      s"need 1 <= dim <= 64, got ${thresholds.length}")
+    var bits = 0L
+    var i = 0
+    while (i < thresholds.length) {
+      if (qv(i).toDouble > thresholds(i)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** Semantic decontamination: flag corpus vectors whose embedding is
     * too close (cosine >= threshold) to ANY benchmark/eval vector —
     * the paraphrase-leakage guard n-gram decontamination
