@@ -43,9 +43,23 @@ object DocLake {
     require(updateCols.nonEmpty, "refresh with no update columns is a no-op")
     require(!updateCols.contains(partCol) && !updateCols.contains(keyCol),
       "key and partition columns are lake-identity, not updatable")
+    // The batch lineage feeds four consumers below (null guard, staging
+    // anti-join, broadcast key collects, the update projection) — at
+    // the streaming call site it is a per-micro-batch aggregation, so
+    // persist it once for the fold (day-sized; released in the outer
+    // finally).
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lk = spark.read.parquet(lakeRoot)
     val cols = lk.columns.toSeq
-    val batchKeys = batch.select(col(keyCol))
+    val batchKeys = b.select(col(keyCol))
+    // Null keys or partition values cannot take the fold's own route
+    // (a null partition value nulls BOTH isin filters below, so the
+    // row would be counted as an append yet written nowhere — silent
+    // loss) — fail loudly at entry instead.
+    require(b.filter(col(keyCol).isNull || col(partCol).isNull).isEmpty,
+      s"batch carries null $keyCol/$partCol values - a document lake " +
+        "key and partition must be non-null (filter or default them " +
+        "upstream)")
     // appends read the lake (anti join on its pruned key column) — they
     // must be materialized DURABLY before the overwrite invalidates the
     // file listing. persist() is not enough off the happy path: if an
@@ -63,7 +77,7 @@ object DocLake {
     // accumulate one dead _staging_appends_* dir per failure under
     // the lake root, unbounded).
     try {
-    batch
+    b
       .join(lk.select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
       .write.parquet(hadoopPath.toString)
@@ -75,12 +89,21 @@ object DocLake {
       .join(broadcast(batchKeys), Seq(keyCol))
       .select(col(partCol)).distinct()
       .collect().map(_.get(0).toString).sorted
+    // Affected-partition paths are built by interpolation below; a
+    // partition value hive would percent-escape in the directory name
+    // (':', '/', '=', '%', ...) breaks the path reconstruction AND the
+    // string-vs-native isin routing — this lake's contract is plain
+    // identifier-safe partition values (canonicalize upstream).
+    require(affected.forall(_.matches("[A-Za-z0-9._-]+")),
+      s"partition values of $partCol need hive escaping " +
+        s"(${affected.filterNot(_.matches("[A-Za-z0-9._-]+")).take(3).mkString(", ")}) - " +
+        "this lake requires identifier-safe partition values")
     var nRefresh = 0L
     if (affected.nonEmpty) {
       val paths = affected.map(p => s"$lakeRoot/$partCol=$p")
       val slice = spark.read.option("basePath", lakeRoot)
         .parquet(paths.toSeq: _*)
-      val upd = batch.select((keyCol +: updateCols).map(c =>
+      val upd = b.select((keyCol +: updateCols).map(c =>
         col(c).as(s"__b_$c")): _*)
       // persisted: the count and the overwrite below both consume it
       // (batch-sized — only refreshed ROWS, never the slice), and the
@@ -100,21 +123,17 @@ object DocLake {
         .filter(col(partCol).isin(affected.toSeq: _*))
       val writeSet = untouched.unionByName(refreshed)
         .unionByName(ridingAppends)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // dynamic overwrite scoped to THIS write via the writer option —
+      // mutating the session conf (the previous form) races any
+      // concurrent writer on the same session: a static-mode overwrite
+      // running in parallel would silently become dynamic, and two
+      // concurrent folds could leave the session default flipped.
       try {
         writeSet.repartition(col(partCol))
           .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partCol).parquet(lakeRoot)
-      } finally {
-        prev match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-        refreshed.unpersist()
-      }
+      } finally refreshed.unpersist()
     }
     val freshAppends = appends
       .filter(!col(partCol).isin(affected.toSeq: _*))
@@ -124,6 +143,9 @@ object DocLake {
         .partitionBy(partCol).parquet(lakeRoot)
     }
     (nRefresh, nAppend)
-    } finally fs.delete(hadoopPath, true)
+    } finally {
+      fs.delete(hadoopPath, true)
+      b.unpersist()
+    }
   }
 }

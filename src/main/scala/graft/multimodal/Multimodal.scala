@@ -485,6 +485,12 @@ object Multimodal {
     pngRecon(p).flatMap { case (w, h, bpp, rows, recon) =>
       if (rows < h) None
       else if (bpp == 3) Some((w, h, recon))
+      // the grey→RGB expansion is 3 bytes/pixel: pngRecon's 64 MiB cap
+      // bounds the 1-byte/pixel inflate buffer, so without this check a
+      // hostile greyscale IHDR just under the cap allocates 3x the
+      // decompression-bomb budget here (rasterJpeg bounds the RETURNED
+      // raster with max(3, bands) for exactly this reason)
+      else if (3L * w * h > (64L << 20)) None
       else Some((w, h, {
         val out = new Array[Byte](w * h * 3)
         var i = 0
@@ -970,6 +976,14 @@ object Multimodal {
     * trade, eyes open: a pair whose EVERY shared band bucket is
     * oversized is lost — choose the cap from
     * [[hammingBandStats]]' histogram.
+    *
+    * Cache lifecycle: the fingerprint table is persist()ed and feeds
+    * both sides of the band self-join in the returned LAZY plan, so
+    * this operator cannot unpersist it itself — the
+    * [[graft.dedup.Dedup]] contract applies verbatim: the caller
+    * releases it after its action(s) (`spark.catalog.clearCache()`,
+    * what Bench does between queries); a long-lived session that
+    * skips this accumulates one cached table per call.
     */
   def hammingDupPairs(fingerprinted: DataFrame, maxDist: Int,
       maxBucket: Int = 0): DataFrame = {
