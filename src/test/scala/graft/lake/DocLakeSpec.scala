@@ -94,4 +94,39 @@ class DocLakeSpec extends SparkTestBase {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("null identity values and escape-unsafe partitions fail LOUDLY") {
+    val tmp = Files.createTempDirectory("doclake_guard")
+    val lake = s"$tmp/docs"
+    try {
+      Seq(("k1", 1L, "en", 1L), ("k2", 2L, "pt:BR", 2L))
+        .toDF("key", "doc_id", "lang", "last_fetch_id")
+        .repartition(col("lang"))
+        .write.partitionBy("lang").parquet(lake)
+      // a null partition value nulls BOTH isin routing filters: the
+      // row would be counted as an append yet written nowhere — the
+      // fold must reject it at entry, not lose it silently
+      intercept[IllegalArgumentException] {
+        DocLake.refreshAndAppend(spark, lake,
+          Seq(("k7", 7L, null: String, 7L))
+            .toDF("key", "doc_id", "lang", "last_fetch_id"),
+          "key", "lang", updateCols = Seq("last_fetch_id"))
+      }
+      // a recrawl of a hive-escaped partition value (pt:BR is stored
+      // as lang=pt%3ABR) would rebuild a nonexistent path — loud
+      // contract instead of path-not-found mid-overwrite
+      intercept[IllegalArgumentException] {
+        DocLake.refreshAndAppend(spark, lake,
+          Seq(("k2", 2L, "pt:BR", 20L))
+            .toDF("key", "doc_id", "lang", "last_fetch_id"),
+          "key", "lang", updateCols = Seq("last_fetch_id"))
+      }
+      // neither rejected fold may have touched the lake
+      assert(spark.read.parquet(lake).count() === 2L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

@@ -86,5 +86,12 @@ class ClassifierSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Classifier.trainQuality(prep, eta = 100.0, steps = 1)
     }
+    // Infinity has a zero mantissa (exponent-only bit pattern) and is
+    // > 0 — the mantissa test alone would accept it and train
+    // Infinity/NaN weights silently; the finite check must catch it
+    intercept[IllegalArgumentException] {
+      Classifier.trainQuality(prep, eta = Double.PositiveInfinity,
+        steps = 1)
+    }
   }
 }
