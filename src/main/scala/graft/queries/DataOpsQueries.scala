@@ -647,7 +647,7 @@ object DataOpsQueries {
                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
                 '^.*@', ''), '\\.(:[0-9]+)?$$', '\\1')) AS hostport,
             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-            regexp_extract(url, '\\?([^#]*)', 1) AS query
+            regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
           FROM u),
         uh AS (SELECT doc_id, url, scheme, path, query, hostport,
             CASE WHEN scheme = 'https'

@@ -100,7 +100,14 @@ private[sources] class RefdataMicroBatchStream(options: CaseInsensitiveStringMap
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val tickers: Array[String] =
-    options.getOrDefault("tickers", "AAPL,MSFT,NVDA").split(",").map(_.trim.toUpperCase)
+    options.getOrDefault("tickers", "AAPL,MSFT,NVDA")
+      .split(",").map(_.trim.toUpperCase).filter(_.nonEmpty)
+  // recordAt indexes k % tickers.length in every reader task — an
+  // empty list (option "tickers" -> "," splits to zero elements) would
+  // surface as an ArithmeticException deep in PartitionReader.get; say
+  // what the bad option was at construction instead
+  require(tickers.nonEmpty,
+    "refdata stream needs at least one ticker (option \"tickers\")")
   private val totalRecords = options.getLong("totalRecords", 1000L)
   private val recordsPerBatch = options.getLong("recordsPerBatch", 100L)
   private val numPartitions = options.getInt("numPartitions", 2)

@@ -11,9 +11,16 @@ import graft.source.Normalize
   * upgrade of [[graft.ingest.BarsIngest]] (reference's append-style
   * re-drops, SURVEY.md §2.9 St4). New CSV(.gz) files landing in the
   * watch directory flow through the same normalization into the same
-  * partitioned lake; checkpointing makes re-drops idempotent, strictly
-  * dominating the reference's overwrite-by-filename convention
-  * (ingest.py:294-301).
+  * partitioned lake; checkpointing makes duplicate re-drops idempotent
+  * (a file already processed is never ingested twice).
+  *
+  * Idempotent is NOT overwrite: the file source tracks seen FILENAMES
+  * in the checkpoint, so a CORRECTED re-drop under the same name is
+  * silently skipped — where the reference's overwrite-by-filename
+  * convention (ingest.py:294-301) would replace the data. A correction
+  * must arrive under a new filename, or go through the batch backfill
+  * path ([[graft.ingest.Backfill]]'s dynamic partition overwrite, the
+  * ql3 row), which is this engine's replacement for that convention.
   */
 object IngestStream {
 
@@ -45,6 +52,14 @@ object IngestStream {
     val raw = spark.readStream
       .schema(schema)
       .option("header", "true")
+      // header NAMES must match the supplied schema: enforceSchema's
+      // default (true) ignores the header row and binds by POSITION,
+      // so a drop file with reordered columns would silently put epoch
+      // strings in `ticker` — while the batch twin (BarsIngest.ingest,
+      // schema inferred from the header) binds by name and ingests it
+      // correctly. false = fail loudly on header mismatch, keeping the
+      // batch/stream same-lake claim honest
+      .option("enforceSchema", false)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(watchDir)
     // Same null-partition drop as the batch path (BarsIngest.ingest):

@@ -94,7 +94,12 @@ object Urls {
     val hostport = lower(authority(url))
     val path =
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the '?' must sit BEFORE any '#': an unanchored "\?([^#]*)" would
+    // read a '?' inside the fragment as a query string (".../page#sec?x=1"
+    // canonicalized to ".../page?x=1" instead of ".../page"), splitting
+    // one page into two canonical keys — the non-greedy pre-fragment
+    // prefix pins the first real query separator only
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val noWww = regexp_replace(hostport, "^www\\.", "")
     val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .when(scheme === "http", regexp_replace(noWww, ":80$", ""))

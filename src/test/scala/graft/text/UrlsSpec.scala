@@ -29,7 +29,12 @@ class UrlsSpec extends SparkTestBase {
       // all params tracking -> query dropped entirely
       7L -> "https://example.com/p?utm_a=1&utm_b=2&fbclid=z",
       // bare utm param without '=' is still tracking
-      8L -> "https://example.com/p?utm_nocheck&a=1")
+      8L -> "https://example.com/p?utm_nocheck&a=1",
+      // a '?' INSIDE the fragment is not a query separator: the whole
+      // fragment drops, and the page must share its canonical key with
+      // the fragment-free crawl of the same URL
+      9L -> "https://example.com/page#sec?x=1",
+      10L -> "https://example.com/page")
     assert(out(1L)._1 === "https://example.com/A/b?a=1&b=2")
     assert(out(2L)._1 === "http://example.com/x")
     assert(out(3L)._1 === "http://example.com:443/x",
@@ -39,6 +44,9 @@ class UrlsSpec extends SparkTestBase {
     assert(out(6L)._1 === "https://example.com/")
     assert(out(7L)._1 === "https://example.com/p")
     assert(out(8L)._1 === "https://example.com/p?a=1")
+    assert(out(9L)._1 === "https://example.com/page",
+      "a '?' inside the fragment must not be read as a query")
+    assert(out(9L)._1 === out(10L)._1)
   }
 
   test("registrableDomain: plain TLD, second-level registry, ports, subdomains") {
