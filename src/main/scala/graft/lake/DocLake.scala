@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object DocLake {
 
+  /** This lake's partition-value contract: plain identifier-safe
+    * values only. Hive percent-escapes anything else in directory
+    * names, which would break both the affected-partition path
+    * reconstruction and the string-vs-native isin routing. Enforced at
+    * batch entry (so poison values never enter the lake) AND on values
+    * read back during refresh (lakes that predate the entry guard).
+    */
+  val SafePartValue = "[A-Za-z0-9._-]+"
+
   /** Fold `batch` into the lake at `lakeRoot` (hive-partitioned by
     * `partCol`). `batch` carries the full lake schema; on refresh only
     * `updateCols` are taken from the batch — every other column,
@@ -43,23 +52,29 @@ object DocLake {
     require(updateCols.nonEmpty, "refresh with no update columns is a no-op")
     require(!updateCols.contains(partCol) && !updateCols.contains(keyCol),
       "key and partition columns are lake-identity, not updatable")
-    // The batch lineage feeds four consumers below (null guard, staging
-    // anti-join, broadcast key collects, the update projection) — at
-    // the streaming call site it is a per-micro-batch aggregation, so
+    // Entry guard, ONE job over the raw (not-yet-persisted) batch — a
+    // rejected batch must not leak a cached DataFrame. Two poison
+    // classes fail loudly here: (a) null key/partition values — a null
+    // partition value nulls BOTH isin filters below, so the row would
+    // be counted as an append yet written nowhere (silent loss); (b)
+    // escape-unsafe partition values — hive would percent-escape them
+    // in the directory name, and while the APPEND itself would
+    // succeed, every future refresh touching that key would fail the
+    // affected-partition require forever. The poison state must never
+    // enter the lake, so the append path enforces the same regex the
+    // refresh path checks.
+    val badBatch = batch.filter(col(keyCol).isNull || col(partCol).isNull ||
+      !col(partCol).cast("string").rlike("^" + SafePartValue + "$"))
+    require(badBatch.isEmpty,
+      s"batch carries null or escape-unsafe $keyCol/$partCol values - a " +
+        "document lake key and partition must be non-null and the " +
+        s"partition value identifier-safe ($SafePartValue); filter or " +
+        "canonicalize them upstream")
+    // The batch lineage feeds four consumers below (staging anti-join,
+    // broadcast key collects, the update projection) — at the
+    // streaming call site it is a per-micro-batch aggregation, so
     // persist it once for the fold (day-sized; released in the outer
     // finally).
-    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lk = spark.read.parquet(lakeRoot)
-    val cols = lk.columns.toSeq
-    val batchKeys = b.select(col(keyCol))
-    // Null keys or partition values cannot take the fold's own route
-    // (a null partition value nulls BOTH isin filters below, so the
-    // row would be counted as an append yet written nowhere — silent
-    // loss) — fail loudly at entry instead.
-    require(b.filter(col(keyCol).isNull || col(partCol).isNull).isEmpty,
-      s"batch carries null $keyCol/$partCol values - a document lake " +
-        "key and partition must be non-null (filter or default them " +
-        "upstream)")
     // appends read the lake (anti join on its pruned key column) — they
     // must be materialized DURABLY before the overwrite invalidates the
     // file listing. persist() is not enough off the happy path: if an
@@ -71,12 +86,16 @@ object DocLake {
     val hadoopPath = new org.apache.hadoop.fs.Path(lakeRoot,
       "_staging_appends_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Everything from the staging write onward sits in try/finally:
-    // a failure mid-maintenance must not orphan the staging dir
-    // (invisible to readers, but retried batches would otherwise
-    // accumulate one dead _staging_appends_* dir per failure under
-    // the lake root, unbounded).
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Everything after the persist sits in try/finally: a failure
+    // mid-maintenance must not leak the cached batch nor orphan the
+    // staging dir (invisible to readers, but retried batches would
+    // otherwise accumulate one dead _staging_appends_* dir per failure
+    // under the lake root, unbounded).
     try {
+    val lk = spark.read.parquet(lakeRoot)
+    val cols = lk.columns.toSeq
+    val batchKeys = b.select(col(keyCol))
     b
       .join(lk.select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
@@ -89,14 +108,12 @@ object DocLake {
       .join(broadcast(batchKeys), Seq(keyCol))
       .select(col(partCol)).distinct()
       .collect().map(_.get(0).toString).sorted
-    // Affected-partition paths are built by interpolation below; a
-    // partition value hive would percent-escape in the directory name
-    // (':', '/', '=', '%', ...) breaks the path reconstruction AND the
-    // string-vs-native isin routing — this lake's contract is plain
-    // identifier-safe partition values (canonicalize upstream).
-    require(affected.forall(_.matches("[A-Za-z0-9._-]+")),
+    // Affected-partition paths are built by interpolation below —
+    // re-check values read back from the lake (pre-guard lakes may
+    // already hold escape-unsafe partitions; see [[SafePartValue]]).
+    require(affected.forall(_.matches(SafePartValue)),
       s"partition values of $partCol need hive escaping " +
-        s"(${affected.filterNot(_.matches("[A-Za-z0-9._-]+")).take(3).mkString(", ")}) - " +
+        s"(${affected.filterNot(_.matches(SafePartValue)).take(3).mkString(", ")}) - " +
         "this lake requires identifier-safe partition values")
     var nRefresh = 0L
     if (affected.nonEmpty) {

@@ -3639,6 +3639,239 @@ object DataOpsQueries {
           (2 * tot.mn * 8 >= 3 * tot.tn) AS refit
         FROM occ, tot ORDER BY occ.cell""")),
 
+    // ---- REFIT after the alarm (qs35): the consumer qs34's trigger
+    // was missing — the lifecycle was fit → freeze → append (qs27) →
+    // alarm (qs34) → dead end. This row closes the loop: same drifted
+    // fixture (batch pulled 90% toward centroid 0, the thing that
+    // trips qs34's occupancy check), then BOTH serving arms measured
+    // against the same brute-force truth on the drifted corpus —
+    // FROZEN (models fit on the old corpus only, the qs27 posture the
+    // alarm says to abandon) vs REFIT (coarse quantizer AND PQ
+    // codebooks refit on the drifted union, index re-encoded). The
+    // refit is exactly what a 100 TB operator pays when the alarm
+    // fires: two driver-sized model fits over the bounded lowest-id
+    // sample plus ONE map-only re-encode pass (assignment + codes both
+    // ride the scan — no shuffle, no candidate join), vs the frozen
+    // path's silent recall decay. MEASURED (identical at both SFs —
+    // the fixture is the fixed 500-row embeddings table): drift-region
+    // queries recover 0.2 → 0.6 mean recall (frozen PQ codebooks never
+    // saw the clump, so in-clump ADC ranking is noise; refit codebooks
+    // contain clump seeds verbatim), while old-region queries pay
+    // 0.6 → 0.4 — the honest price of the SEED-fit codebook: 32 of
+    // 256 seed slots move to near-identical clump points, displacing
+    // old-region coverage. A production refit reclaims that with a
+    // Lloyd pass (Pq.fitLloyd — qs19's measured lever) at the same
+    // re-encode cost; the row pins the seed-fit tradeoff both engines
+    // can agree on exactly. Oracle = qs27's frozen ADC chain and the
+    // same chain re-seeded from the drifted union, both over qs34's
+    // dressed-batch CTEs, sharing one brute-force truth. ----
+    QueryDef("qs35_refit_recovery",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val old = e.filter(col("vec_id") % 8 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        val cellsOld = Ivf.fit(old, "vec_id", "embedding", k = 8, iters = 0)
+        val c0Lit = array(cellsOld.centroids(0).map(lit): _*)
+        val dressed = e.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id"),
+            zip_with(col("embedding"), c0Lit, (x, c) =>
+              (x.cast("double") * lit(0.1) + c * lit(0.9)).cast("float"))
+              .as("embedding"))
+        val drifted = old.unionByName(dressed)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // queries from BOTH regions: the drift-region set (arrivals —
+        // the traffic the alarm is about) and an old-region control
+        val q = drifted.filter(col("vec_id") < 4 ||
+            (col("vec_id") % 8 === 0 && col("vec_id") < 32))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val brute = Similarity.bruteTopK(drifted, q,
+            "vec_id", "embedding", "query_id", "qe", k = 5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        def enc(df: DataFrame, cells: Ivf.Model,
+            pq: graft.sim.Pq.Model): DataFrame =
+          Ivf.assign(df, "vec_id", "embedding", cells)
+            .select(col("vec_id"),
+              graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
+              col("cell"))
+        // FROZEN arm: the stale qs27 models over the drifted corpus
+        val pqOld = graft.sim.Pq.fit(old, "vec_id", "embedding",
+          m = 16, k = 256)
+        val annFrozen = Ivf.topKAdcOnIndex(
+          enc(old, cellsOld, pqOld).unionByName(enc(dressed, cellsOld, pqOld)),
+          q, "vec_id", "query_id", "qe", cellsOld, pqOld, k = 5, nprobe = 4)
+        // REFIT arm: alarm fired — refit on the drifted union,
+        // re-encode map-only
+        val cellsNew = Ivf.fit(drifted, "vec_id", "embedding",
+          k = 8, iters = 0)
+        val pqNew = graft.sim.Pq.fit(drifted, "vec_id", "embedding",
+          m = 16, k = 256)
+        val annRefit = Ivf.topKAdcOnIndex(enc(drifted, cellsNew, pqNew),
+          q, "vec_id", "query_id", "qe", cellsNew, pqNew, k = 5, nprobe = 4)
+        val rf = Similarity.recallAtK(annFrozen, brute, k = 5)
+          .select(col("query_id"), col("n_hit").as("nf"),
+            col("n_exact"), col("recall").as("recall_frozen"))
+        val rr = Similarity.recallAtK(annRefit, brute, k = 5)
+          .select(col("query_id"), col("n_hit").as("nr"),
+            col("recall").as("recall_refit"))
+        rf.join(rr, Seq("query_id"))
+          .select(col("query_id"),
+            when(col("query_id") % 8 === 0, lit("drift"))
+              .otherwise(lit("old")).as("region"),
+            col("nf").cast("int").as("n_frozen"),
+            col("nr").cast("int").as("n_refit"),
+            col("n_exact").cast("int").as("n_exact"),
+            col("recall_frozen"), col("recall_refit"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 <> 0),
+        oseeds AS (SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM old ORDER BY vec_id LIMIT 8)),
+        czero AS (SELECT list_transform(ce, x -> CAST(x AS DOUBLE)) AS c0d
+          FROM oseeds WHERE cell = 0),
+        batd AS (SELECT b.vec_id,
+            list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(CAST(b.embedding[i] AS DOUBLE) * 0.1 + czero.c0d[i] * 0.9 AS FLOAT)) AS embedding
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0) b, czero),
+        ud AS (SELECT vec_id, embedding FROM old
+          UNION ALL SELECT vec_id, embedding FROM batd),
+        qv AS (SELECT vec_id AS query_id, embedding AS qe FROM ud
+          WHERE vec_id < 4 OR (vec_id % 8 = 0 AND vec_id < 32)),
+        qn AS (SELECT query_id,
+            list_reduce(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y) AS qnsq
+          FROM qv),
+        br0 AS (SELECT qv.query_id, u.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, len(u.embedding) + 1),
+              i -> CAST(u.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(u.embedding) + 1),
+                i -> CAST(u.embedding[i] AS DOUBLE) * CAST(u.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), (x, y) -> x + y)))
+            AS cosine
+          FROM ud u, qv WHERE u.vec_id <> qv.query_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM br0) WHERE rk <= 5),
+        opseeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM old ORDER BY vec_id LIMIT 256)),
+        ocb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM opseeds s CROSS JOIN range(0, 16) t(j)),
+        oenc AS (SELECT vec_id, j, code FROM (
+          SELECT u.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY u.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(u.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(u.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM ud u CROSS JOIN ocb cb) WHERE rk = 1),
+        oca AS (SELECT vec_id, cell FROM (
+          SELECT u.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(u.embedding) + 1),
+                i -> (CAST(u.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(u.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM ud u CROSS JOIN oseeds c) WHERE rk = 1),
+        oqp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN oseeds c) WHERE rk <= 4),
+        opj AS (SELECT enc.vec_id, qp.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qp.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM oenc enc JOIN ocb cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN oca ca ON ca.vec_id = enc.vec_id
+          JOIN oqp qp ON qp.cell = ca.cell AND enc.vec_id <> qp.query_id),
+        op0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM opj GROUP BY vec_id, query_id),
+        op1 AS (SELECT op0.query_id, op0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM op0 JOIN qn ON qn.query_id = op0.query_id),
+        op5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM op1) WHERE rk <= 5),
+        ohit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM op5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        nseeds AS (SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM ud ORDER BY vec_id LIMIT 8)),
+        npseeds AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id, embedding FROM ud ORDER BY vec_id LIMIT 256)),
+        ncb AS (SELECT t.j, s.code,
+            list_slice(s.embedding, t.j * 4 + 1, t.j * 4 + 4) AS ce
+          FROM npseeds s CROSS JOIN range(0, 16) t(j)),
+        nenc AS (SELECT vec_id, j, code FROM (
+          SELECT u.vec_id, cb.j, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY u.vec_id, cb.j ORDER BY
+              list_reduce(list_transform(range(1, 5),
+                i -> (CAST(u.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                   * (CAST(u.embedding[CAST(cb.j * 4 + i AS INT)] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))),
+                (x, y) -> x + y),
+              cb.code) AS rk
+          FROM ud u CROSS JOIN ncb cb) WHERE rk = 1),
+        nca AS (SELECT vec_id, cell FROM (
+          SELECT u.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+              list_reduce(list_transform(range(1, len(u.embedding) + 1),
+                i -> (CAST(u.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(u.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM ud u CROSS JOIN nseeds c) WHERE rk = 1),
+        nqp AS (SELECT query_id, qe, cell FROM (
+          SELECT qv.query_id, qv.qe, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY qv.query_id ORDER BY
+              list_reduce(list_transform(range(1, len(qv.qe) + 1),
+                i -> (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                   * (CAST(qv.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM qv CROSS JOIN nseeds c) WHERE rk <= 4),
+        npj AS (SELECT enc.vec_id, qp.query_id, enc.j,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(qp.qe[CAST(enc.j * 4 + i AS INT)] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS dotj,
+            list_reduce(list_transform(range(1, 5),
+              i -> CAST(cb.ce[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)),
+              (x, y) -> x + y) AS nrmj
+          FROM nenc enc JOIN ncb cb ON cb.j = enc.j AND cb.code = enc.code
+          JOIN nca ca ON ca.vec_id = enc.vec_id
+          JOIN nqp qp ON qp.cell = ca.cell AND enc.vec_id <> qp.query_id),
+        np0 AS (SELECT vec_id AS neighbor_id, query_id,
+            list_reduce(list(dotj ORDER BY j), (x, y) -> x + y) AS num,
+            list_reduce(list(nrmj ORDER BY j), (x, y) -> x + y) AS rn
+          FROM npj GROUP BY vec_id, query_id),
+        np1 AS (SELECT np0.query_id, np0.neighbor_id,
+            num / (sqrt(rn) * sqrt(qn.qnsq)) AS cosine
+          FROM np0 JOIN qn ON qn.query_id = np0.query_id),
+        np5 AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM np1) WHERE rk <= 5),
+        nhit AS (SELECT a.query_id, COUNT(*) AS n_hit FROM np5 a
+          JOIN br ON br.query_id = a.query_id AND br.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id),
+        ex AS (SELECT query_id, COUNT(*) AS n_exact FROM br GROUP BY query_id)
+        SELECT ex.query_id,
+          CASE WHEN ex.query_id % 8 = 0 THEN 'drift' ELSE 'old' END AS region,
+          CAST(COALESCE(oh.n_hit, 0) AS INT) AS n_frozen,
+          CAST(COALESCE(nh.n_hit, 0) AS INT) AS n_refit,
+          CAST(ex.n_exact AS INT) AS n_exact,
+          CAST(COALESCE(oh.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall_frozen,
+          CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall_refit
+        FROM ex LEFT JOIN ohit oh ON oh.query_id = ex.query_id
+        LEFT JOIN nhit nh ON nh.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // ---- TOMBSTONE deletion at serve time (qs30): the story qs27's
     // append-only maintenance leaves open — released docs later
     // retracted (a 1-in-8 slice here) must never be served, and a

@@ -104,9 +104,23 @@ object Mixture {
       .as[(String, Long)].collect()
     require(sizes.nonEmpty, "no strata: empty input")
     val nums = sizes.map { case (g, n) =>
+      // loud Long-range guard (the Dsir rMax discipline): for n ≥ 2^62
+      // sqrt(n)·2^32 exceeds Long.MaxValue and Double→Long would
+      // silently saturate, corrupting every share
+      require(n < (1L << 62),
+        s"stratum $g holds $n docs - the 2^32 fixed-point sqrt " +
+          "numerator exceeds Long range (bound: n < 2^62)")
       (g, n, math.floor(math.sqrt(n.toDouble) * FixedPoint).toLong)
     }
-    val wsum = nums.map(_._3).sum
+    // exact long sum with a loud overflow guard: enough large strata
+    // wrap a naive sum silently and corrupt every share downstream
+    val wsum =
+      try nums.foldLeft(0L)((acc, t) => Math.addExact(acc, t._3))
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          "temperature-share numerator sum overflows Long - too many " +
+            "large strata for the 2^32 fixed-point device")
+      }
     val withShare = nums.map { case (g, n, num) =>
       (g, n, num.toDouble / wsum.toDouble)
     }
@@ -138,9 +152,15 @@ object Mixture {
       salt: String = "tmix"): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tDf = targets.toDF(groupCol, "grp_n", "share", "target_n")
+    // the target key is the STRING form (temperatureTargets casts at
+    // fit time) — join it against the docs' groupCol cast explicitly
+    // to string, so the equi-join is type-exact on both engines
+    // instead of riding Spark's implicit cross-type coercion (which
+    // can diverge from a native-typed oracle join on edge values),
+    // while the emitted groupCol keeps the docs' native type
+    val tDf = targets.toDF("__tmix_g", "grp_n", "share", "target_n")
     docs.select(col(idCol), col(groupCol))
-      .join(broadcast(tDf), Seq(groupCol))
+      .join(broadcast(tDf), col(groupCol).cast("string") === col("__tmix_g"))
       .select(col(idCol), col(groupCol),
         col("grp_n").cast("int").as("grp_n"), col("share"),
         col("target_n").cast("int").as("target_n"),

@@ -248,11 +248,14 @@ object Urls {
     // canonical-key rules (where www is transport noise), the PSL
     // algorithm must see every label — for host www.ck the `www` IS
     // the registrable label (the !www.ck exception), and stripping it
-    // first would resolve to the bare suffix
-    val labels = split(
-      regexp_replace(lower(authority(col(urlCol))), ":[0-9]+$", ""), "\\.")
+    // first would resolve to the bare suffix. Materialized ONCE as a
+    // named column: inlining the 3-regex chain into every per-length
+    // probe projection would re-evaluate it maxK+1 times per row
+    // (codegen CSE cannot cross the probe-join projection boundaries).
+    val labels = col("__psl_labels")
     val n = size(labels)
-    var out = df
+    var out = df.withColumn("__psl_labels", split(
+      regexp_replace(lower(authority(col(urlCol))), ":[0-9]+$", ""), "\\."))
     for (k <- 1 to maxK) {
       out = out
         .withColumn(s"__psl_p$k",
@@ -275,8 +278,9 @@ object Urls {
       (1 to maxK).map(k =>
         when(col(s"__psl_w$k") && n >= k + 1, lit(k + 1)).otherwise(lit(1)))
     val ps = coalesce(excPs, greatest(cands :+ (lit(1): Column): _*))
-    val dropCols = (1 to maxK).flatMap(k => Seq(s"__psl_p$k", s"__psl_k$k",
-      s"__psl_pl$k", s"__psl_w$k", s"__psl_e$k"))
+    val dropCols = "__psl_labels" +: (1 to maxK).flatMap(k =>
+      Seq(s"__psl_p$k", s"__psl_k$k", s"__psl_pl$k", s"__psl_w$k",
+        s"__psl_e$k"))
     out.withColumn(outCol,
         when(n > ps, concat_ws(".", slice(labels, -(ps + lit(1)), ps + lit(1))))
           .otherwise(concat_ws(".", labels)))

@@ -121,6 +121,19 @@ class DocLakeSpec extends SparkTestBase {
             .toDF("key", "doc_id", "lang", "last_fetch_id"),
           "key", "lang", updateCols = Seq("last_fetch_id"))
       }
+      // the poison state must be unreachable through the APPEND path
+      // too: a NEW escape-unsafe key used to append fine (hive escapes
+      // the dir) and then fail every future refresh of that key forever
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+      intercept[IllegalArgumentException] {
+        DocLake.refreshAndAppend(spark, lake,
+          Seq(("k8", 8L, "zh:TW", 8L))
+            .toDF("key", "doc_id", "lang", "last_fetch_id"),
+          "key", "lang", updateCols = Seq("last_fetch_id"))
+      }
+      // rejected batches are guarded BEFORE the persist — no cached
+      // DataFrame may leak for the session lifetime
+      assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore)
       // neither rejected fold may have touched the lake
       assert(spark.read.parquet(lake).count() === 2L)
     } finally {

@@ -72,4 +72,52 @@ class SessionizeSpec extends SparkTestBase {
       assert(streamed == batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("late-but-in-watermark events match batch: backward extension and " +
+      "backward gap split across micro-batches") {
+    // The killer for the old single-open-session fold: after batch 1 the
+    // open session is [10:00, 10:10]. Batch 2 delivers two LATE events
+    // still inside the 4h watermark: 08:00 (more than a gap BEFORE the
+    // open start — batch semantics give it its OWN session) and 09:45
+    // (within the gap before the start — batch semantics extend start_us
+    // BACKWARD). The old fold merged both forward (us - lastUs < 0 ≤ gap)
+    // and never moved start_us, emitting one session [10:00,10:10] n=4.
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"),
+      ev(1, "2024-01-01 08:00:00"), ev(1, "2024-01-01 09:45:00"))
+    val batch = Sessionize.sessionsBounded(spark, events.toDS(), 1800)
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    // batch oracle: {[08:00,08:00] n=1, [09:45,10:10] n=3}
+    assert(batch.map(_._4) == Set(1, 3))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessionsStream(mem.toDS(), 1800, "4 hours")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events(0), events(1)) // in-order prefix
+      q.processAllAvailable()           // watermark -> 06:10
+      mem.addData(events(2), events(3)) // late, admitted by watermark
+      q.processAllAvailable()
+      mem.addData(ev(99, "2024-01-03 00:00:00")) // flush all horizons
+      q.processAllAvailable()
+      val streamed = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("the bounded and stream folds are one function: foldSorted + " +
+      "mergeSessions reproduce the batch fold on a split delivery") {
+    val gapUs = 1800L * 1000000L
+    val all = Seq(100L, 200L, 5000000000L, 5000000100L).sorted
+    val whole = Sessionize.foldSorted(all.map(_ * 1000000L), gapUs)
+    // deliver in two out-of-order halves and merge
+    val h1 = Sessionize.foldSorted(
+      Seq(5000000000L, 5000000100L).map(_ * 1000000L), gapUs)
+    val h2 = Sessionize.foldSorted(Seq(100L, 200L).map(_ * 1000000L), gapUs)
+    assert(Sessionize.mergeSessions(h1, h2, gapUs) == whole)
+  }
 }
