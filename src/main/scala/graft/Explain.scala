@@ -183,7 +183,17 @@ object Explain {
         // (BENCH_LOCAL r17: 0.96 → 0.73s after the fold to one
         // aggregate + driver arithmetic); an Aggregate node beyond
         // the single size fit means that regression crept back
-        "qt48_temperature_mixture")
+        "qt48_temperature_mixture",
+        // round-18 additions: the full curation release must keep all
+        // SIX verdict subtrees doc-keyed (the three qx13 arms plus
+        // classifier margin / DSIR draw / mixture attach — each a slim
+        // (doc_id, boolean) projection into a hash join, no
+        // corpus-sized build side anywhere); the refit-recovery row's
+        // two serving arms must both be the qs24 shape (assignment +
+        // codes riding the scans, candidate join a cell equi-join,
+        // broadcast query cells/ADC tables) — a re-encode that
+        // shuffles means the map-only refit claim broke
+        "qx14_curation_release", "qs35_refit_recovery")
     // (qt46_trained_quality_classifier is deliberately absent for
     // the qt39 reason: its body RUNS K gradient-aggregate rounds —
     // a fit, not a lazy plan; the serving fold it ends in is the

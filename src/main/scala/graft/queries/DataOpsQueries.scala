@@ -384,50 +384,147 @@ object DataOpsQueries {
     * special-cased to p = 0.5 exactly (all-zero weights), mirroring
     * the engine's step-0 shortcut.
     */
-  private lazy val qt46OracleSql: String = {
+  /** The full release-verdict CTE prefix — qx4's content half
+    * (boilerplate-clean -> exact dedup -> n-gram decontamination)
+    * and qx10's provenance half (canonical URL -> URL dedup ->
+    * blocklist -> per-domain cap -> quality floor), ending at the
+    * per-doc `content` / `prov` verdict tables. Shared verbatim by
+    * qx11, qx13 and qx14 so the three release composites cannot
+    * drift.
+    */
+  private lazy val releaseVerdictCtes: String = s"""u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes,
+        b AS (SELECT doc_id, domain, canonical_url,
+            MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+            list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
+          FROM dom),
+        r AS (SELECT doc_id, (rk <= 2) AS in_cap FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              doc_id) AS rk
+          FROM b WHERE doc_id = canonical_id AND NOT blocked)),
+        tx AS (SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        sc AS (SELECT doc_id,
+            list_reduce(list_transform(toks,
+              t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
+                   / 997.0 - 0.5),
+              (x, y) -> x + y) / len(toks) AS score
+          FROM tx),
+        d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
+          FROM d),
+        useg AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
+        e AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM useg),
+        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
+        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
+        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h),
+        cl AS (SELECT doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS n_dropped,
+          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+          FROM j GROUP BY doc_id),
+        sp AS (SELECT cl.*,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM cl),
+        can AS (SELECT sp.*,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))))) AS canonical_id
+          FROM sp),
+        ct AS (SELECT doc_id, split,
+          string_split(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))), ' ') AS ctoks
+          FROM sp),
+        g8 AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(generate_series(1, len(ctoks) - 7),
+              i -> ('0x' || substr(md5(array_to_string(ctoks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
+          FROM ct WHERE len(ctoks) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval'),
+        sh AS (SELECT t.doc_id, COUNT(*) AS n_shared
+          FROM g8 t JOIN eg ON eg.g = t.g WHERE t.split = 'train'
+          GROUP BY t.doc_id),
+        content AS (SELECT cn.doc_id,
+          (cn.split = 'train' AND cn.doc_id = cn.canonical_id
+            AND COALESCE(sh.n_shared, 0) = 0 AND cn.clean_text <> '') AS content_keep
+          FROM can cn LEFT JOIN sh ON sh.doc_id = cn.doc_id),
+        prov AS (SELECT b.doc_id,
+          ((b.doc_id = b.canonical_id) AND NOT b.blocked
+            AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS provenance_keep
+          FROM b LEFT JOIN r ON r.doc_id = b.doc_id
+          JOIN sc ON sc.doc_id = b.doc_id)"""
+
+  /** qx13's CCNet LM-quality CTE segment (Stupid Backoff scores +
+    * tertile thresholds + the "not tail" gate), shared by qx13 and
+    * qx14.
+    */
+  private lazy val lmQualityCtes: String = s"""$ngramLmCteSql,
+        smp AS (SELECT lang, lm_score, doc_id FROM scs WHERE doc_id % 3 = 0),
+        rk AS (SELECT lang, lm_score,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS m FROM smp),
+        th AS (SELECT lang,
+            MAX(CASE WHEN rn = CAST(ceil(CAST(m AS DOUBLE) / 3.0) AS BIGINT)
+              THEN lm_score END) AS t1,
+            MAX(CASE WHEN rn = CAST(ceil(2.0 * CAST(m AS DOUBLE) / 3.0) AS BIGINT)
+              THEN lm_score END) AS t2
+          FROM rk GROUP BY lang),
+        qual AS (SELECT s.doc_id,
+            COALESCE(s.lm_score > th.t1, FALSE) AS quality_keep
+          FROM scs s LEFT JOIN th ON th.lang = s.lang)"""
+
+  /** qt46's unrolled-GD CTE chain with every CTE name prefixed by `pre`
+    * — prefix "" reproduces the standalone oracle; a non-empty prefix
+    * lets the chain ride inside a composite's WITH list (qx14) without
+    * colliding with the release CTEs (qx13's own `g8`/`dom` would
+    * otherwise shadow the gradient/domain tables).
+    */
+  private def qt46CtesSql(pre: String): String = {
     val dim = 4096
     val steps = 8
     val eta = "128.0"
     val stop = "['the','a','of','and','to','is','in']"
     val sb = new StringBuilder
-    sb.append(s"""WITH dl AS MATERIALIZED (SELECT doc_id,
+    sb.append(s"""${pre}dl AS MATERIALIZED (SELECT doc_id,
         CAST(CASE WHEN 50 * len(list_filter(toks, s2 -> list_contains($stop, s2))) >= 3 * len(toks)
           THEN 1 ELSE 0 END AS INT) AS y,
         CAST(len(toks) AS DOUBLE) AS n,
         list_transform(toks, s2 -> CAST(('0x' || substr(md5('qc:' || s2), 1, 15))::BIGINT % $dim AS INT)) AS bs
       FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents) q),
-      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
-      dom AS MATERIALIZED (SELECT unnest(generate_series(0, ${dim - 1})) AS b),
-      g1 AS MATERIALIZED (SELECT b,
+      ${pre}nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM ${pre}dl),
+      ${pre}dom AS MATERIALIZED (SELECT unnest(generate_series(0, ${dim - 1})) AS b),
+      ${pre}g1 AS MATERIALIZED (SELECT b,
           SUM(CAST(floor((CAST(y AS DOUBLE) - 0.5) / n * 4294967296.0) AS BIGINT)) AS g
-        FROM (SELECT unnest(bs) AS b, y, n FROM dl) q GROUP BY b),
-      w1 AS MATERIALIZED (SELECT dom.b,
-          CASE WHEN g1.g IS NULL THEN 0.0
-            ELSE $eta * (CAST(g1.g AS DOUBLE) / 4294967296.0 / nn.nd) END AS w
-        FROM dom LEFT JOIN g1 ON g1.b = dom.b, nn),
-      a1 AS MATERIALIZED (SELECT list(w ORDER BY b) AS wa FROM w1)""")
+        FROM (SELECT unnest(bs) AS b, y, n FROM ${pre}dl) q GROUP BY b),
+      ${pre}w1 AS MATERIALIZED (SELECT ${pre}dom.b,
+          CASE WHEN ${pre}g1.g IS NULL THEN 0.0
+            ELSE $eta * (CAST(${pre}g1.g AS DOUBLE) / 4294967296.0 / ${pre}nn.nd) END AS w
+        FROM ${pre}dom LEFT JOIN ${pre}g1 ON ${pre}g1.b = ${pre}dom.b, ${pre}nn),
+      ${pre}a1 AS MATERIALIZED (SELECT list(w ORDER BY b) AS wa FROM ${pre}w1)""")
     for (i <- 2 to steps) {
       val p = i - 1
       sb.append(s""",
-      m$i AS MATERIALIZED (SELECT doc_id, y, n, bs,
-          list_reduce(list_transform(bs, b -> a$p.wa[b + 1]), (x, z) -> x + z) / n AS m
-        FROM dl, a$p),
-      g$i AS MATERIALIZED (SELECT b,
+      ${pre}m$i AS MATERIALIZED (SELECT doc_id, y, n, bs,
+          list_reduce(list_transform(bs, b -> ${pre}a$p.wa[b + 1]), (x, z) -> x + z) / n AS m
+        FROM ${pre}dl, ${pre}a$p),
+      ${pre}g$i AS MATERIALIZED (SELECT b,
           SUM(CAST(floor((CAST(y AS DOUBLE) - (0.5 + 0.5 * (m / (1.0 + abs(m))))) / n * 4294967296.0) AS BIGINT)) AS g
-        FROM (SELECT unnest(bs) AS b, y, n, m FROM m$i) q GROUP BY b),
-      w$i AS MATERIALIZED (SELECT w$p.b,
-          CASE WHEN g$i.g IS NULL THEN w$p.w
-            ELSE w$p.w + $eta * (CAST(g$i.g AS DOUBLE) / 4294967296.0 / nn.nd) END AS w
-        FROM w$p LEFT JOIN g$i ON g$i.b = w$p.b, nn),
-      a$i AS MATERIALIZED (SELECT list(w ORDER BY b) AS wa FROM w$i)""")
+        FROM (SELECT unnest(bs) AS b, y, n, m FROM ${pre}m$i) q GROUP BY b),
+      ${pre}w$i AS MATERIALIZED (SELECT ${pre}w$p.b,
+          CASE WHEN ${pre}g$i.g IS NULL THEN ${pre}w$p.w
+            ELSE ${pre}w$p.w + $eta * (CAST(${pre}g$i.g AS DOUBLE) / 4294967296.0 / ${pre}nn.nd) END AS w
+        FROM ${pre}w$p LEFT JOIN ${pre}g$i ON ${pre}g$i.b = ${pre}w$p.b, ${pre}nn),
+      ${pre}a$i AS MATERIALIZED (SELECT list(w ORDER BY b) AS wa FROM ${pre}w$i)""")
     }
-    sb.append(s"""
-      SELECT doc_id, y AS label,
-        list_reduce(list_transform(bs, b -> a$steps.wa[b + 1]), (x, z) -> x + z) / n AS score,
-        (list_reduce(list_transform(bs, b -> a$steps.wa[b + 1]), (x, z) -> x + z) / n > 0.0) AS keep
-      FROM dl, a$steps ORDER BY doc_id""")
     sb.toString
   }
+
+  private lazy val qt46OracleSql: String =
+    s"""WITH ${qt46CtesSql("")}
+      SELECT doc_id, y AS label,
+        list_reduce(list_transform(bs, b -> a8.wa[b + 1]), (x, z) -> x + z) / n AS score,
+        (list_reduce(list_transform(bs, b -> a8.wa[b + 1]), (x, z) -> x + z) / n > 0.0) AS keep
+      FROM dl, a8 ORDER BY doc_id"""
 
   /** Closed-form oracle for qt47 (DSIR): bigram buckets from the
     * shifted-index transform, both distributions' counts, the
@@ -436,43 +533,60 @@ object DataOpsQueries {
     * draw against the min-max-normalized weight (with the degenerate
     * max=min corpus keeping nothing — never a NaN compare).
     */
-  private lazy val qt47OracleSql: String = {
+  /** qt47's DSIR CTE chain, parametrized two ways: `pre` prefixes
+    * every CTE name (composite embedding, same contract as
+    * [[qt46CtesSql]]), and `fitPred` restricts the MODEL FIT — the
+    * ratio-LUT counts/totals AND the min/max normalizer — to a
+    * doc_id predicate while scoring still covers every document.
+    * fitPred = "TRUE" is the full-corpus fit (qt47/qst18); a sample
+    * predicate is the CCNet-style frozen-from-a-sample crawl-edge
+    * form (qst21).
+    */
+  private def qt47CtesSql(pre: String, fitPred: String = "TRUE"): String = {
     val dim = 4096
     val stop = "['the','a','of','and','to','is','in']"
-    s"""WITH dt AS MATERIALIZED (SELECT doc_id, toks,
+    s"""${pre}dt AS MATERIALIZED (SELECT doc_id, toks,
         (50 * len(list_filter(toks, s2 -> list_contains($stop, s2))) >= 3 * len(toks)) AS is_target,
         CASE WHEN len(toks) < 2 THEN []
           ELSE list_transform(generate_series(1, len(toks) - 1),
             i -> CAST(('0x' || substr(md5('ds:' || toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT % $dim AS INT))
         END AS bs
       FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents) q),
-      ct AS MATERIALIZED (SELECT b, COUNT(*) AS c
-        FROM (SELECT unnest(bs) AS b FROM dt WHERE is_target) q GROUP BY b),
-      cr AS MATERIALIZED (SELECT b, COUNT(*) AS c
-        FROM (SELECT unnest(bs) AS b FROM dt) q GROUP BY b),
-      tot AS MATERIALIZED (SELECT
-          (SELECT CAST(SUM(len(bs)) AS BIGINT) FROM dt WHERE is_target) AS tt,
-          (SELECT CAST(SUM(len(bs)) AS BIGINT) FROM dt) AS tr),
-      lut AS MATERIALIZED (SELECT dom.b,
-          (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) / CAST(tot.tt + $dim AS DOUBLE)) /
-          (CAST(COALESCE(cr.c, 0) + 1 AS DOUBLE) / CAST(tot.tr + $dim AS DOUBLE)) AS r
+      ${pre}ct AS MATERIALIZED (SELECT b, COUNT(*) AS c
+        FROM (SELECT unnest(bs) AS b FROM ${pre}dt WHERE is_target AND ($fitPred)) q GROUP BY b),
+      ${pre}cr AS MATERIALIZED (SELECT b, COUNT(*) AS c
+        FROM (SELECT unnest(bs) AS b FROM ${pre}dt WHERE ($fitPred)) q GROUP BY b),
+      ${pre}tot AS MATERIALIZED (SELECT
+          (SELECT CAST(SUM(len(bs)) AS BIGINT) FROM ${pre}dt WHERE is_target AND ($fitPred)) AS tt,
+          (SELECT CAST(SUM(len(bs)) AS BIGINT) FROM ${pre}dt WHERE ($fitPred)) AS tr),
+      ${pre}lut AS MATERIALIZED (SELECT dom.b,
+          (CAST(COALESCE(${pre}ct.c, 0) + 1 AS DOUBLE) / CAST(${pre}tot.tt + $dim AS DOUBLE)) /
+          (CAST(COALESCE(${pre}cr.c, 0) + 1 AS DOUBLE) / CAST(${pre}tot.tr + $dim AS DOUBLE)) AS r
         FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS b) dom
-        LEFT JOIN ct ON ct.b = dom.b LEFT JOIN cr ON cr.b = dom.b, tot),
-      ra AS MATERIALIZED (SELECT list(r ORDER BY b) AS ra FROM lut),
-      wt AS MATERIALIZED (SELECT doc_id, is_target, len(bs) AS n_grams,
+        LEFT JOIN ${pre}ct ON ${pre}ct.b = dom.b LEFT JOIN ${pre}cr ON ${pre}cr.b = dom.b, ${pre}tot),
+      ${pre}ra AS MATERIALIZED (SELECT list(r ORDER BY b) AS ra FROM ${pre}lut),
+      ${pre}wt AS MATERIALIZED (SELECT doc_id, is_target, len(bs) AS n_grams,
           CASE WHEN len(bs) = 0 THEN 0.0
             ELSE CAST(list_sum(list_transform(bs,
-                b -> CAST(floor(ra.ra[b + 1] * 4294967296.0) AS BIGINT))) AS DOUBLE)
+                b -> CAST(floor(${pre}ra.ra[b + 1] * 4294967296.0) AS BIGINT))) AS DOUBLE)
               / 4294967296.0 / CAST(len(bs) AS DOUBLE)
           END AS weight
-        FROM dt, ra),
-      mx AS (SELECT MAX(weight) AS mw, MIN(weight) AS mn FROM wt)
-      SELECT wt.doc_id, wt.is_target, CAST(wt.n_grams AS INT) AS n_grams, wt.weight,
-        CASE WHEN mx.mw = mx.mn THEN FALSE
-          ELSE CAST(('0x' || substr(md5('dsir:' || CAST(wt.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS DOUBLE)
-            / 1048576.0 < (wt.weight - mx.mn) / (mx.mw - mx.mn) END AS keep
-      FROM wt, mx ORDER BY wt.doc_id"""
+        FROM ${pre}dt, ${pre}ra),
+      ${pre}mx AS (SELECT MAX(weight) AS mw, MIN(weight) AS mn
+        FROM ${pre}wt WHERE ($fitPred))"""
   }
+
+  /** qt47's final verdict select over the [[qt47CtesSql]] chain. */
+  private def qt47SelectSql(pre: String): String =
+    s"""SELECT ${pre}wt.doc_id, ${pre}wt.is_target,
+        CAST(${pre}wt.n_grams AS INT) AS n_grams, ${pre}wt.weight,
+        CASE WHEN ${pre}mx.mw = ${pre}mx.mn THEN FALSE
+          ELSE CAST(('0x' || substr(md5('dsir:' || CAST(${pre}wt.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS DOUBLE)
+            / 1048576.0 < (${pre}wt.weight - ${pre}mx.mn) / (${pre}mx.mw - ${pre}mx.mn) END AS keep
+      FROM ${pre}wt, ${pre}mx ORDER BY ${pre}wt.doc_id"""
+
+  private lazy val qt47OracleSql: String =
+    s"WITH ${qt47CtesSql("")}\n      ${qt47SelectSql("")}"
 
   /** Closed-form oracle for qt48 (temperature-scaled mixture), shared
     * verbatim by its crawl-edge stream twin qst20 — the strongest
@@ -482,23 +596,30 @@ object DataOpsQueries {
     * fixed-point exact-long device), same LEAST-clamped targets, same
     * salted-hash draw.
     */
-  private lazy val qt48OracleSql: String =
-    """WITH sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS grp_n
+  /** qt48's α = 1/2 target-table CTE chain, prefixable for composite
+    * embedding (same contract as [[qt46CtesSql]]); ends at the
+    * `${pre}tg` target table one row per stratum.
+    */
+  private def qt48CtesSql(pre: String): String =
+    s"""${pre}sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS grp_n
           FROM documents GROUP BY lang),
-        nm AS (SELECT lang, grp_n,
+        ${pre}nm AS (SELECT lang, grp_n,
             CAST(FLOOR(SQRT(CAST(grp_n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS num
-          FROM sz),
-        wt AS (SELECT CAST(SUM(num) AS BIGINT) AS wsum FROM nm),
-        sh AS (SELECT lang, grp_n,
+          FROM ${pre}sz),
+        ${pre}wt AS (SELECT CAST(SUM(num) AS BIGINT) AS wsum FROM ${pre}nm),
+        ${pre}sh AS (SELECT lang, grp_n,
             CAST(num AS DOUBLE) / CAST(wsum AS DOUBLE) AS share
-          FROM nm CROSS JOIN wt),
-        tt AS (SELECT MIN(CAST(grp_n AS DOUBLE) / share) AS mix_total FROM sh),
-        tg AS (SELECT sh.lang, sh.grp_n, sh.share,
-            CASE WHEN CAST(sh.grp_n AS DOUBLE) / sh.share = tt.mix_total
-              THEN sh.grp_n
-              ELSE CAST(LEAST(FLOOR(sh.share * tt.mix_total),
-                CAST(sh.grp_n AS DOUBLE)) AS BIGINT) END AS target_n
-          FROM sh CROSS JOIN tt)
+          FROM ${pre}nm CROSS JOIN ${pre}wt),
+        ${pre}tt AS (SELECT MIN(CAST(grp_n AS DOUBLE) / share) AS mix_total FROM ${pre}sh),
+        ${pre}tg AS (SELECT ${pre}sh.lang, ${pre}sh.grp_n, ${pre}sh.share,
+            CASE WHEN CAST(${pre}sh.grp_n AS DOUBLE) / ${pre}sh.share = ${pre}tt.mix_total
+              THEN ${pre}sh.grp_n
+              ELSE CAST(LEAST(FLOOR(${pre}sh.share * ${pre}tt.mix_total),
+                CAST(${pre}sh.grp_n AS DOUBLE)) AS BIGINT) END AS target_n
+          FROM ${pre}sh CROSS JOIN ${pre}tt)"""
+
+  private lazy val qt48OracleSql: String =
+    s"""WITH ${qt48CtesSql("")}
         SELECT d.doc_id, d.lang, CAST(tg.grp_n AS INT) AS grp_n, tg.share,
           CAST(tg.target_n AS INT) AS target_n,
           ('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
@@ -4954,6 +5075,58 @@ object DataOpsQueries {
       },
       Some(qt47OracleSql)),
 
+    // ---- Streamed DSIR with a SAMPLE-frozen model (qst21): the form
+    // a true crawl edge runs. qst18 still needed FULL-corpus
+    // aggregates at fit time (LUT counts and the min/max normalizer
+    // over every stored document); this arm freezes the ENTIRE model
+    // — ratio LUT and (mn, mx) — from a deterministic id-sample
+    // (doc_id % 5 = 0, the CCNet tertile-sample device NgramLm
+    // .tertileGate established), so nothing in the path ever
+    // aggregates the corpus: fit cost is sample-sized, and the edge
+    // verdicts arrivals with KB-sized broadcast state only. The
+    // crawl-edge consequence is part of the contract: an arriving
+    // document CAN score outside the frozen [mn, mx] — the draw
+    // u < (w−mn)/(mx−mn) then degenerates to always-keep (ratio > 1)
+    // or never-keep (< 0), deterministically in both engines (plain
+    // IEEE compares, no clamp needed for a boolean verdict) — and the
+    // fixture genuinely reaches it (one out-of-range arrival at
+    // sf0.001). MEASURED: the sample-frozen model still resamples
+    // toward the target (keep 0.69 vs 0.55 at sf0.001, 0.54 vs 0.45
+    // at sf0.01) — weaker separation than qt47's full fit (0.60 vs
+    // 0.33-0.36), the honest price of fitting on a 1/5 sample. Oracle =
+    // qt47's generator with the fit CTEs predicate-restricted to the
+    // sample — the same SQL text at fitPred=TRUE is qt47/qst18's
+    // oracle, so the two arms are pinned to one spec. ----
+    QueryDef("qst21_stream_dsir_frozen",
+      (s, dir) => {
+        import s.implicits._
+        val prep = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
+              graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
+            graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lut = graft.text.Dsir.fitRatioLut(prep, "is_target")
+        val mm = prep.select(
+            graft.text.Dsir.importanceWeight(col("bs"), lut).as("w"))
+          .agg(max(col("w")), min(col("w"))).head()
+        val (mx, mn) = (mm.getDouble(0), mm.getDouble(1))
+        val bcLut = s.sparkContext.broadcast(lut)
+        val streamed = replayTable(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val (isT, nG, w, keep) =
+              graft.text.Dsir.scoreLocal(id, text, bcLut.value, mn, mx)
+            (id, isT, nG, w, keep)
+          }
+          .toDF("doc_id", "is_target", "n_grams", "weight", "keep")
+        runAvailableNow(s, streamed).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${qt47CtesSql("", "doc_id % 5 = 0")}
+      ${qt47SelectSql("")}""")),
+
     // ---- Streamed quality-drift monitor (qst19): the pipeline-OPS
     // row every frozen scorer needs — once qt46/qt28-class weights are
     // deployed at the ingest edge, the thing that silently breaks is
@@ -5912,67 +6085,7 @@ object DataOpsQueries {
             (col("content_keep") && col("provenance_keep")).as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes,
-        b AS (SELECT doc_id, domain, canonical_url,
-            MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
-            list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
-          FROM dom),
-        r AS (SELECT doc_id, (rk <= 2) AS in_cap FROM (
-          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
-            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
-              doc_id) AS rk
-          FROM b WHERE doc_id = canonical_id AND NOT blocked)),
-        tx AS (SELECT doc_id,
-            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
-          FROM documents),
-        sc AS (SELECT doc_id,
-            list_reduce(list_transform(toks,
-              t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
-                   / 997.0 - 0.5),
-              (x, y) -> x + y) / len(toks) AS score
-          FROM tx),
-        d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
-          FROM documents),
-        c AS (SELECT doc_id, toks,
-          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
-          FROM d),
-        useg AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
-        e AS (SELECT doc_id, i - 1 AS pos,
-          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM useg),
-        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
-        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
-        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h),
-        cl AS (SELECT doc_id, COUNT(*) AS n_seg,
-          SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS n_dropped,
-          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
-          FROM j GROUP BY doc_id),
-        sp AS (SELECT cl.*,
-          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
-            THEN 'train' ELSE 'eval' END AS split FROM cl),
-        can AS (SELECT sp.*,
-          MIN(doc_id) OVER (PARTITION BY
-            md5(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))))) AS canonical_id
-          FROM sp),
-        ct AS (SELECT doc_id, split,
-          string_split(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))), ' ') AS ctoks
-          FROM sp),
-        g8 AS (SELECT doc_id, split,
-            unnest(list_distinct(list_transform(generate_series(1, len(ctoks) - 7),
-              i -> ('0x' || substr(md5(array_to_string(ctoks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
-          FROM ct WHERE len(ctoks) >= 8),
-        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval'),
-        sh AS (SELECT t.doc_id, COUNT(*) AS n_shared
-          FROM g8 t JOIN eg ON eg.g = t.g WHERE t.split = 'train'
-          GROUP BY t.doc_id),
-        content AS (SELECT cn.doc_id,
-          (cn.split = 'train' AND cn.doc_id = cn.canonical_id
-            AND COALESCE(sh.n_shared, 0) = 0 AND cn.clean_text <> '') AS content_keep
-          FROM can cn LEFT JOIN sh ON sh.doc_id = cn.doc_id),
-        prov AS (SELECT b.doc_id,
-          ((b.doc_id = b.canonical_id) AND NOT b.blocked
-            AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS provenance_keep
-          FROM b LEFT JOIN r ON r.doc_id = b.doc_id
-          JOIN sc ON sc.doc_id = b.doc_id)
+      Some(s"""WITH $releaseVerdictCtes
         SELECT content.doc_id, content_keep, provenance_keep,
           (content_keep AND provenance_keep) AS keep
         FROM content JOIN prov ON prov.doc_id = content.doc_id
@@ -6019,87 +6132,117 @@ object DataOpsQueries {
               coalesce(col("quality_keep"), lit(false))).as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH u AS (${urlFixtureSql("doc_id % 120")}),$urlDomainCtes,
-        b AS (SELECT doc_id, domain, canonical_url,
-            MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
-            list_contains(['site12.com', 'site26.co.uk'], domain) AS blocked
-          FROM dom),
-        r AS (SELECT doc_id, (rk <= 2) AS in_cap FROM (
-          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
-            ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
-              doc_id) AS rk
-          FROM b WHERE doc_id = canonical_id AND NOT blocked)),
-        tx AS (SELECT doc_id,
-            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
-          FROM documents),
-        sc AS (SELECT doc_id,
-            list_reduce(list_transform(toks,
-              t2 -> CAST((('0x' || substr(md5('qc:' || t2), 1, 15))::BIGINT % 4096) % 997 AS DOUBLE)
-                   / 997.0 - 0.5),
-              (x, y) -> x + y) / len(toks) AS score
-          FROM tx),
-        d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
-          FROM documents),
-        c AS (SELECT doc_id, toks,
-          CASE WHEN len(toks) <= 8 THEN 1 ELSE (len(toks) - 8 + 7) // 8 + 1 END AS nc
-          FROM d),
-        useg AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c),
-        e AS (SELECT doc_id, i - 1 AS pos,
-          array_to_string(toks[(i-1)*8 + 1 : (i-1)*8 + 8], ' ') AS seg FROM useg),
-        k AS (SELECT e.*, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM e),
-        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM k GROUP BY h),
-        j AS (SELECT k.doc_id, k.pos, k.seg, f.df FROM k JOIN f ON f.h = k.h),
-        cl AS (SELECT doc_id, COUNT(*) AS n_seg,
-          SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS n_dropped,
-          COALESCE(string_agg(CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), '') AS clean_text
-          FROM j GROUP BY doc_id),
-        sp AS (SELECT cl.*,
-          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
-            THEN 'train' ELSE 'eval' END AS split FROM cl),
-        can AS (SELECT sp.*,
-          MIN(doc_id) OVER (PARTITION BY
-            md5(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))))) AS canonical_id
-          FROM sp),
-        ct AS (SELECT doc_id, split,
-          string_split(lower(trim(regexp_replace(clean_text, '\\s+', ' ', 'g'))), ' ') AS ctoks
-          FROM sp),
-        g8 AS (SELECT doc_id, split,
-            unnest(list_distinct(list_transform(generate_series(1, len(ctoks) - 7),
-              i -> ('0x' || substr(md5(array_to_string(ctoks[i:i+7], ' ')), 1, 15))::BIGINT))) AS g
-          FROM ct WHERE len(ctoks) >= 8),
-        eg AS (SELECT DISTINCT g FROM g8 WHERE split = 'eval'),
-        sh AS (SELECT t.doc_id, COUNT(*) AS n_shared
-          FROM g8 t JOIN eg ON eg.g = t.g WHERE t.split = 'train'
-          GROUP BY t.doc_id),
-        content AS (SELECT cn.doc_id,
-          (cn.split = 'train' AND cn.doc_id = cn.canonical_id
-            AND COALESCE(sh.n_shared, 0) = 0 AND cn.clean_text <> '') AS content_keep
-          FROM can cn LEFT JOIN sh ON sh.doc_id = cn.doc_id),
-        prov AS (SELECT b.doc_id,
-          ((b.doc_id = b.canonical_id) AND NOT b.blocked
-            AND COALESCE(r.in_cap, FALSE) AND sc.score >= -0.08) AS provenance_keep
-          FROM b LEFT JOIN r ON r.doc_id = b.doc_id
-          JOIN sc ON sc.doc_id = b.doc_id),
-        $ngramLmCteSql,
-        smp AS (SELECT lang, lm_score, doc_id FROM scs WHERE doc_id % 3 = 0),
-        rk AS (SELECT lang, lm_score,
-            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
-            COUNT(*) OVER (PARTITION BY lang) AS m FROM smp),
-        th AS (SELECT lang,
-            MAX(CASE WHEN rn = CAST(ceil(CAST(m AS DOUBLE) / 3.0) AS BIGINT)
-              THEN lm_score END) AS t1,
-            MAX(CASE WHEN rn = CAST(ceil(2.0 * CAST(m AS DOUBLE) / 3.0) AS BIGINT)
-              THEN lm_score END) AS t2
-          FROM rk GROUP BY lang),
-        qual AS (SELECT s.doc_id,
-            COALESCE(s.lm_score > th.t1, FALSE) AS quality_keep
-          FROM scs s LEFT JOIN th ON th.lang = s.lang)
+      Some(s"""WITH $releaseVerdictCtes,
+        $lmQualityCtes
         SELECT content.doc_id, content_keep, provenance_keep,
           COALESCE(qual.quality_keep, FALSE) AS quality_keep,
           (content_keep AND provenance_keep
             AND COALESCE(qual.quality_keep, FALSE)) AS keep
         FROM content JOIN prov ON prov.doc_id = content.doc_id
         LEFT JOIN qual ON qual.doc_id = content.doc_id
+        ORDER BY content.doc_id""")),
+
+    // ---- The FULL curation release (qx14): the published pipeline
+    // ordering — quality ∧ resample ∧ mixture ∧ decontaminate — in ONE
+    // oracled verdict. qx13's three arms (content, provenance, CCNet
+    // LM gate) conjoined with the round-17 curation stack: the TRAINED
+    // quality classifier (qt46's 8-step GD weights, keep = margin > 0),
+    // DSIR importance resampling (qt47's salted draw against the
+    // normalized target-likeness weight), and temperature-scaled
+    // mixture targeting (qt48's α = 1/2 strata). Six per-stage flags
+    // stay visible so a corpus build can report WHY a document
+    // dropped. MEASURED arm contribution (docs rejected by ONE arm
+    // alone among the other five's keeps): sf0.01 = 2 content / 66
+    // provenance / 4 LM / 4 classifier / 3 DSIR / 5 mixture, 10
+    // releases of 500; sf0.001 = 0/95/3/2/10/3, 13 releases — every
+    // new arm genuinely decides documents at both SFs. Plan shape:
+    // six INDEPENDENT verdict subtrees — each
+    // already plan-audited on its own row — composed by slim
+    // doc-keyed equi-joins; the only additions over the parts are
+    // five hash joins on (doc_id, boolean) projections, so at 100 TB
+    // the composite scales exactly as its pieces do. Oracle = the
+    // proven CTE families chained verbatim: the release prefix and LM
+    // segment shared with qx11/qx13, and the qt46/qt47/qt48 chains
+    // embedded under qc_/ds_/tm_ prefixes (their standalone oracles
+    // are the SAME generator at prefix ""). ----
+    QueryDef("qx14_curation_release",
+      (s, dir) => {
+        val (content, prov) = releaseHalves(s, dir)
+        val docs = lmDocs(s, dir)
+        val model = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 5 === 0), "text2", "lang")
+        val scores = graft.text.NgramLm.score(
+            docs, "doc_id", "text2", "lang", model)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val quality = graft.text.NgramLm.tertileGate(scores)
+          .select(col("doc_id"), col("keep").as("lm_keep"))
+        val prepC = graft.text.Classifier.prepareQuality(
+            graft.ops.Partitioning.spread(t(s, dir, "documents")),
+            "text", "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val w = graft.text.Classifier.trainQuality(prepC)
+        val clf = prepC.select(col("doc_id"),
+          (graft.text.Classifier.margin(col("bs"), col("n"), w) > lit(0.0))
+            .as("clf_keep"))
+        val prepD = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
+              graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
+            graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lut = graft.text.Dsir.fitRatioLut(prepD, "is_target")
+        val wts = prepD.select(col("doc_id"),
+            graft.text.Dsir.importanceWeight(col("bs"), lut).as("weight"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val mm = wts.agg(max(col("weight")).as("mw"),
+          min(col("weight")).as("mn"))
+        val dsir = wts.crossJoin(broadcast(mm))
+          .select(col("doc_id"),
+            graft.text.Dsir.keepByWeight(col("doc_id"), col("weight"),
+              col("mn"), col("mw")).as("dsir_keep"))
+        val mix = graft.text.Mixture.temperatureMixtureKeep(
+            t(s, dir, "documents"), "doc_id", "lang")
+          .select(col("doc_id"), col("keep").as("mix_keep"))
+        content.join(prov, "doc_id")
+          .join(quality, Seq("doc_id"), "left")
+          .join(clf, "doc_id").join(dsir, "doc_id").join(mix, "doc_id")
+          .select(col("doc_id"), col("content_keep"), col("provenance_keep"),
+            coalesce(col("lm_keep"), lit(false)).as("lm_keep"),
+            col("clf_keep"), col("dsir_keep"), col("mix_keep"),
+            (col("content_keep") && col("provenance_keep") &&
+              coalesce(col("lm_keep"), lit(false)) &&
+              col("clf_keep") && col("dsir_keep") && col("mix_keep"))
+              .as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $releaseVerdictCtes,
+        $lmQualityCtes,
+        ${qt46CtesSql("qc_")},
+        ${qt47CtesSql("ds_")},
+        ${qt48CtesSql("tm_")},
+        clf AS (SELECT doc_id,
+            (list_reduce(list_transform(bs, b -> qc_a8.wa[b + 1]), (x, z) -> x + z) / n > 0.0) AS clf_keep
+          FROM qc_dl, qc_a8),
+        dsr AS (SELECT ds_wt.doc_id,
+            CASE WHEN ds_mx.mw = ds_mx.mn THEN FALSE
+              ELSE CAST(('0x' || substr(md5('dsir:' || CAST(ds_wt.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS DOUBLE)
+                / 1048576.0 < (ds_wt.weight - ds_mx.mn) / (ds_mx.mw - ds_mx.mn) END AS dsir_keep
+          FROM ds_wt, ds_mx),
+        tmx AS (SELECT d2.doc_id,
+            ('0x' || substr(md5('tmix:' || CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % tm_tg.grp_n < tm_tg.target_n AS mix_keep
+          FROM documents d2 JOIN tm_tg ON tm_tg.lang = d2.lang)
+        SELECT content.doc_id, content_keep, provenance_keep,
+          COALESCE(qual.quality_keep, FALSE) AS lm_keep,
+          clf.clf_keep, dsr.dsir_keep, tmx.mix_keep,
+          (content_keep AND provenance_keep
+            AND COALESCE(qual.quality_keep, FALSE)
+            AND clf.clf_keep AND dsr.dsir_keep AND tmx.mix_keep) AS keep
+        FROM content JOIN prov ON prov.doc_id = content.doc_id
+        LEFT JOIN qual ON qual.doc_id = content.doc_id
+        JOIN clf ON clf.doc_id = content.doc_id
+        JOIN dsr ON dsr.doc_id = content.doc_id
+        JOIN tmx ON tmx.doc_id = content.doc_id
         ORDER BY content.doc_id""")),
 
     // ---- Decontamination panel (qx12): one verdict row per TRAIN
