@@ -28,6 +28,41 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
+  /** Rows retired from the BENCH set only — every one still runs in
+    * the correctness gate (graft.Verify + the DuckDB oracle) each
+    * round. Retirement principle: a row leaves the bench when its
+    * operator is strictly contained in a superior SHIPPING row that
+    * stays benched, so the bench measures the surface a user deploys
+    * rather than re-timing each rung of a design ladder whose lesson
+    * is already recorded (BENCH_LOCAL r18 has the measured floor
+    * arithmetic for this exact set):
+    *  - qs17/qs19/qs20 — the PQ bit-budget ladder (m=4 toy, its Lloyd
+    *    arm, the k-only lever) superseded by serving-grade qs21/qs24;
+    *  - qs10/qs12/qs13 — the int8 ladder and its measured negatives,
+    *    superseded by qs28 (SQ8) and the topKOn float-cells contract;
+    *  - qs8/qs11/qs14 — the recall/iteration ladder, superseded by the
+    *    serving rows (qs22/qs24) and qs35, which measure recall on the
+    *    deployed shape every round;
+    *  - qs25/qs26 — ADC-variant measured negatives, superseded by
+    *    qs24/qs29;
+    *  - qs27 — its frozen-model serving chain is qs35's frozen arm
+    *    verbatim, re-measured there each round;
+    *  - qx11/qx13 — strict subtrees of the full curation release qx14
+    *    (all three still gate-checked, so the composites cannot
+    *    drift apart silently).
+    */
+  val benchRetired: Set[String] = Set(
+    "qs8_ann_recall", "qs10_int8_ann", "qs11_ann_recall_lloyd",
+    "qs12_int8_ivf_ann", "qs13_int8_ivf_float_cells",
+    "qs14_ann_recall_lloyd2", "qs17_pq_ann", "qs19_pq_lloyd",
+    "qs20_pq_k64", "qs25_ivfpq_residual", "qs26_binary_hamming",
+    "qs27_incremental_index", "qx11_full_release",
+    "qx13_release_with_quality")
+
+  /** The benched (shipping-surface) subset of [[queries]]. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries.filterNot { case (name, _) => benchRetired(name) }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

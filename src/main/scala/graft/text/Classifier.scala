@@ -116,7 +116,19 @@ object Classifier {
       (java.lang.Double.doubleToLongBits(eta) & 0xfffffffffffffL) == 0L,
       s"eta must be a finite power of two for an exact weight update, " +
         s"got $eta")
-    val nDocs = prepared.count().toDouble
+    val nRows = prepared.count()
+    // Loud Long-range guard on the fixed-point gradient accumulate
+    // (the Dsir rMax / Mixture wsum discipline): each occurrence
+    // contributes floor((y−p)/n · 2^32) and a doc holds ≤ n
+    // occurrences, so a bucket's exact-long sum is bounded by
+    // nDocs · 2^32 — at nDocs ≥ 2^31 it can wrap, and the two engines
+    // diverge silently (Spark wraps, DuckDB raises). Train on a
+    // bounded sample (the CCNet posture — a quality classifier does
+    // not need the whole corpus) past that bound.
+    require(nRows < (1L << 31),
+      s"$nRows training docs: the floor(g*2^32) per-bucket gradient " +
+        "sum risks Long overflow at nDocs >= 2^31 - train on a sample")
+    val nDocs = nRows.toDouble
     val w = Array.fill(dim)(0.0)
     var step = 0
     while (step < steps) {

@@ -23,4 +23,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.contains("q32_adjusted_close"))
   }
+
+  test("bench retirement only names real queries and shrinks the bench " +
+      "set exactly — a typo'd name would silently retire nothing") {
+    assert(SparkEntry.benchRetired.subsetOf(SparkEntry.queries.keySet),
+      s"unknown: ${SparkEntry.benchRetired -- SparkEntry.queries.keySet}")
+    assert(SparkEntry.benchQueries.size ==
+      SparkEntry.queries.size - SparkEntry.benchRetired.size)
+    // every retired row keeps its correctness gate: it must still be
+    // oracled (or at minimum registered) in the Verify surface
+    assert(SparkEntry.benchRetired.subsetOf(SparkEntry.oracleSql.keySet))
+  }
 }
