@@ -193,7 +193,8 @@ object Explain {
         // codes riding the scans, candidate join a cell equi-join,
         // broadcast query cells/ADC tables) — a re-encode that
         // shuffles means the map-only refit claim broke
-        "qx14_curation_release", "qs35_refit_recovery")
+        "qx14_curation_release", "qs35_refit_recovery",
+        "qs36_refit_lloyd")
     // (qt46_trained_quality_classifier is deliberately absent for
     // the qt39 reason: its body RUNS K gradient-aggregate rounds —
     // a fit, not a lazy plan; the serving fold it ends in is the

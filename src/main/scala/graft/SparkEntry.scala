@@ -36,15 +36,20 @@ object SparkEntry {
     * rather than re-timing each rung of a design ladder whose lesson
     * is already recorded (BENCH_LOCAL r18 has the measured floor
     * arithmetic for this exact set):
-    *  - qs17/qs19/qs20 — the PQ bit-budget ladder (m=4 toy, its Lloyd
-    *    arm, the k-only lever) superseded by serving-grade qs21/qs24;
-    *  - qs10/qs12/qs13 — the int8 ladder and its measured negatives,
-    *    superseded by qs28 (SQ8) and the topKOn float-cells contract;
-    *  - qs8/qs11/qs14 — the recall/iteration ladder, superseded by the
-    *    serving rows (qs22/qs24) and qs35, which measure recall on the
-    *    deployed shape every round;
-    *  - qs25/qs26 — ADC-variant measured negatives, superseded by
-    *    qs24/qs29;
+    *  - qs17/qs19/qs20/qs21/qs23 — the PQ bit-budget/ADC ladder (m=4
+    *    toy, its Lloyd arm, the k-only lever, the 128-bit recon top,
+    *    cell-less ADC) superseded by the qs24 serving shape (same
+    *    m=16 × k=256 codes, ADC-scored, recall measured every round);
+    *  - qs7/qs10/qs12/qs13 — the int8 ladder and its measured
+    *    negatives, superseded by qs28 (SQ8) and the topKOn
+    *    float-cells contract;
+    *  - qs3/qs8/qs11/qs14 — the float-IVF/recall-iteration ladder,
+    *    superseded by the serving rows (qs22/qs24) and qs35/qs36,
+    *    which measure recall on the deployed shape every round;
+    *  - qs4 — single-table LSH, superseded by multi-table qs5 (and
+    *    the qs6/qs15 near-dup forms);
+    *  - qs18/qs25/qs26 — recon-serving predecessor and ADC-variant
+    *    measured negatives, superseded by qs22/qs24/qs29;
     *  - qs27 — its frozen-model serving chain is qs35's frozen arm
     *    verbatim, re-measured there each round;
     *  - qx11/qx13 — strict subtrees of the full curation release qx14
@@ -52,12 +57,13 @@ object SparkEntry {
     *    drift apart silently).
     */
   val benchRetired: Set[String] = Set(
-    "qs8_ann_recall", "qs10_int8_ann", "qs11_ann_recall_lloyd",
-    "qs12_int8_ivf_ann", "qs13_int8_ivf_float_cells",
-    "qs14_ann_recall_lloyd2", "qs17_pq_ann", "qs19_pq_lloyd",
-    "qs20_pq_k64", "qs25_ivfpq_residual", "qs26_binary_hamming",
-    "qs27_incremental_index", "qx11_full_release",
-    "qx13_release_with_quality")
+    "qs3_ivf_topk", "qs4_lsh_topk", "qs7_int8_quant", "qs8_ann_recall",
+    "qs10_int8_ann", "qs11_ann_recall_lloyd", "qs12_int8_ivf_ann",
+    "qs13_int8_ivf_float_cells", "qs14_ann_recall_lloyd2",
+    "qs17_pq_ann", "qs18_ivfpq_ann", "qs19_pq_lloyd", "qs20_pq_k64",
+    "qs21_pq_128bit", "qs23_pq_adc", "qs25_ivfpq_residual",
+    "qs26_binary_hamming", "qs27_incremental_index",
+    "qx11_full_release", "qx13_release_with_quality")
 
   /** The benched (shipping-surface) subset of [[queries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
