@@ -54,7 +54,12 @@ object SparkEntry {
     *    verbatim, re-measured there each round;
     *  - qx11/qx13 — strict subtrees of the full curation release qx14
     *    (all three still gate-checked, so the composites cannot
-    *    drift apart silently).
+    *    drift apart silently);
+    *  - qt46 — its train + margin-serve chain runs VERBATIM (twice)
+    *    inside qt49's frozen arm, which also measures it every round;
+    *  - qst18 — its stream scoring path is qst21's with the
+    *    full-corpus fit predicate, the form SCALING.md's own note
+    *    says a real crawl edge replaces with the sample-frozen fit.
     */
   val benchRetired: Set[String] = Set(
     "qs3_ivf_topk", "qs4_lsh_topk", "qs7_int8_quant", "qs8_ann_recall",
@@ -63,6 +68,7 @@ object SparkEntry {
     "qs17_pq_ann", "qs18_ivfpq_ann", "qs19_pq_lloyd", "qs20_pq_k64",
     "qs21_pq_128bit", "qs23_pq_adc", "qs25_ivfpq_residual",
     "qs26_binary_hamming", "qs27_incremental_index",
+    "qt46_trained_quality_classifier", "qst18_stream_dsir",
     "qx11_full_release", "qx13_release_with_quality")
 
   /** The benched (shipping-surface) subset of [[queries]]. */

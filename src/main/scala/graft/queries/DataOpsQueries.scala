@@ -702,18 +702,19 @@ object DataOpsQueries {
     * colliding with the release CTEs (qx13's own `g8`/`dom` would
     * otherwise shadow the gradient/domain tables).
     */
-  private def qt46CtesSql(pre: String): String = {
+  private def qt46CtesSql(pre: String, textSql: String = "text"): String = {
     val dim = 4096
     val steps = 8
     val eta = "128.0"
     val stop = "['the','a','of','and','to','is','in']"
+    val norm = s"lower(trim(regexp_replace($textSql, '\\s+', ' ', 'g')))"
     val sb = new StringBuilder
     sb.append(s"""${pre}dl AS MATERIALIZED (SELECT doc_id,
         CAST(CASE WHEN 50 * len(list_filter(toks, s2 -> list_contains($stop, s2))) >= 3 * len(toks)
           THEN 1 ELSE 0 END AS INT) AS y,
         CAST(len(toks) AS DOUBLE) AS n,
         list_transform(toks, s2 -> CAST(('0x' || substr(md5('qc:' || s2), 1, 15))::BIGINT % $dim AS INT)) AS bs
-      FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents) q),
+      FROM (SELECT doc_id, string_split($norm, ' ') AS toks FROM documents) q),
       ${pre}nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM ${pre}dl),
       ${pre}dom AS MATERIALIZED (SELECT unnest(generate_series(0, ${dim - 1})) AS b),
       ${pre}g1 AS MATERIALIZED (SELECT b,
@@ -5126,6 +5127,85 @@ object DataOpsQueries {
           .orderBy(col("doc_id"))
       },
       Some(qt46OracleSql)),
+
+    // ---- Retrain after the drift alarm (qt49): the text-side twin of
+    // qs34 → qs35/qs36 — qst19's monitor fires on a drifted ingest
+    // window and this row closes ITS dead end: what does retraining
+    // the frozen scorer actually buy? Fixture: ingest window
+    // doc_id % 4 = 3 arrives from a changed source that floods one
+    // feature (every second token a boilerplate 'zq' — n/2 noise
+    // tokens appended, the qst19 dressing made feature-effective),
+    // which both shifts the feature distribution AND genuinely flips
+    // labels (the stopword ratio dilutes: 48/39 window-3 docs flip at
+    // sf0.001/sf0.01). The FROZEN qt46 classifier (trained pre-drift)
+    // is evaluated against the post-drift truth next to a RETRAINED
+    // one (same 8-step GD on the drifted corpus — 3/4 clean, 1/4
+    // drifted, the realistic posture). MEASURED per ingest window:
+    // the drifted window's accuracy collapses frozen (0.43 at
+    // sf0.001 / 0.59 at sf0.01 — below or near a coin flip) and
+    // retraining recovers it (0.82 / 0.78) while clean windows hold
+    // within ±0.02 — the quantified answer to "the alarm fired, now
+    // what". At 100 TB retraining costs what qt46 costs: K slim
+    // fixed-point gradient aggregates over the persisted projection +
+    // dim-row driver updates; the alarm → retrain loop is closed the
+    // same way qs34 → qs35 closed the index side. Oracle = TWO qt46
+    // unrolled-GD chains (f_ fit on the pre-drift corpus, r_ on the
+    // drifted one — the SAME generator parametrized by the source
+    // text expression) + one grouped eval select. ----
+    QueryDef("qt49_retrain_on_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dressed = docs.select(col("doc_id"),
+          when(col("doc_id") % 4 === 3,
+            concat(col("text"), repeat(lit(" zq"),
+              (size(TextOps.tokens(col("text"))) / lit(2)).cast("int"))))
+            .otherwise(col("text")).as("text"))
+        val prepOld = graft.text.Classifier.prepareQuality(
+            graft.ops.Partitioning.spread(docs), "text", "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val prepNew = graft.text.Classifier.prepareQuality(
+            graft.ops.Partitioning.spread(dressed), "text", "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val w0 = graft.text.Classifier.trainQuality(prepOld)
+        val w1 = graft.text.Classifier.trainQuality(prepNew)
+        prepNew.select((col("doc_id") % 4).as("win"), col("y"),
+            (graft.text.Classifier.margin(col("bs"), col("n"), w0)
+              > lit(0.0)).as("pf"),
+            (graft.text.Classifier.margin(col("bs"), col("n"), w1)
+              > lit(0.0)).as("pr"))
+          .groupBy(col("win"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pf") === (col("y") === 1), 1L).otherwise(0L))
+              .as("okf"),
+            sum(when(col("pr") === (col("y") === 1), 1L).otherwise(0L))
+              .as("okr"))
+          .select(col("win").cast("int").as("win"),
+            col("n").cast("int").as("n_docs"),
+            col("okf").cast("int").as("n_frozen_ok"),
+            col("okr").cast("int").as("n_retrain_ok"),
+            (col("okf").cast("double") / col("n").cast("double"))
+              .as("acc_frozen"),
+            (col("okr").cast("double") / col("n").cast("double"))
+              .as("acc_retrain"))
+          .orderBy(col("win"))
+      },
+      Some {
+        val dressedSql = "CASE WHEN doc_id % 4 = 3 THEN text || " +
+          "repeat(' zq', len(string_split(lower(trim(regexp_replace(" +
+          "text, '\\s+', ' ', 'g'))), ' ')) // 2) ELSE text END"
+        s"""WITH ${qt46CtesSql("f_")},
+        ${qt46CtesSql("r_", dressedSql)},
+        ev AS (SELECT d.doc_id % 4 AS win, d.y,
+            (list_reduce(list_transform(d.bs, b -> f_a8.wa[b + 1]), (x, z) -> x + z) / d.n > 0.0) AS pf,
+            (list_reduce(list_transform(d.bs, b -> r_a8.wa[b + 1]), (x, z) -> x + z) / d.n > 0.0) AS pr
+          FROM r_dl d, f_a8, r_a8)
+        SELECT CAST(win AS INT) AS win, CAST(COUNT(*) AS INT) AS n_docs,
+          CAST(SUM(CASE WHEN pf = (y = 1) THEN 1 ELSE 0 END) AS INT) AS n_frozen_ok,
+          CAST(SUM(CASE WHEN pr = (y = 1) THEN 1 ELSE 0 END) AS INT) AS n_retrain_ok,
+          CAST(SUM(CASE WHEN pf = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc_frozen,
+          CAST(SUM(CASE WHEN pr = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc_retrain
+        FROM ev GROUP BY win ORDER BY win"""
+      }),
 
     // ---- DSIR importance resampling (qt47): the published sampling
     // layer between quality filtering and mixture targeting (Xie et
