@@ -57,6 +57,9 @@ object SparkEntry {
     *    drift apart silently);
     *  - qt46 — its train + margin-serve chain runs VERBATIM (twice)
     *    inside qt49's frozen arm, which also measures it every round;
+    *  - qs34 — its occupancy fold and integer refit verdict run
+    *    VERBATIM inside qst22 (the per-append streaming form, same
+    *    oracle), which is the shape production actually schedules;
     *  - qst18 — its stream scoring path is qst21's with the
     *    full-corpus fit predicate, the form SCALING.md's own note
     *    says a real crawl edge replaces with the sample-frozen fit.
@@ -68,8 +71,9 @@ object SparkEntry {
     "qs17_pq_ann", "qs18_ivfpq_ann", "qs19_pq_lloyd", "qs20_pq_k64",
     "qs21_pq_128bit", "qs23_pq_adc", "qs25_ivfpq_residual",
     "qs26_binary_hamming", "qs27_incremental_index",
-    "qt46_trained_quality_classifier", "qst18_stream_dsir",
-    "qx11_full_release", "qx13_release_with_quality")
+    "qs34_index_health_audit", "qt46_trained_quality_classifier",
+    "qst18_stream_dsir", "qx11_full_release",
+    "qx13_release_with_quality")
 
   /** The benched (shipping-surface) subset of [[queries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

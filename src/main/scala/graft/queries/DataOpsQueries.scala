@@ -473,6 +473,46 @@ object DataOpsQueries {
             COALESCE(s.lm_score > th.t1, FALSE) AS quality_keep
           FROM scs s LEFT JOIN th ON th.lang = s.lang)"""
 
+  /** qs34's closed-form occupancy/refit oracle — shared VERBATIM by
+    * its streaming twin qst22 (the strongest streaming≡batch pin).
+    */
+  private lazy val qs34OracleSql: String = """WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 <> 0),
+        bat AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0),
+        seeds AS (SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id, embedding FROM old ORDER BY vec_id LIMIT 8)),
+        czero AS (SELECT list_transform(ce, x -> CAST(x AS DOUBLE)) AS c0d
+          FROM seeds WHERE cell = 0),
+        batd AS (SELECT b.vec_id,
+            list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(CAST(b.embedding[i] AS DOUBLE) * 0.1 + czero.c0d[i] * 0.9 AS FLOAT)) AS embedding
+          FROM bat b, czero),
+        ao AS (SELECT vec_id, cell FROM (
+          SELECT o.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY o.vec_id
+            ORDER BY list_reduce(list_transform(range(1, len(o.embedding) + 1),
+              i -> (CAST(o.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                 * (CAST(o.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM old o CROSS JOIN seeds c) q WHERE rk = 1),
+        ab AS (SELECT vec_id, cell FROM (
+          SELECT b.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+            ORDER BY list_reduce(list_transform(range(1, len(b.embedding) + 1),
+              i -> (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                 * (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
+              c.cell) AS rk
+          FROM batd b CROSS JOIN seeds c) q WHERE rk = 1),
+        occ AS (SELECT cell, CAST(SUM(in_fit) AS BIGINT) AS n_fit,
+            CAST(COUNT(*) AS BIGINT) AS n_now
+          FROM (SELECT cell, 1 AS in_fit FROM ao
+                UNION ALL SELECT cell, 0 FROM ab) u GROUP BY cell),
+        tot AS (SELECT MAX(n_fit) AS mf, CAST(SUM(n_fit) AS BIGINT) AS tf,
+            MAX(n_now) AS mn, CAST(SUM(n_now) AS BIGINT) AS tn FROM occ)
+        SELECT CAST(occ.cell AS INT) AS cell,
+          CAST(occ.n_fit AS INT) AS n_fit, CAST(occ.n_now AS INT) AS n_now,
+          CAST(occ.n_now - occ.n_fit AS INT) AS growth,
+          (2 * tot.mf * 8 >= 3 * tot.tf) AS refit_at_fit,
+          (2 * tot.mn * 8 >= 3 * tot.tn) AS refit
+        FROM occ, tot ORDER BY occ.cell"""
+
   /** qs35/qs36's shared drift-fixture CTEs: the qs34 dressed batch,
     * the drifted union, the both-region query set, and the
     * brute-force truth. */
@@ -3947,42 +3987,69 @@ object DataOpsQueries {
               .as("refit"))
           .orderBy(col("cell"))
       },
-      Some("""WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 <> 0),
-        bat AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0),
-        seeds AS (SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-          FROM (SELECT vec_id, embedding FROM old ORDER BY vec_id LIMIT 8)),
-        czero AS (SELECT list_transform(ce, x -> CAST(x AS DOUBLE)) AS c0d
-          FROM seeds WHERE cell = 0),
-        batd AS (SELECT b.vec_id,
-            list_transform(range(1, len(b.embedding) + 1),
-              i -> CAST(CAST(b.embedding[i] AS DOUBLE) * 0.1 + czero.c0d[i] * 0.9 AS FLOAT)) AS embedding
-          FROM bat b, czero),
-        ao AS (SELECT vec_id, cell FROM (
-          SELECT o.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY o.vec_id
-            ORDER BY list_reduce(list_transform(range(1, len(o.embedding) + 1),
-              i -> (CAST(o.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-                 * (CAST(o.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
-              c.cell) AS rk
-          FROM old o CROSS JOIN seeds c) q WHERE rk = 1),
-        ab AS (SELECT vec_id, cell FROM (
-          SELECT b.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY b.vec_id
-            ORDER BY list_reduce(list_transform(range(1, len(b.embedding) + 1),
-              i -> (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
-                 * (CAST(b.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), (x, y) -> x + y),
-              c.cell) AS rk
-          FROM batd b CROSS JOIN seeds c) q WHERE rk = 1),
-        occ AS (SELECT cell, CAST(SUM(in_fit) AS BIGINT) AS n_fit,
-            CAST(COUNT(*) AS BIGINT) AS n_now
-          FROM (SELECT cell, 1 AS in_fit FROM ao
-                UNION ALL SELECT cell, 0 FROM ab) u GROUP BY cell),
-        tot AS (SELECT MAX(n_fit) AS mf, CAST(SUM(n_fit) AS BIGINT) AS tf,
-            MAX(n_now) AS mn, CAST(SUM(n_now) AS BIGINT) AS tn FROM occ)
-        SELECT CAST(occ.cell AS INT) AS cell,
-          CAST(occ.n_fit AS INT) AS n_fit, CAST(occ.n_now AS INT) AS n_now,
-          CAST(occ.n_now - occ.n_fit AS INT) AS growth,
-          (2 * tot.mf * 8 >= 3 * tot.tf) AS refit_at_fit,
-          (2 * tot.mn * 8 >= 3 * tot.tn) AS refit
-        FROM occ, tot ORDER BY occ.cell""")),
+      Some(qs34OracleSql)),
+
+    // ---- Streamed index-health audit (qst22): qs34 run WHERE it
+    // belongs operationally — ON the append stream, per arriving
+    // batch, so the refit alarm fires at ingest time instead of on a
+    // scheduled scan. The arriving vectors (the qs34 dressed batch)
+    // flow as a stream; cell assignment is a STATELESS codegen
+    // projection riding it (NearestCell against the frozen coarse
+    // model — the qst17 frozen-model class); ONE windowed streaming
+    // count aggregate per cell (state = K+1 longs per window at any
+    // arrival rate — the qst19 histogram class) flushes on the
+    // far-future sentinel; the fit-side occupancy is a K-row batch
+    // table and the integer refit verdict composes post-flush with
+    // the SAME expressions the batch row uses. Oracle = qs34's SQL
+    // VERBATIM — stream ≡ batch pinned on the alarm itself. ----
+    QueryDef("qst22_stream_index_health",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val old = e.filter(col("vec_id") % 8 =!= 0)
+        val cells = Ivf.fit(old, "vec_id", "embedding", k = 8, iters = 0)
+        val c0Lit = array(cells.centroids(0).map(lit): _*)
+        val fitOcc = Ivf.assign(old, "vec_id", "embedding", cells)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_fit"))
+        val sent = Seq(-1).toDF("cell")
+          .select(col("cell"), timestamp_micros(lit(SentinelUs)).as("ts"))
+        val arriv = withSentinelStream(s, sent, "cell INT, ts TIMESTAMP") {
+          sentArm =>
+          val arriving = replayTable(s, dir, "embeddings")
+            .filter(col("vec_id") % 8 === 0)
+            .select(graft.functions.NearestCell.nearest_cell(
+                zip_with(col("embedding"), c0Lit, (x, c) =>
+                  (x.cast("double") * lit(0.1) + c * lit(0.9))
+                    .cast("float")),
+                cells.centroids).as("cell"),
+              lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+          val counts = arriving.unionByName(sentArm)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("cell"))
+            .agg(count(lit(1)).as("n_arriv"))
+            .select(col("cell"), col("n_arriv"))
+          runAvailableNow(s, counts).filter(col("cell") >= 0)
+        }
+        val occ = fitOcc.join(arriv, Seq("cell"), "full_outer")
+          .select(col("cell"),
+            coalesce(col("n_fit"), lit(0L)).as("n_fit"),
+            (coalesce(col("n_fit"), lit(0L)) +
+              coalesce(col("n_arriv"), lit(0L))).as("n_now"))
+        val tot = occ.agg(
+          max(col("n_fit")).as("mf"), sum(col("n_fit")).as("tf"),
+          max(col("n_now")).as("mn"), sum(col("n_now")).as("tn"))
+        occ.crossJoin(broadcast(tot))
+          .select(col("cell"),
+            col("n_fit").cast("int").as("n_fit"),
+            col("n_now").cast("int").as("n_now"),
+            (col("n_now") - col("n_fit")).cast("int").as("growth"),
+            (lit(2L) * col("mf") * lit(8L) >= lit(3L) * col("tf"))
+              .as("refit_at_fit"),
+            (lit(2L) * col("mn") * lit(8L) >= lit(3L) * col("tn"))
+              .as("refit"))
+          .orderBy(col("cell"))
+      },
+      Some(qs34OracleSql)),
 
     // ---- REFIT after the alarm (qs35): the consumer qs34's trigger
     // was missing — the lifecycle was fit → freeze → append (qs27) →
