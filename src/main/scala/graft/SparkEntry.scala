@@ -62,7 +62,13 @@ object SparkEntry {
     *    oracle), which is the shape production actually schedules;
     *  - qst18 — its stream scoring path is qst21's with the
     *    full-corpus fit predicate, the form SCALING.md's own note
-    *    says a real crawl edge replaces with the sample-frozen fit.
+    *    says a real crawl edge replaces with the sample-frozen fit;
+    *  - qx14 — its entire six-arm verdict runs VERBATIM inside qx15
+    *    (curationRelease is one shared function), which additionally
+    *    materializes the kept set as the shard-lake artifact and
+    *    reads it back — the release a user actually ships. The
+    *    verdict flags stay oracle-checked on qx14's own gate row
+    *    every round.
     */
   val benchRetired: Set[String] = Set(
     "qs3_ivf_topk", "qs4_lsh_topk", "qs7_int8_quant", "qs8_ann_recall",
@@ -73,7 +79,7 @@ object SparkEntry {
     "qs26_binary_hamming", "qs27_incremental_index",
     "qs34_index_health_audit", "qt46_trained_quality_classifier",
     "qst18_stream_dsir", "qx11_full_release",
-    "qx13_release_with_quality")
+    "qx13_release_with_quality", "qx14_curation_release")
 
   /** The benched (shipping-surface) subset of [[queries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -52,29 +52,11 @@ object DocLake {
     require(updateCols.nonEmpty, "refresh with no update columns is a no-op")
     require(!updateCols.contains(partCol) && !updateCols.contains(keyCol),
       "key and partition columns are lake-identity, not updatable")
-    // Entry guard, ONE job over the raw (not-yet-persisted) batch — a
-    // rejected batch must not leak a cached DataFrame. Two poison
-    // classes fail loudly here: (a) null key/partition values — a null
-    // partition value nulls BOTH isin filters below, so the row would
-    // be counted as an append yet written nowhere (silent loss); (b)
-    // escape-unsafe partition values — hive would percent-escape them
-    // in the directory name, and while the APPEND itself would
-    // succeed, every future refresh touching that key would fail the
-    // affected-partition require forever. The poison state must never
-    // enter the lake, so the append path enforces the same regex the
-    // refresh path checks.
-    val badBatch = batch.filter(col(keyCol).isNull || col(partCol).isNull ||
-      !col(partCol).cast("string").rlike("^" + SafePartValue + "$"))
-    require(badBatch.isEmpty,
-      s"batch carries null or escape-unsafe $keyCol/$partCol values - a " +
-        "document lake key and partition must be non-null and the " +
-        s"partition value identifier-safe ($SafePartValue); filter or " +
-        "canonicalize them upstream")
-    // The batch lineage feeds four consumers below (staging anti-join,
-    // broadcast key collects, the update projection) — at the
-    // streaming call site it is a per-micro-batch aggregation, so
-    // persist it once for the fold (day-sized; released in the outer
-    // finally).
+    // The batch lineage feeds five consumers below (the entry guard,
+    // the staging anti-join, broadcast key collects, the update
+    // projection) — at the streaming call site it is a per-micro-batch
+    // aggregation, so persist it once for the fold (day-sized;
+    // released in the outer finally).
     // appends read the lake (anti join on its pruned key column) — they
     // must be materialized DURABLY before the overwrite invalidates the
     // file listing. persist() is not enough off the happy path: if an
@@ -88,11 +70,35 @@ object DocLake {
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Everything after the persist sits in try/finally: a failure
-    // mid-maintenance must not leak the cached batch nor orphan the
-    // staging dir (invisible to readers, but retried batches would
-    // otherwise accumulate one dead _staging_appends_* dir per failure
-    // under the lake root, unbounded).
+    // mid-maintenance — INCLUDING a guard rejection — must not leak
+    // the cached batch nor orphan the staging dir (invisible to
+    // readers, but retried batches would otherwise accumulate one dead
+    // _staging_appends_* dir per failure under the lake root,
+    // unbounded).
     try {
+    // Entry guard, run on the PERSISTED handle so the rows validated
+    // are by construction the rows the fold consumes — a guard on the
+    // raw lineage would re-execute it, and a non-deterministic batch
+    // (the streaming call site's per-micro-batch aggregation) could
+    // pass validation on one materialization and fold a different
+    // one, reopening the silent-loss window the guard closes. Two
+    // poison classes fail loudly here: (a) null key/partition values —
+    // a null partition value nulls BOTH isin filters below, so the row
+    // would be counted as an append yet written nowhere (silent loss);
+    // (b) escape-unsafe partition values — hive would percent-escape
+    // them in the directory name, and while the APPEND itself would
+    // succeed, every future refresh touching that key would fail the
+    // affected-partition require forever. The poison state must never
+    // enter the lake, so the append path enforces the same regex the
+    // refresh path checks; rejection unwinds through the finally,
+    // which releases the cache.
+    val badBatch = b.filter(col(keyCol).isNull || col(partCol).isNull ||
+      !col(partCol).cast("string").rlike("^" + SafePartValue + "$"))
+    require(badBatch.isEmpty,
+      s"batch carries null or escape-unsafe $keyCol/$partCol values - a " +
+        "document lake key and partition must be non-null and the " +
+        s"partition value identifier-safe ($SafePartValue); filter or " +
+        "canonicalize them upstream")
     val lk = spark.read.parquet(lakeRoot)
     val cols = lk.columns.toSeq
     val batchKeys = b.select(col(keyCol))

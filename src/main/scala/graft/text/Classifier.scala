@@ -73,15 +73,21 @@ object Classifier {
     * persist this — it is consumed K+1 times.
     */
   def prepareQuality(docs: DataFrame, textCol: String, idCol: String,
-      dim: Int = 4096, salt: String = "qc"): DataFrame = {
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(idCol),
+      dim: Int = 4096, salt: String = "qc",
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` threads caller columns through the projection unchanged
+    // (a composite like qst23's admission stream prepares the SAME
+    // y/n/bs features mid-pipeline without losing its verdict flags);
+    // the feature expressions stay byte-identical either way
+    docs.select(col(idCol) +: carry.map(col) :+
+        TextOps.tokens(col(textCol)).as("toks"): _*)
+      .select(col(idCol) +: carry.map(col) :+
         when(stopwordLabel(col("toks")), lit(1)).otherwise(lit(0))
-          .cast("int").as("y"),
-        size(col("toks")).as("n"),
+          .cast("int").as("y") :+
+        size(col("toks")).as("n") :+
         transform(graft.functions.TokenHashes60.token_hashes60(
             transform(col("toks"), t => concat(lit(salt + ":"), t))),
-          h => (h % dim).cast("int")).as("bs"))
+          h => (h % dim).cast("int")).as("bs"): _*)
   }
 
   /** Margin w·x over a bucket array: the [[TextOps

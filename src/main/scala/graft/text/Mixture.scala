@@ -106,8 +106,13 @@ object Mixture {
     val nums = sizes.map { case (g, n) =>
       // loud Long-range guard (the Dsir rMax discipline): for n ≥ 2^62
       // sqrt(n)·2^32 exceeds Long.MaxValue and Double→Long would
-      // silently saturate, corrupting every share
-      require(n < (1L << 62),
+      // silently saturate, corrupting every share. The bound compares
+      // in DOUBLE because the arithmetic it protects does: n in
+      // [2^62−512, 2^62) passes an integer `n < 2^62` check yet rounds
+      // to exactly 2^62 as a double, sqrt gives exactly 2^31, and the
+      // product saturates anyway — the double compare rejects exactly
+      // the values whose rounded form reaches the overflow.
+      require(n.toDouble < (1L << 62).toDouble,
         s"stratum $g holds $n docs - the 2^32 fixed-point sqrt " +
           "numerator exceeds Long range (bound: n < 2^62)")
       (g, n, math.floor(math.sqrt(n.toDouble) * FixedPoint).toLong)
@@ -147,6 +152,16 @@ object Mixture {
     * expression batch-side and stream-side (which is what lets the
     * stream twin's oracle be the batch SQL verbatim).
     */
+  /** The mixture-admission draw alone: salted deterministic id-hash
+    * against the stratum's target share — shared verbatim by
+    * [[attachTargets]] and any composite that carries its own columns
+    * through the broadcast target attach (qst23's admission stream).
+    */
+  def keepExpr(id: Column, grpN: Column, targetN: Column,
+      salt: String = "tmix"): Column =
+    TextOps.hash60(concat(lit(s"$salt:"), id.cast("string"))) %
+      grpN < targetN
+
   def attachTargets(docs: DataFrame, idCol: String, groupCol: String,
       targets: Seq[(String, Long, Double, Long)],
       salt: String = "tmix"): DataFrame = {
@@ -164,8 +179,7 @@ object Mixture {
       .select(col(idCol), col(groupCol),
         col("grp_n").cast("int").as("grp_n"), col("share"),
         col("target_n").cast("int").as("target_n"),
-        (TextOps.hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
-          % col("grp_n") < col("target_n")).as("keep"))
+        keepExpr(col(idCol), col("grp_n"), col("target_n"), salt).as("keep"))
   }
 
   /** Per-document mixture-targeting verdict. Output:

@@ -297,25 +297,35 @@ object NgramLm {
     * Strict `>` against an exact sampled element makes boundary ties
     * land identically in any engine.
     */
-  def tertileGate(scores: DataFrame, sampleMod: Long = 3): DataFrame = {
-    // threshold attach is a LEFT join with a documented default: a
-    // language with zero docs in the id-sample gets bucket='tail',
-    // keep=false (the conservative CCNet disposition — unsampled means
-    // un-calibrated, not publishable) instead of silently vanishing
-    // from the output the way an inner join would drop it.
+  /** The per-language tertile thresholds alone — the FROZEN artifact a
+    * crawl edge deploys next to the collected model: (lang, t1, t2)
+    * from the doc_id % sampleMod score sample. [[tertileGate]] is this
+    * table joined back to every score; a streaming admission gate
+    * (qst23) collects it once and verdicts arrivals against it.
+    */
+  def tertileThresholds(scores: DataFrame, sampleMod: Long = 3): DataFrame = {
     val smp = scores.filter(col("doc_id") % sampleMod === 0)
       .select(col("lang"), col("lm_score"), col("doc_id"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("lm_score"), col("doc_id"))
     val rk = smp.withColumn("rn", row_number().over(w))
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("lang"))))
-    val th = rk.groupBy(col("lang")).agg(
+    rk.groupBy(col("lang")).agg(
       max(when(col("rn") ===
           ceil(col("m").cast("double") / lit(3.0)).cast("long"),
         col("lm_score"))).as("t1"),
       max(when(col("rn") ===
           ceil(lit(2.0) * col("m").cast("double") / lit(3.0)).cast("long"),
         col("lm_score"))).as("t2"))
+  }
+
+  def tertileGate(scores: DataFrame, sampleMod: Long = 3): DataFrame = {
+    // threshold attach is a LEFT join with a documented default: a
+    // language with zero docs in the id-sample gets bucket='tail',
+    // keep=false (the conservative CCNet disposition — unsampled means
+    // un-calibrated, not publishable) instead of silently vanishing
+    // from the output the way an inner join would drop it.
+    val th = tertileThresholds(scores, sampleMod)
     scores.join(broadcast(th), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("lm_score"),
         when(col("t2").isNotNull && col("lm_score") > col("t2"),

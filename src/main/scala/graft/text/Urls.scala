@@ -239,6 +239,13 @@ object Urls {
   def registrableDomainsPsl(df: DataFrame, urlCol: String, outCol: String,
       rules: Seq[PslRule] = bundledPsl): DataFrame = {
     require(rules.nonEmpty, "empty public-suffix rule set")
+    // the probe machinery owns the __psl_ namespace for its working
+    // columns (the materialized label array plus per-length probe
+    // columns) — a caller column there would be silently overwritten
+    // by the withColumn below and dropped on exit, so reject loudly
+    require(!df.columns.exists(_.startsWith("__psl_")),
+      s"input columns collide with the __psl_ working namespace: " +
+        df.columns.filter(_.startsWith("__psl_")).mkString(", "))
     val spark = df.sparkSession
     import spark.implicits._
     val maxK = rules.map(_.key.count(_ == '.') + 1).max

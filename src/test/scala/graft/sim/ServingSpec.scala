@@ -174,6 +174,64 @@ class ServingSpec extends SparkTestBase {
     }
   }
 
+  test("shortlistStream under out-of-order micro-batch delivery: late-but-" +
+      "in-watermark queries flush with batch-identical shortlists") {
+    // The OOO replay arm for the windowed bounded-TopK aggregate the
+    // qst10/qst12 rows ride (the SessionizeSpec two-half pattern): the
+    // file-replay pin above delivers every query in ONE micro-batch,
+    // so the sentinel-flush assumption — a query arriving LATE (inside
+    // the watermark) still lands its (window, query) state and flushes
+    // once with the exact batch shortlist — had never been exercised.
+    // Half the queries arrive at 10:30 first, the other half arrive
+    // AFTERWARD timestamped 10:00 (late, admitted: watermark is 09:30
+    // after batch 1), a far-future sentinel flushes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val thr = Similarity.signThresholds(emb, "vec_id", "embedding")
+    val pq = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 256)
+    val batch = Serving.twoStageTopK(emb, queries,
+        "vec_id", "embedding", "query_id", "qe", thr, pq,
+        k = 20, coarseK = 50, shortK = 20)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val art = emb.select($"vec_id",
+      Similarity.signBits($"embedding", thr).as("bincode"),
+      Pq.codes($"embedding", pq).as("pqcodes"))
+    val qLocal = queries.as[(Long, Array[Float])].collect()
+    def at(t: String)(qs: Array[(Long, Array[Float])]) =
+      qs.map { case (id, v) => (id, v, java.sql.Timestamp.valueOf(t)) }
+    val mem = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val out = Serving.shortlistStream(art,
+      mem.toDS().toDF("query_id", "qe", "ts"),
+      "vec_id", "query_id", "qe", "ts", thr, pq, coarseK = 50, shortK = 20)
+    val q = out.writeStream.format("memory").queryName("short_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(at("2024-01-01 10:30:00")(qLocal.filter(_._1 < 4)).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(at("2024-01-01 10:00:00")(qLocal.filter(_._1 >= 4)).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData((-1L, Array.fill(64)(0.0f),
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("short_ooo")
+        .filter($"query_id" >= 0)
+        .select($"query_id", $"shortlist")
+        .as[(Long, Seq[Long])].collect()
+      spark.catalog.dropTempView("short_ooo")
+      // each query flushed exactly once — a double emission would
+      // collide in toMap silently, so check multiplicity first
+      assert(streamed.length === batch.size,
+        s"expected one flush per query, got ${streamed.length}")
+      assert(streamed.map(_._1).toSet === batch.keySet)
+      streamed.foreach { case (qid, ids) =>
+        assert(ids.toSet === batch(qid),
+          s"query $qid: OOO-delivered shortlist diverges from batch stage 2")
+      }
+    } finally q.stop()
+  }
+
   test("shortlistStreamIvf flushes exactly the IVF composite's stage-2 shortlist") {
     // the stream ≡ batch pin for the cell-probed form: per query, the
     // flushed shortlist must be twoStageTopKIvf's stage-2 survivors —
