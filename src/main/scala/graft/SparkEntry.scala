@@ -68,7 +68,22 @@ object SparkEntry {
     *    materializes the kept set as the shard-lake artifact and
     *    reads it back — the release a user actually ships. The
     *    verdict flags stay oracle-checked on qx14's own gate row
-    *    every round.
+    *    every round;
+    *  - qt49 — both of its GD train chains (spread → prepareQuality →
+    *    trainQuality, pre-drift and drifted) run VERBATIM inside
+    *    qst24, which serves the swap those weights exist for (the
+    *    qt46 → qt49 precedent one level up); the dual frozen-vs-
+    *    retrained eval stays oracle-checked on qt49's own gate row;
+    *  - qst17 — its frozen-LM stream-scoring chain (the lmDocs %5
+    *    fit, collectModel, the per-doc scoreLocal calls over the
+    *    same 500 dressed (id, lang, text2) triples) runs VERBATIM
+    *    inside qst23's admission map; the score VALUES stay
+    *    hash-pinned on qst17's own gate row;
+    *  - ql7/ql10 — their batch folds (DocLake.refreshAndAppend,
+    *    Pack.packSequences-per-segment) run VERBATIM per micro-batch
+    *    inside their streamed twins qst16/qst15, whose oracles are
+    *    the batch rows' SQL verbatim (the qs34 → qst22 precedent:
+    *    the stream form is where production schedules the fold).
     */
   val benchRetired: Set[String] = Set(
     "qs3_ivf_topk", "qs4_lsh_topk", "qs7_int8_quant", "qs8_ann_recall",
@@ -79,7 +94,9 @@ object SparkEntry {
     "qs26_binary_hamming", "qs27_incremental_index",
     "qs34_index_health_audit", "qt46_trained_quality_classifier",
     "qst18_stream_dsir", "qx11_full_release",
-    "qx13_release_with_quality", "qx14_curation_release")
+    "qx13_release_with_quality", "qx14_curation_release",
+    "qt49_retrain_on_drift", "qst17_stream_lm_score",
+    "ql7_doc_lake_maintenance", "ql10_packed_lake_append")
 
   /** The benched (shipping-surface) subset of [[queries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -6968,7 +6968,12 @@ object DataOpsQueries {
             .sortWithinPartitions(col("shard"), col("pk"), col("doc_id"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("shard").parquet(lake)
-          val back = s.read.parquet(lake)
+          // schema passed explicitly (the DocLake zero-append device):
+          // an all-rejected release writes a part-file-less lake whose
+          // read-back would otherwise die on schema inference — with
+          // the declared schema it reads back as the empty release,
+          // matching the oracle's empty kept set
+          val back = s.read.schema(rel.schema).parquet(lake)
             .withColumn("rid", monotonically_increasing_id())
           val bounds = back.groupBy(col("shard"))
             .agg(min(col("rid")).as("rid0"), max(col("rid")).as("rid1"),
