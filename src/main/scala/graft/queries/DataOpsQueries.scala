@@ -1410,21 +1410,39 @@ object DataOpsQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val quality = graft.text.NgramLm.tertileGate(scores)
       .select(col("doc_id"), col("keep").as("lm_keep"))
-    val prepC = graft.text.Classifier.prepareQuality(
-        graft.ops.Partitioning.spread(t(s, dir, "documents")),
-        "text", "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val w = graft.text.Classifier.trainQuality(prepC)
+    // the three EAGER fits below (8-step GD, DSIR ratio LUT, mixture
+    // targets) are independent job chains — submitted from separate
+    // threads so the scheduler pipelines them (the qst23 composite-
+    // floor lever; fit values unchanged by completion order)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fClf = Future {
+      val prepC = graft.text.Classifier.prepareQuality(
+          graft.ops.Partitioning.spread(t(s, dir, "documents")),
+          "text", "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (prepC, graft.text.Classifier.trainQuality(prepC))
+    }
+    val fDsir = Future {
+      val prepD = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
+            graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
+          graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (prepD, graft.text.Dsir.fitRatioLut(prepD, "is_target"))
+    }
+    val fMix = Future {
+      graft.text.Mixture.temperatureMixtureKeep(
+          t(s, dir, "documents"), "doc_id", "lang")
+        .select(col("doc_id"), col("keep").as("mix_keep"))
+    }
+    val (prepC, w) = Await.result(fClf, Duration.Inf)
     val clf = prepC.select(col("doc_id"),
       (graft.text.Classifier.margin(col("bs"), col("n"), w) > lit(0.0))
         .as("clf_keep"))
-    val prepD = graft.ops.Partitioning.spread(t(s, dir, "documents"))
-      .select(col("doc_id"),
-        TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
-          graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
-        graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val lut = graft.text.Dsir.fitRatioLut(prepD, "is_target")
+    val (prepD, lut) = Await.result(fDsir, Duration.Inf)
     val wts = prepD.select(col("doc_id"),
         graft.text.Dsir.importanceWeight(col("bs"), lut).as("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1434,9 +1452,7 @@ object DataOpsQueries {
       .select(col("doc_id"),
         graft.text.Dsir.keepByWeight(col("doc_id"), col("weight"),
           col("mn"), col("mw")).as("dsir_keep"))
-    val mix = graft.text.Mixture.temperatureMixtureKeep(
-        t(s, dir, "documents"), "doc_id", "lang")
-      .select(col("doc_id"), col("keep").as("mix_keep"))
+    val mix = Await.result(fMix, Duration.Inf)
     content.join(prov, "doc_id")
       .join(quality, Seq("doc_id"), "left")
       .join(clf, "doc_id").join(dsir, "doc_id").join(mix, "doc_id")
@@ -4190,18 +4206,27 @@ object DataOpsQueries {
             .select(col("vec_id"),
               graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
               col("cell"))
+        // the three remaining model fits are independent given the
+        // persisted drifted union — submitted from separate threads
+        // (the qst23 composite-floor lever; values order-independent)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fPqOld = Future { graft.sim.Pq.fit(old, "vec_id",
+          "embedding", m = 16, k = 256) }
+        val fCellsNew = Future { Ivf.fit(drifted, "vec_id", "embedding",
+          k = 8, iters = 0) }
+        val fPqNew = Future { graft.sim.Pq.fit(drifted, "vec_id",
+          "embedding", m = 16, k = 256) }
         // FROZEN arm: the stale qs27 models over the drifted corpus
-        val pqOld = graft.sim.Pq.fit(old, "vec_id", "embedding",
-          m = 16, k = 256)
+        val pqOld = Await.result(fPqOld, Duration.Inf)
         val annFrozen = Ivf.topKAdcOnIndex(
           enc(old, cellsOld, pqOld).unionByName(enc(dressed, cellsOld, pqOld)),
           q, "vec_id", "query_id", "qe", cellsOld, pqOld, k = 5, nprobe = 4)
         // REFIT arm: alarm fired — refit on the drifted union,
         // re-encode map-only
-        val cellsNew = Ivf.fit(drifted, "vec_id", "embedding",
-          k = 8, iters = 0)
-        val pqNew = graft.sim.Pq.fit(drifted, "vec_id", "embedding",
-          m = 16, k = 256)
+        val cellsNew = Await.result(fCellsNew, Duration.Inf)
+        val pqNew = Await.result(fPqNew, Duration.Inf)
         val annRefit = Ivf.topKAdcOnIndex(enc(drifted, cellsNew, pqNew),
           q, "vec_id", "query_id", "qe", cellsNew, pqNew, k = 5, nprobe = 4)
         val rf = Similarity.recallAtK(annFrozen, brute, k = 5)
@@ -4272,8 +4297,19 @@ object DataOpsQueries {
         val brute = Similarity.bruteTopK(drifted, q,
             "vec_id", "embedding", "query_id", "qe", k = 5)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val cellsNew = Ivf.fit(drifted, "vec_id", "embedding",
-          k = 8, iters = 0)
+        // the three fits over the persisted drifted union are
+        // independent — submitted from separate threads (the qst23
+        // composite-floor lever; values order-independent)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fCellsNew = Future { Ivf.fit(drifted, "vec_id", "embedding",
+          k = 8, iters = 0) }
+        val fSeedPq = Future { graft.sim.Pq.fit(drifted, "vec_id",
+          "embedding", m = 16, k = 256) }
+        val fLloydPq = Future { graft.sim.Pq.fitLloyd(drifted, "vec_id",
+          "embedding", m = 16, k = 256, iters = 1) }
+        val cellsNew = Await.result(fCellsNew, Duration.Inf)
         def serve(pq: graft.sim.Pq.Model): DataFrame =
           Ivf.topKAdcOnIndex(
             Ivf.assign(drifted, "vec_id", "embedding", cellsNew)
@@ -4281,10 +4317,8 @@ object DataOpsQueries {
                 graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
                 col("cell")),
             q, "vec_id", "query_id", "qe", cellsNew, pq, k = 5, nprobe = 4)
-        val seedPq = graft.sim.Pq.fit(drifted, "vec_id", "embedding",
-          m = 16, k = 256)
-        val lloydPq = graft.sim.Pq.fitLloyd(drifted, "vec_id", "embedding",
-          m = 16, k = 256, iters = 1)
+        val seedPq = Await.result(fSeedPq, Duration.Inf)
+        val lloydPq = Await.result(fLloydPq, Duration.Inf)
         val rs = Similarity.recallAtK(serve(seedPq), brute, k = 5)
           .select(col("query_id"), col("n_hit").as("ns"),
             col("n_exact"), col("recall").as("recall_seed"))
@@ -5573,17 +5607,23 @@ object DataOpsQueries {
               (size(TextOps.tokens(col("text"))) / lit(2)).cast("int"))))
             .otherwise(col("text")).as("text"))
         // the two frozen artifacts of the alarm → retrain cycle
-        // (qt49's fits verbatim; caches released after the eager GD)
-        val prepOld = graft.text.Classifier.prepareQuality(
-            graft.ops.Partitioning.spread(docs), "text", "doc_id")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val w0 = graft.text.Classifier.trainQuality(prepOld)
-        prepOld.unpersist()
-        val prepNew = graft.text.Classifier.prepareQuality(
-            graft.ops.Partitioning.spread(dressed), "text", "doc_id")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val w1 = graft.text.Classifier.trainQuality(prepNew)
-        prepNew.unpersist()
+        // (qt49's fits verbatim; caches released after the eager GD).
+        // The trains are independent job chains — submitted from two
+        // threads so the scheduler pipelines them (the qst23
+        // composite-floor lever; values unchanged by completion order)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        def fitOn(src: DataFrame) = Future {
+          val prep = graft.text.Classifier.prepareQuality(
+              graft.ops.Partitioning.spread(src), "text", "doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try graft.text.Classifier.trainQuality(prep)
+          finally prep.unpersist()
+        }
+        val (fW0, fW1) = (fitOn(docs), fitOn(dressed))
+        val w0 = Await.result(fW0, Duration.Inf)
+        val w1 = Await.result(fW1, Duration.Inf)
         import s.implicits._
         val sent = Seq(-1L).toDF("doc_id")
           .select(col("doc_id"), lit("").as("text"),
@@ -5782,57 +5822,83 @@ object DataOpsQueries {
     QueryDef("qst23_stream_admission",
       (s, dir) => {
         import s.implicits._
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         val docs = t(s, dir, "documents")
         // ---- frozen fits, all on the stored corpus ----
+        // The five fits are INDEPENDENT eager job chains, so they are
+        // submitted from separate threads and the scheduler pipelines
+        // them — the composite-floor lever: wall cost = max(fit), not
+        // Σ fit (Spark's job submission is thread-safe by contract;
+        // fit values are unchanged by completion order). A real edge
+        // refreshes its frozen artifacts the same way.
         // (2) decon: the benchmark gram set (eval split), distinct
         // 60-bit hashes — bounded by the benchmark's reach, never the
         // corpus (the qst8/qt15 budget argument)
-        val evalGrams = docs
-          .withColumn("split", TextOps.hashSplit(col("doc_id"),
-            Seq(90), Seq("train", "eval")))
-          .filter(col("split") === "eval")
-          .select(explode(graft.functions.WordNgramHashes
-            .word_ngram_hashes(col("text"), 8)).as("g"))
-          .distinct().as[Long].collect().toSet
-        val bcEval = s.sparkContext.broadcast(evalGrams)
+        val fEval = Future {
+          docs
+            .withColumn("split", TextOps.hashSplit(col("doc_id"),
+              Seq(90), Seq("train", "eval")))
+            .filter(col("split") === "eval")
+            .select(explode(graft.functions.WordNgramHashes
+              .word_ngram_hashes(col("text"), 8)).as("g"))
+            .distinct().as[Long].collect().toSet
+        }
         // (3) LM: frozen collected model + frozen per-lang tertile
         // thresholds (lang rows — the model-fit collect class)
-        val ldocs = lmDocs(s, dir)
-        val model = graft.text.NgramLm.train(
-          ldocs.filter(col("doc_id") % 5 === 0), "text2", "lang")
-        val bcModel = s.sparkContext.broadcast(
-          graft.text.NgramLm.collectModel(model))
-        val thMap: Map[String, Option[Double]] =
-          graft.text.NgramLm.tertileThresholds(
-              graft.text.NgramLm.score(
-                ldocs, "doc_id", "text2", "lang", model))
-            .collect().map(r => r.getString(0) ->
-              (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
-        val bcTh = s.sparkContext.broadcast(thMap)
+        val fLm = Future {
+          val ldocs = lmDocs(s, dir)
+          val model = graft.text.NgramLm.train(
+            ldocs.filter(col("doc_id") % 5 === 0), "text2", "lang")
+          val local = graft.text.NgramLm.collectModel(model)
+          val thMap: Map[String, Option[Double]] =
+            graft.text.NgramLm.tertileThresholds(
+                graft.text.NgramLm.score(
+                  ldocs, "doc_id", "text2", "lang", model))
+              .collect().map(r => r.getString(0) ->
+                (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+              .toMap
+          (local, thMap)
+        }
         // (4) classifier: frozen weights (caches released after their
         // eager fits — the DocLake unpersist discipline)
-        val prepC = graft.text.Classifier.prepareQuality(
-            graft.ops.Partitioning.spread(docs), "text", "doc_id")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val w = graft.text.Classifier.trainQuality(prepC)
-        prepC.unpersist()
+        val fClf = Future {
+          val prepC = graft.text.Classifier.prepareQuality(
+              graft.ops.Partitioning.spread(docs), "text", "doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try graft.text.Classifier.trainQuality(prepC)
+          finally prepC.unpersist()
+        }
         // (5) DSIR: the qst21 sample-frozen fit (doc_id % 5 = 0)
-        val prepD = graft.ops.Partitioning.spread(docs)
-          .filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
-              graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
-            graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val lut = graft.text.Dsir.fitRatioLut(prepD, "is_target")
-        val mm = prepD.select(
-            graft.text.Dsir.importanceWeight(col("bs"), lut).as("w"))
-          .agg(max(col("w")), min(col("w"))).head()
-        val (mx, mn) = (mm.getDouble(0), mm.getDouble(1))
-        prepD.unpersist()
+        val fDsir = Future {
+          val prepD = graft.ops.Partitioning.spread(docs)
+            .filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"),
+              TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
+                graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
+              graft.text.Dsir.bigramBuckets(col("text")).as("bs"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val lut = graft.text.Dsir.fitRatioLut(prepD, "is_target")
+            val mm = prepD.select(
+                graft.text.Dsir.importanceWeight(col("bs"), lut).as("w"))
+              .agg(max(col("w")), min(col("w"))).head()
+            (lut, mm.getDouble(0), mm.getDouble(1))
+          } finally prepD.unpersist()
+        }
         // (6) mixture: frozen α = 1/2 target table
-        val tDf = graft.text.Mixture
-          .temperatureTargets(docs, "lang")
+        val fMix = Future {
+          graft.text.Mixture.temperatureTargets(docs, "lang")
+        }
+        val bcEval = s.sparkContext.broadcast(
+          Await.result(fEval, Duration.Inf))
+        val (lmLocal, thMap) = Await.result(fLm, Duration.Inf)
+        val bcModel = s.sparkContext.broadcast(lmLocal)
+        val bcTh = s.sparkContext.broadcast(thMap)
+        val w = Await.result(fClf, Duration.Inf)
+        val (lut, mx, mn) = Await.result(fDsir, Duration.Inf)
+        val tDf = Await.result(fMix, Duration.Inf)
           .toDF("__tmix_g", "grp_n", "share", "target_n")
         // ---- the stream ----
         val sent = Seq(-1L).toDF("doc_id")
