@@ -85,18 +85,46 @@ object SparkEntry {
     *    the batch rows' SQL verbatim (the qs34 → qst22 precedent:
     *    the stream form is where production schedules the fold).
     */
-  val benchRetired: Set[String] = Set(
-    "qs3_ivf_topk", "qs4_lsh_topk", "qs7_int8_quant", "qs8_ann_recall",
-    "qs10_int8_ann", "qs11_ann_recall_lloyd", "qs12_int8_ivf_ann",
-    "qs13_int8_ivf_float_cells", "qs14_ann_recall_lloyd2",
-    "qs17_pq_ann", "qs18_ivfpq_ann", "qs19_pq_lloyd", "qs20_pq_k64",
-    "qs21_pq_128bit", "qs23_pq_adc", "qs25_ivfpq_residual",
-    "qs26_binary_hamming", "qs27_incremental_index",
-    "qs34_index_health_audit", "qt46_trained_quality_classifier",
-    "qst18_stream_dsir", "qx11_full_release",
-    "qx13_release_with_quality", "qx14_curation_release",
-    "qt49_retrain_on_drift", "qst17_stream_lm_score",
-    "ql7_doc_lake_maintenance", "ql10_packed_lake_append")
+  /** Each retired row mapped to the BENCHED superior whose execution
+    * contains it (the rationale above, made checkable): a superior
+    * must itself never be retired — a later retirement of a superior
+    * would silently orphan the containment claim, so SparkEntrySpec
+    * asserts every value below is a registered, still-benched query.
+    * Where a containment chain collapsed (qx11 ⊂ qx13 ⊂ qx14 ⊂ qx15;
+    * qt46 ⊂ qt49 ⊂ qst24), the map names the benched END of the
+    * chain.
+    */
+  val benchRetiredInto: Map[String, String] = Map(
+    "qs3_ivf_topk" -> "qs22_ivfpq_serving",
+    "qs4_lsh_topk" -> "qs5_lsh_multi_topk",
+    "qs7_int8_quant" -> "qs28_sq8_ann",
+    "qs8_ann_recall" -> "qs35_refit_recovery",
+    "qs10_int8_ann" -> "qs28_sq8_ann",
+    "qs11_ann_recall_lloyd" -> "qs36_refit_lloyd",
+    "qs12_int8_ivf_ann" -> "qs28_sq8_ann",
+    "qs13_int8_ivf_float_cells" -> "qs28_sq8_ann",
+    "qs14_ann_recall_lloyd2" -> "qs36_refit_lloyd",
+    "qs17_pq_ann" -> "qs24_ivfpq_adc",
+    "qs18_ivfpq_ann" -> "qs22_ivfpq_serving",
+    "qs19_pq_lloyd" -> "qs24_ivfpq_adc",
+    "qs20_pq_k64" -> "qs24_ivfpq_adc",
+    "qs21_pq_128bit" -> "qs24_ivfpq_adc",
+    "qs23_pq_adc" -> "qs24_ivfpq_adc",
+    "qs25_ivfpq_residual" -> "qs24_ivfpq_adc",
+    "qs26_binary_hamming" -> "qs29_two_stage",
+    "qs27_incremental_index" -> "qs35_refit_recovery",
+    "qs34_index_health_audit" -> "qst22_stream_index_health",
+    "qt46_trained_quality_classifier" -> "qst24_stream_model_swap",
+    "qst18_stream_dsir" -> "qst21_stream_dsir_frozen",
+    "qx11_full_release" -> "qx15_release_to_lake",
+    "qx13_release_with_quality" -> "qx15_release_to_lake",
+    "qx14_curation_release" -> "qx15_release_to_lake",
+    "qt49_retrain_on_drift" -> "qst24_stream_model_swap",
+    "qst17_stream_lm_score" -> "qst23_stream_admission",
+    "ql7_doc_lake_maintenance" -> "qst16_stream_doc_lake",
+    "ql10_packed_lake_append" -> "qst15_stream_packed_lake")
+
+  val benchRetired: Set[String] = benchRetiredInto.keySet
 
   /** The benched (shipping-surface) subset of [[queries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

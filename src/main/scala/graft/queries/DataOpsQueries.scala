@@ -5836,6 +5836,9 @@ object DataOpsQueries {
         // (2) decon: the benchmark gram set (eval split), distinct
         // 60-bit hashes — bounded by the benchmark's reach, never the
         // corpus (the qst8/qt15 budget argument)
+        // carried as a SORTED primitive array probed by binary search
+        // — 8 B/gram per executor instead of a boxed Set's ~48 B/gram,
+        // the representation that still fits when the benchmark grows
         val fEval = Future {
           docs
             .withColumn("split", TextOps.hashSplit(col("doc_id"),
@@ -5843,7 +5846,7 @@ object DataOpsQueries {
             .filter(col("split") === "eval")
             .select(explode(graft.functions.WordNgramHashes
               .word_ngram_hashes(col("text"), 8)).as("g"))
-            .distinct().as[Long].collect().toSet
+            .distinct().as[Long].collect().sorted
         }
         // (3) LM: frozen collected model + frozen per-lang tertile
         // thresholds (lang rows — the model-fit collect class)
@@ -5915,14 +5918,19 @@ object DataOpsQueries {
           // actually sees. The copy's fingerprint collapses onto the
           // original, canonical = MIN(doc_id) = the original id, and
           // n_copies = 2 for ~1/7 of survivors — the arm genuinely
-          // trips at both SFs.
-          val raw = replayTable(s, dir, "documents")
-          val arr = raw
+          // trips at both SFs. The recrawl is synthesized INSIDE one
+          // pass (a 1→2 typed flatMap), not by self-unioning the
+          // source, so each micro-batch scans the parquet once.
+          val arr = replayTable(s, dir, "documents")
+            .select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .flatMap { case (id, text) =>
+              if (id % 7 == 3) Seq((id, text), (id + 10000L, text))
+              else Seq((id, text))
+            }
+            .toDF("doc_id", "text")
             .select(col("doc_id"), col("text"),
               lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
-            .unionByName(raw.filter(col("doc_id") % 7 === 3)
-              .select((col("doc_id") + 10000).as("doc_id"), col("text"),
-                lit("2024-01-01 00:00:00").cast("timestamp").as("ts")))
             .unionByName(sentArm)
           // stage 1: the collapse — the empty-text sentinel's group
           // sits in the 2100 window and never flushes
@@ -5955,7 +5963,8 @@ object DataOpsQueries {
               val grams = graft.functions.WordNgramHashes.compute(
                 org.apache.spark.unsafe.types.UTF8String.fromString(text),
                 8).toLongArray()
-              val deconKeep = !grams.exists(bcEval.value.contains)
+              val deconKeep = !grams.exists(g =>
+                java.util.Arrays.binarySearch(bcEval.value, g) >= 0)
               val lmKeep = graft.text.NgramLm
                 .scoreLocal(text2, lang, bcModel.value)
                 .exists { case (_, sc) =>

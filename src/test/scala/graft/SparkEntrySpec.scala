@@ -34,4 +34,15 @@ class SparkEntrySpec extends AnyFunSuite {
     // oracled (or at minimum registered) in the Verify surface
     assert(SparkEntry.benchRetired.subsetOf(SparkEntry.oracleSql.keySet))
   }
+
+  test("every retired row's containing superior is registered and still " +
+      "BENCHED — a retired superior would orphan the containment claim") {
+    SparkEntry.benchRetiredInto.foreach { case (retired, superior) =>
+      assert(SparkEntry.queries.contains(superior),
+        s"$retired names unknown superior $superior")
+      assert(!SparkEntry.benchRetired(superior),
+        s"$retired's superior $superior is itself retired - the bench " +
+          "no longer measures the chain that justified the retirement")
+    }
+  }
 }
