@@ -25,6 +25,34 @@ object DataOpsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Submit an independent eager model fit from its own thread — the
+    * composite-floor lever (SCALING.md): Spark's job submission is
+    * thread-safe, and a fit's VALUE cannot depend on completion
+    * order, so a composite's independent fits pipeline through the
+    * scheduler instead of serializing the driver. Fits with a data
+    * dependency stay sequential at the call sites.
+    */
+  private def fitThread[T](body: => T): scala.concurrent.Future[T] =
+    scala.concurrent.Future(body)(
+      scala.concurrent.ExecutionContext.global)
+
+  private def awaitFit[T](f: scala.concurrent.Future[T]): T =
+    scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf)
+
+  /** One 8-step GD quality-classifier fit over `src`'s text column,
+    * persist-scoped (the DocLake unpersist discipline: the prepared
+    * projection's only consumer is the eager fit) — shared by the
+    * composites that freeze classifier weights (qst23, qst24).
+    */
+  private def trainQualityOn(src: DataFrame): Array[Double] = {
+    val prep = graft.text.Classifier.prepareQuality(
+        graft.ops.Partitioning.spread(src), "text", "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try graft.text.Classifier.trainQuality(prep)
+    finally prep.unpersist()
+  }
+
   /** Streaming replay of one testdata table. Spark's file streaming
     * source requires a DIRECTORY, and every table under the sf dirs is
     * a single flat parquet FILE — so stream the parent dir with a glob
@@ -1412,19 +1440,16 @@ object DataOpsQueries {
       .select(col("doc_id"), col("keep").as("lm_keep"))
     // the three EAGER fits below (8-step GD, DSIR ratio LUT, mixture
     // targets) are independent job chains — submitted from separate
-    // threads so the scheduler pipelines them (the qst23 composite-
-    // floor lever; fit values unchanged by completion order)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fClf = Future {
+    // threads so the scheduler pipelines them (the fitThread
+    // composite-floor lever)
+    val fClf = fitThread {
       val prepC = graft.text.Classifier.prepareQuality(
           graft.ops.Partitioning.spread(t(s, dir, "documents")),
           "text", "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
       (prepC, graft.text.Classifier.trainQuality(prepC))
     }
-    val fDsir = Future {
+    val fDsir = fitThread {
       val prepD = graft.ops.Partitioning.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
@@ -1433,16 +1458,16 @@ object DataOpsQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (prepD, graft.text.Dsir.fitRatioLut(prepD, "is_target"))
     }
-    val fMix = Future {
+    val fMix = fitThread {
       graft.text.Mixture.temperatureMixtureKeep(
           t(s, dir, "documents"), "doc_id", "lang")
         .select(col("doc_id"), col("keep").as("mix_keep"))
     }
-    val (prepC, w) = Await.result(fClf, Duration.Inf)
+    val (prepC, w) = awaitFit(fClf)
     val clf = prepC.select(col("doc_id"),
       (graft.text.Classifier.margin(col("bs"), col("n"), w) > lit(0.0))
         .as("clf_keep"))
-    val (prepD, lut) = Await.result(fDsir, Duration.Inf)
+    val (prepD, lut) = awaitFit(fDsir)
     val wts = prepD.select(col("doc_id"),
         graft.text.Dsir.importanceWeight(col("bs"), lut).as("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1452,7 +1477,7 @@ object DataOpsQueries {
       .select(col("doc_id"),
         graft.text.Dsir.keepByWeight(col("doc_id"), col("weight"),
           col("mn"), col("mw")).as("dsir_keep"))
-    val mix = Await.result(fMix, Duration.Inf)
+    val mix = awaitFit(fMix)
     content.join(prov, "doc_id")
       .join(quality, Seq("doc_id"), "left")
       .join(clf, "doc_id").join(dsir, "doc_id").join(mix, "doc_id")
@@ -1466,17 +1491,25 @@ object DataOpsQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The qx14 oracle's full CTE prefix — release halves, LM quality
-    * segment, and the qc_/ds_/tm_ embedded chains plus the clf/dsr/
-    * tmx verdict CTEs — shared by qx14's verdict select and qx15's
-    * kept-set materialization oracle.
+  /** The qt49/qst24 drift dressing in SQL — window doc_id % 4 = 3's
+    * source change (every second token a boilerplate 'zq'). ONE
+    * source for both oracles: qst24's containment claim is that its
+    * r_ chain is qt49's VERBATIM, so the dressed-text expression must
+    * be structurally shared, not coincidentally equal.
     */
-  private lazy val curationCtesSql: String = s"""$releaseVerdictCtes,
-        $lmQualityCtes,
-        ${qt46CtesSql("qc_")},
-        ${qt47CtesSql("ds_")},
-        ${qt48CtesSql("tm_")},
-        clf AS (SELECT doc_id,
+  private val qt49DressedSql: String =
+    "CASE WHEN doc_id % 4 = 3 THEN text || " +
+      "repeat(' zq', len(string_split(lower(trim(regexp_replace(" +
+      "text, '\\s+', ' ', 'g'))), ' ')) // 2) ELSE text END"
+
+  /** The clf/dsr/tmx per-doc verdict-arm CTEs over the qc_/ds_/tm_
+    * chains — ONE source shared by [[curationCtesSql]] (qx14/qx15)
+    * and qst23's admission oracle, so a fix to one arm's SQL can
+    * never desynchronize the composites. The ds_ chain's fit
+    * predicate (full-corpus vs sample-frozen) lives in the chain
+    * generator, not here — this text is predicate-agnostic.
+    */
+  private lazy val verdictArmCtes: String = """clf AS (SELECT doc_id,
             (list_reduce(list_transform(bs, b -> qc_a8.wa[b + 1]), (x, z) -> x + z) / n > 0.0) AS clf_keep
           FROM qc_dl, qc_a8),
         dsr AS (SELECT ds_wt.doc_id,
@@ -1488,6 +1521,18 @@ object DataOpsQueries {
             ('0x' || substr(md5('tmix:' || CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT
               % tm_tg.grp_n < tm_tg.target_n AS mix_keep
           FROM documents d2 JOIN tm_tg ON tm_tg.lang = d2.lang)"""
+
+  /** The qx14 oracle's full CTE prefix — release halves, LM quality
+    * segment, and the qc_/ds_/tm_ embedded chains plus the clf/dsr/
+    * tmx verdict CTEs — shared by qx14's verdict select and qx15's
+    * kept-set materialization oracle.
+    */
+  private lazy val curationCtesSql: String = s"""$releaseVerdictCtes,
+        $lmQualityCtes,
+        ${qt46CtesSql("qc_")},
+        ${qt47CtesSql("ds_")},
+        ${qt48CtesSql("tm_")},
+        $verdictArmCtes"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -4208,25 +4253,22 @@ object DataOpsQueries {
               col("cell"))
         // the three remaining model fits are independent given the
         // persisted drifted union — submitted from separate threads
-        // (the qst23 composite-floor lever; values order-independent)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val fPqOld = Future { graft.sim.Pq.fit(old, "vec_id",
+        // (the fitThread composite-floor lever)
+        val fPqOld = fitThread { graft.sim.Pq.fit(old, "vec_id",
           "embedding", m = 16, k = 256) }
-        val fCellsNew = Future { Ivf.fit(drifted, "vec_id", "embedding",
-          k = 8, iters = 0) }
-        val fPqNew = Future { graft.sim.Pq.fit(drifted, "vec_id",
+        val fCellsNew = fitThread { Ivf.fit(drifted, "vec_id",
+          "embedding", k = 8, iters = 0) }
+        val fPqNew = fitThread { graft.sim.Pq.fit(drifted, "vec_id",
           "embedding", m = 16, k = 256) }
         // FROZEN arm: the stale qs27 models over the drifted corpus
-        val pqOld = Await.result(fPqOld, Duration.Inf)
+        val pqOld = awaitFit(fPqOld)
         val annFrozen = Ivf.topKAdcOnIndex(
           enc(old, cellsOld, pqOld).unionByName(enc(dressed, cellsOld, pqOld)),
           q, "vec_id", "query_id", "qe", cellsOld, pqOld, k = 5, nprobe = 4)
         // REFIT arm: alarm fired — refit on the drifted union,
         // re-encode map-only
-        val cellsNew = Await.result(fCellsNew, Duration.Inf)
-        val pqNew = Await.result(fPqNew, Duration.Inf)
+        val cellsNew = awaitFit(fCellsNew)
+        val pqNew = awaitFit(fPqNew)
         val annRefit = Ivf.topKAdcOnIndex(enc(drifted, cellsNew, pqNew),
           q, "vec_id", "query_id", "qe", cellsNew, pqNew, k = 5, nprobe = 4)
         val rf = Similarity.recallAtK(annFrozen, brute, k = 5)
@@ -4298,18 +4340,15 @@ object DataOpsQueries {
             "vec_id", "embedding", "query_id", "qe", k = 5)
           .persist(StorageLevel.MEMORY_AND_DISK)
         // the three fits over the persisted drifted union are
-        // independent — submitted from separate threads (the qst23
-        // composite-floor lever; values order-independent)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val fCellsNew = Future { Ivf.fit(drifted, "vec_id", "embedding",
-          k = 8, iters = 0) }
-        val fSeedPq = Future { graft.sim.Pq.fit(drifted, "vec_id",
+        // independent — submitted from separate threads (the
+        // fitThread composite-floor lever)
+        val fCellsNew = fitThread { Ivf.fit(drifted, "vec_id",
+          "embedding", k = 8, iters = 0) }
+        val fSeedPq = fitThread { graft.sim.Pq.fit(drifted, "vec_id",
           "embedding", m = 16, k = 256) }
-        val fLloydPq = Future { graft.sim.Pq.fitLloyd(drifted, "vec_id",
-          "embedding", m = 16, k = 256, iters = 1) }
-        val cellsNew = Await.result(fCellsNew, Duration.Inf)
+        val fLloydPq = fitThread { graft.sim.Pq.fitLloyd(drifted,
+          "vec_id", "embedding", m = 16, k = 256, iters = 1) }
+        val cellsNew = awaitFit(fCellsNew)
         def serve(pq: graft.sim.Pq.Model): DataFrame =
           Ivf.topKAdcOnIndex(
             Ivf.assign(drifted, "vec_id", "embedding", cellsNew)
@@ -4317,8 +4356,8 @@ object DataOpsQueries {
                 graft.sim.Pq.codes(col("embedding"), pq).as("codes"),
                 col("cell")),
             q, "vec_id", "query_id", "qe", cellsNew, pq, k = 5, nprobe = 4)
-        val seedPq = Await.result(fSeedPq, Duration.Inf)
-        val lloydPq = Await.result(fLloydPq, Duration.Inf)
+        val seedPq = awaitFit(fSeedPq)
+        val lloydPq = awaitFit(fLloydPq)
         val rs = Similarity.recallAtK(serve(seedPq), brute, k = 5)
           .select(col("query_id"), col("n_hit").as("ns"),
             col("n_exact"), col("recall").as("recall_seed"))
@@ -5380,11 +5419,8 @@ object DataOpsQueries {
           .orderBy(col("win"))
       },
       Some {
-        val dressedSql = "CASE WHEN doc_id % 4 = 3 THEN text || " +
-          "repeat(' zq', len(string_split(lower(trim(regexp_replace(" +
-          "text, '\\s+', ' ', 'g'))), ' ')) // 2) ELSE text END"
         s"""WITH ${qt46CtesSql("f_")},
-        ${qt46CtesSql("r_", dressedSql)},
+        ${qt46CtesSql("r_", qt49DressedSql)},
         ev AS (SELECT d.doc_id % 4 AS win, d.y,
             (list_reduce(list_transform(d.bs, b -> f_a8.wa[b + 1]), (x, z) -> x + z) / d.n > 0.0) AS pf,
             (list_reduce(list_transform(d.bs, b -> r_a8.wa[b + 1]), (x, z) -> x + z) / d.n > 0.0) AS pr
@@ -5609,21 +5645,12 @@ object DataOpsQueries {
         // the two frozen artifacts of the alarm → retrain cycle
         // (qt49's fits verbatim; caches released after the eager GD).
         // The trains are independent job chains — submitted from two
-        // threads so the scheduler pipelines them (the qst23
-        // composite-floor lever; values unchanged by completion order)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        def fitOn(src: DataFrame) = Future {
-          val prep = graft.text.Classifier.prepareQuality(
-              graft.ops.Partitioning.spread(src), "text", "doc_id")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          try graft.text.Classifier.trainQuality(prep)
-          finally prep.unpersist()
-        }
-        val (fW0, fW1) = (fitOn(docs), fitOn(dressed))
-        val w0 = Await.result(fW0, Duration.Inf)
-        val w1 = Await.result(fW1, Duration.Inf)
+        // threads so the scheduler pipelines them (the fitThread
+        // composite-floor lever)
+        val (fW0, fW1) = (fitThread(trainQualityOn(docs)),
+          fitThread(trainQualityOn(dressed)))
+        val w0 = awaitFit(fW0)
+        val w1 = awaitFit(fW1)
         import s.implicits._
         val sent = Seq(-1L).toDF("doc_id")
           .select(col("doc_id"), lit("").as("text"),
@@ -5671,11 +5698,8 @@ object DataOpsQueries {
         }
       },
       Some {
-        val dressedSql = "CASE WHEN doc_id % 4 = 3 THEN text || " +
-          "repeat(' zq', len(string_split(lower(trim(regexp_replace(" +
-          "text, '\\s+', ' ', 'g'))), ' ')) // 2) ELSE text END"
         s"""WITH ${qt46CtesSql("f_")},
-        ${qt46CtesSql("r_", dressedSql)},
+        ${qt46CtesSql("r_", qt49DressedSql)},
         ev AS (SELECT d.doc_id % 4 AS win, d.y,
             CASE WHEN d.doc_id % 4 < 3
               THEN (list_reduce(list_transform(d.bs, b -> f_a8.wa[b + 1]), (x, z) -> x + z) / d.n > 0.0)
@@ -5822,24 +5846,19 @@ object DataOpsQueries {
     QueryDef("qst23_stream_admission",
       (s, dir) => {
         import s.implicits._
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
         val docs = t(s, dir, "documents")
         // ---- frozen fits, all on the stored corpus ----
-        // The five fits are INDEPENDENT eager job chains, so they are
-        // submitted from separate threads and the scheduler pipelines
-        // them — the composite-floor lever: wall cost = max(fit), not
-        // Σ fit (Spark's job submission is thread-safe by contract;
-        // fit values are unchanged by completion order). A real edge
-        // refreshes its frozen artifacts the same way.
+        // The five fits are INDEPENDENT eager job chains, submitted
+        // from separate threads (the fitThread composite-floor lever:
+        // wall cost = max(fit), not Σ fit). A real edge refreshes its
+        // frozen artifacts the same way.
         // (2) decon: the benchmark gram set (eval split), distinct
         // 60-bit hashes — bounded by the benchmark's reach, never the
         // corpus (the qst8/qt15 budget argument)
         // carried as a SORTED primitive array probed by binary search
         // — 8 B/gram per executor instead of a boxed Set's ~48 B/gram,
         // the representation that still fits when the benchmark grows
-        val fEval = Future {
+        val fEval = fitThread {
           docs
             .withColumn("split", TextOps.hashSplit(col("doc_id"),
               Seq(90), Seq("train", "eval")))
@@ -5850,15 +5869,21 @@ object DataOpsQueries {
         }
         // (3) LM: frozen collected model + frozen per-lang tertile
         // thresholds (lang rows — the model-fit collect class)
-        val fLm = Future {
+        val fLm = fitThread {
           val ldocs = lmDocs(s, dir)
           val model = graft.text.NgramLm.train(
             ldocs.filter(col("doc_id") % 5 === 0), "text2", "lang")
           val local = graft.text.NgramLm.collectModel(model)
+          // thresholds depend ONLY on the doc_id % 3 score sample
+          // (tertileThresholds' own filter), so the fit scores just
+          // that sample — a 3x cut of the scoring pass with
+          // bit-identical thresholds; arrivals are scored by
+          // scoreLocal on the stream, never by this batch chain
           val thMap: Map[String, Option[Double]] =
             graft.text.NgramLm.tertileThresholds(
                 graft.text.NgramLm.score(
-                  ldocs, "doc_id", "text2", "lang", model))
+                  ldocs.filter(col("doc_id") % 3 === 0),
+                  "doc_id", "text2", "lang", model))
               .collect().map(r => r.getString(0) ->
                 (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
               .toMap
@@ -5866,15 +5891,9 @@ object DataOpsQueries {
         }
         // (4) classifier: frozen weights (caches released after their
         // eager fits — the DocLake unpersist discipline)
-        val fClf = Future {
-          val prepC = graft.text.Classifier.prepareQuality(
-              graft.ops.Partitioning.spread(docs), "text", "doc_id")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          try graft.text.Classifier.trainQuality(prepC)
-          finally prepC.unpersist()
-        }
+        val fClf = fitThread(trainQualityOn(docs))
         // (5) DSIR: the qst21 sample-frozen fit (doc_id % 5 = 0)
-        val fDsir = Future {
+        val fDsir = fitThread {
           val prepD = graft.ops.Partitioning.spread(docs)
             .filter(col("doc_id") % 5 === 0)
             .select(col("doc_id"),
@@ -5891,17 +5910,16 @@ object DataOpsQueries {
           } finally prepD.unpersist()
         }
         // (6) mixture: frozen α = 1/2 target table
-        val fMix = Future {
+        val fMix = fitThread {
           graft.text.Mixture.temperatureTargets(docs, "lang")
         }
-        val bcEval = s.sparkContext.broadcast(
-          Await.result(fEval, Duration.Inf))
-        val (lmLocal, thMap) = Await.result(fLm, Duration.Inf)
+        val bcEval = s.sparkContext.broadcast(awaitFit(fEval))
+        val (lmLocal, thMap) = awaitFit(fLm)
         val bcModel = s.sparkContext.broadcast(lmLocal)
         val bcTh = s.sparkContext.broadcast(thMap)
-        val w = Await.result(fClf, Duration.Inf)
-        val (lut, mx, mn) = Await.result(fDsir, Duration.Inf)
-        val tDf = Await.result(fMix, Duration.Inf)
+        val w = awaitFit(fClf)
+        val (lut, mx, mn) = awaitFit(fDsir)
+        val tDf = awaitFit(fMix)
           .toDF("__tmix_g", "grp_n", "share", "target_n")
         // ---- the stream ----
         val sent = Seq(-1L).toDF("doc_id")
@@ -6019,18 +6037,7 @@ object DataOpsQueries {
         egx AS (SELECT DISTINCT g FROM g8x
           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90),
         hitx AS (SELECT DISTINCT t.doc_id FROM g8x t JOIN egx ON egx.g = t.g),
-        clf AS (SELECT doc_id,
-            (list_reduce(list_transform(bs, b -> qc_a8.wa[b + 1]), (x, z) -> x + z) / n > 0.0) AS clf_keep
-          FROM qc_dl, qc_a8),
-        dsr AS (SELECT ds_wt.doc_id,
-            CASE WHEN ds_mx.mw = ds_mx.mn THEN FALSE
-              ELSE CAST(('0x' || substr(md5('dsir:' || CAST(ds_wt.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS DOUBLE)
-                / 1048576.0 < (ds_wt.weight - ds_mx.mn) / (ds_mx.mw - ds_mx.mn) END AS dsir_keep
-          FROM ds_wt, ds_mx),
-        tmx AS (SELECT d2.doc_id,
-            ('0x' || substr(md5('tmix:' || CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT
-              % tm_tg.grp_n < tm_tg.target_n AS mix_keep
-          FROM documents d2 JOIN tm_tg ON tm_tg.lang = d2.lang)
+        $verdictArmCtes
         SELECT c.doc_id, CAST(c.n_copies AS INT) AS n_copies,
           (hitx.doc_id IS NULL) AS decon_keep,
           COALESCE(qual.quality_keep, FALSE) AS lm_keep,

@@ -79,9 +79,11 @@ object Classifier {
     // (a composite like qst23's admission stream prepares the SAME
     // y/n/bs features mid-pipeline without losing its verdict flags);
     // the feature expressions stay byte-identical either way
-    require(carry.intersect(Seq("y", "n", "bs", "toks")).isEmpty,
+    require(carry.intersect(Seq("y", "n", "bs", "toks", idCol)).isEmpty &&
+      carry.distinct.size == carry.size,
       s"carry collides with the projection's own output columns " +
-        s"(y, n, bs, toks): ${carry.mkString(", ")}")
+        s"(y, n, bs, toks, $idCol) or repeats a name: " +
+        carry.mkString(", "))
     docs.select(col(idCol) +: carry.map(col) :+
         TextOps.tokens(col(textCol)).as("toks"): _*)
       .select(col(idCol) +: carry.map(col) :+

@@ -147,11 +147,6 @@ object Mixture {
     }.toSeq
   }
 
-  /** The verdict half: broadcast-attach a (frozen) target table and
-    * emit the salted-hash keep — map-only, stateless, the same
-    * expression batch-side and stream-side (which is what lets the
-    * stream twin's oracle be the batch SQL verbatim).
-    */
   /** The mixture-admission draw alone: salted deterministic id-hash
     * against the stratum's target share — shared verbatim by
     * [[attachTargets]] and any composite that carries its own columns
@@ -162,6 +157,11 @@ object Mixture {
     TextOps.hash60(concat(lit(s"$salt:"), id.cast("string"))) %
       grpN < targetN
 
+  /** The verdict half: broadcast-attach a (frozen) target table and
+    * emit the salted-hash keep — map-only, stateless, the same
+    * expression batch-side and stream-side (which is what lets the
+    * stream twin's oracle be the batch SQL verbatim).
+    */
   def attachTargets(docs: DataFrame, idCol: String, groupCol: String,
       targets: Seq[(String, Long, Double, Long)],
       salt: String = "tmix"): DataFrame = {
