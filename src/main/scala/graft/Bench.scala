@@ -121,7 +121,13 @@ object Bench {
     }
     val results = timed.collect { case (name, dt, true) => name -> dt }
     val failed = timed.collect { case (name, _, false) => name }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query entries DESCENDING by time, rounded to ms: the
+    // driver's record of this line is prefix-truncated, so the
+    // expensive rows — the ones a reader needs — must come first,
+    // and shorter numbers fit more entries into the visible prefix.
+    val qs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" +
+        (math.round(v * 1000.0) / 1000.0) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
