@@ -133,4 +133,42 @@ class NgramLmSpec extends AnyFunSuite {
       .select($"bucket").as[String].collect().toSet
     assert(got == Set("tail"))
   }
+
+  test("the admission edge's threshold-map gate reproduces tertileGate's " +
+      "keep for every doc, and a sample-only fit yields the same map") {
+    // qst23 collects tertileThresholds into a lang -> Option(t1) map
+    // and gates arrivals with thMap.get(lang).flatten.exists(sc > _);
+    // this pins that LOCAL evaluation ≡ tertileGate's join semantics
+    // on all three doc classes: sampled (en, doc_id % 3 = 0),
+    // UNsampled doc of a sampled language (en doc 4), and docs of a
+    // language absent from the sample entirely (fr → keep = false).
+    // It also pins the qst23 fit-cost lever: thresholds fit on ONLY
+    // the % 3 sample are bit-identical to thresholds fit on all
+    // scores (tertileThresholds re-applies the same filter).
+    val scores = ((0 until 9).map(i =>
+        (i * 3L, "en", 10, (i + 1).toDouble / 10)) ++
+        Seq((1L, "fr", 10, 0.9), (2L, "fr", 10, 0.1),
+          (4L, "en", 10, 0.95)))
+      .toDF("doc_id", "lang", "n_tok", "lm_score")
+    def toThMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val thMap = toThMap(NgramLm.tertileThresholds(scores))
+    val thSample = toThMap(NgramLm.tertileThresholds(
+      scores.filter($"doc_id" % 3 === 0)))
+    assert(thMap == thSample,
+      s"sample-only fit diverged: $thMap vs $thSample")
+    val gate = NgramLm.tertileGate(scores)
+      .select($"doc_id", $"lang", $"lm_score", $"keep")
+      .as[(Long, String, Double, Boolean)].collect()
+    assert(gate.length == 12)
+    gate.foreach { case (id, lang, sc, keep) =>
+      val local = thMap.get(lang).flatten.exists(sc > _)
+      assert(local == keep,
+        s"doc $id ($lang, $sc): edge gate $local != tertileGate $keep")
+    }
+    // the non-sampled en doc genuinely rides sampled thresholds
+    assert(gate.find(_._1 == 4L).exists(_._4 == true))
+    assert(gate.filter(_._2 == "fr").forall(!_._4))
+  }
 }
