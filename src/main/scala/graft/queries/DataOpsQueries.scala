@@ -25,20 +25,59 @@ object DataOpsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Dedicated bounded pool for concurrent fits: the global EC is the
+    * wrong default once fan-out widens (it sizes to CPU count and is
+    * shared with anything else on the JVM), and an unbounded fan-out
+    * would flood the scheduler with competing job chains. Four
+    * threads covers every current composite (max 5 fits, the await
+    * order drains the rest) while keeping concurrent scans from
+    * thrashing the storage pool. Daemon threads so a finished main
+    * never hangs on pool shutdown.
+    */
+  private lazy val fitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        4,
+        (r: Runnable) => {
+          val th = new Thread(r, "graft-fit")
+          th.setDaemon(true)
+          th
+        }))
+
   /** Submit an independent eager model fit from its own thread — the
     * composite-floor lever (SCALING.md): Spark's job submission is
     * thread-safe, and a fit's VALUE cannot depend on completion
     * order, so a composite's independent fits pipeline through the
     * scheduler instead of serializing the driver. Fits with a data
     * dependency stay sequential at the call sites.
+    *
+    * `tag` ("row-fit", e.g. "qst23-lm") becomes the Spark job group
+    * for every job the fit submits: concurrent fits are attributable
+    * in the UI / event logs and cancellable as a group
+    * (`sc.cancelJobGroup(s"graft-fit-$tag")`, interruptOnCancel so a
+    * blocked fit thread is actually interrupted). Job groups are
+    * thread-local, so tagging inside the pool thread cannot leak onto
+    * the caller's jobs; cleared after the fit because pool threads
+    * are reused.
     */
-  private def fitThread[T](body: => T): scala.concurrent.Future[T] =
-    scala.concurrent.Future(body)(
-      scala.concurrent.ExecutionContext.global)
+  private[graft] def fitThread[T](tag: String)(body: => T): scala.concurrent.Future[T] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    scala.concurrent.Future {
+      sc.setJobGroup(s"graft-fit-$tag", s"concurrent model fit: $tag",
+        interruptOnCancel = true)
+      try body finally sc.clearJobGroup()
+    }(fitPool)
+  }
 
-  private def awaitFit[T](f: scala.concurrent.Future[T]): T =
+  /** Bounded await: a wedged fit (hung scan, deadlocked source) must
+    * fail the row loudly with a TimeoutException, not hang the
+    * verify/bench harness forever. 30 min is ~200x the slowest fit
+    * observed at sf0.1 and still far under any driver wall-clock.
+    */
+  private[graft] def awaitFit[T](f: scala.concurrent.Future[T]): T =
     scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.duration.Duration(30,
+        java.util.concurrent.TimeUnit.MINUTES))
 
   /** One 8-step GD quality-classifier fit over `src`'s text column,
     * persist-scoped (the DocLake unpersist discipline: the prepared
@@ -319,8 +358,9 @@ object DataOpsQueries {
     * exist at every SF (sf0.01: 13 OOV positions; sf0.1: 129) —
     * the add-one floor and the minCount prune are never no-op arms.
     */
-  private def lmDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+  private def lmDocs(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    t(s, dir, "documents").filter(pred).select(col("doc_id"), col("lang"),
       concat(col("text"),
         when(col("doc_id") % 31 === 17,
           concat(lit(" zq"), (col("doc_id") % 50).cast("string")))
@@ -984,10 +1024,12 @@ object DataOpsQueries {
     * to ONE key, the genuine duplicate structure qt30/qx10 dedup on.
     */
   private def urlsFromDocs(s: SparkSession, dir: String,
-      pathMod: Int = 0): DataFrame = {
+      pathMod: Int = 0,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val pathId =
       if (pathMod > 0) col("doc_id") % pathMod else col("doc_id")
-    t(s, dir, "documents").select(col("doc_id")).withColumn("url", concat(
+    t(s, dir, "documents").filter(pred)
+      .select(col("doc_id")).withColumn("url", concat(
       when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
       when(col("doc_id") % 9 === 4,
         concat(lit("u"), (col("doc_id") % 5).cast("string"), lit(":pw@")))
@@ -1365,12 +1407,14 @@ object DataOpsQueries {
     * returned doc-keyed as one boolean each so composites conjoin
     * them without seeing the other side's corpus-sized intermediates.
     */
-  private def releaseHalves(s: SparkSession, dir: String)
+  private def releaseHalves(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true))
       : (DataFrame, DataFrame) = {
     // content half — qx4's chain (cleaned persisted: three
     // consumers, the qd7 no-exchange-reuse class)
     val cleaned = graft.text.Boilerplate.removeBoilerplate(
-        t(s, dir, "documents"), "text", "doc_id", window = 8, maxDf = 2)
+        t(s, dir, "documents").filter(pred),
+        "text", "doc_id", window = 8, maxDf = 2)
       .withColumn("split",
         TextOps.hashSplit(col("doc_id"), Seq(90), Seq("train", "eval")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1389,7 +1433,8 @@ object DataOpsQueries {
     // the qx10 persists (dom: rep agg + annotate join; pAnn: the
     // cap's two passes + the final provenance projection)
     val dom = graft.text.Urls.registrableDomainsPsl(
-        urlsFromDocs(s, dir, pathMod = 120), "url", "domain")
+        urlsFromDocs(s, dir, pathMod = 120, pred = pred),
+        "url", "domain")
       .select(col("doc_id"), col("domain"),
         graft.text.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
       .withColumn("blocked", col("domain").isin(blocklist: _*))
@@ -1404,7 +1449,7 @@ object DataOpsQueries {
           .select(col("doc_id"), col("domain")),
         "doc_id", "domain", cap = 2)
       .select(col("doc_id"), col("keep").as("in_cap"))
-    val scored = t(s, dir, "documents").select(col("doc_id"),
+    val scored = t(s, dir, "documents").filter(pred).select(col("doc_id"),
       TextOps.hashedClassifierScore(col("text"),
         TextOps.stubQualityWeights()).as("score"))
     val prov = pAnn.join(inCap, Seq("doc_id"), "left")
@@ -1423,9 +1468,10 @@ object DataOpsQueries {
     * QueryDef for the per-arm rationale and measured sole-rejector
     * counts.
     */
-  private def curationRelease(s: SparkSession, dir: String): DataFrame = {
-    val (content, prov) = releaseHalves(s, dir)
-    val docs = lmDocs(s, dir)
+  private def curationRelease(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val (content, prov) = releaseHalves(s, dir, pred)
+    val docs = lmDocs(s, dir, pred)
     val model = graft.text.NgramLm.train(
       docs.filter(col("doc_id") % 5 === 0), "text2", "lang")
     // Cache lifecycle: this verdict's persists (scores, prepC, prepD,
@@ -1442,15 +1488,17 @@ object DataOpsQueries {
     // targets) are independent job chains — submitted from separate
     // threads so the scheduler pipelines them (the fitThread
     // composite-floor lever)
-    val fClf = fitThread {
+    val fClf = fitThread("curation-clf") {
       val prepC = graft.text.Classifier.prepareQuality(
-          graft.ops.Partitioning.spread(t(s, dir, "documents")),
+          graft.ops.Partitioning.spread(
+            t(s, dir, "documents").filter(pred)),
           "text", "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
       (prepC, graft.text.Classifier.trainQuality(prepC))
     }
-    val fDsir = fitThread {
-      val prepD = graft.ops.Partitioning.spread(t(s, dir, "documents"))
+    val fDsir = fitThread("curation-dsir") {
+      val prepD = graft.ops.Partitioning.spread(
+          t(s, dir, "documents").filter(pred))
         .select(col("doc_id"),
           TextOps.bindOnce(TextOps.tokens(col("text")))(toks =>
             graft.text.Classifier.stopwordLabel(toks)).as("is_target"),
@@ -1458,9 +1506,9 @@ object DataOpsQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (prepD, graft.text.Dsir.fitRatioLut(prepD, "is_target"))
     }
-    val fMix = fitThread {
+    val fMix = fitThread("curation-mix") {
       graft.text.Mixture.temperatureMixtureKeep(
-          t(s, dir, "documents"), "doc_id", "lang")
+          t(s, dir, "documents").filter(pred), "doc_id", "lang")
         .select(col("doc_id"), col("keep").as("mix_keep"))
     }
     val (prepC, w) = awaitFit(fClf)
@@ -1533,6 +1581,23 @@ object DataOpsQueries {
         ${qt47CtesSql("ds_")},
         ${qt48CtesSql("tm_")},
         $verdictArmCtes"""
+
+  /** qx14's per-gate verdict SELECT over [[curationCtesSql]]'s
+    * terminal CTEs — ONE source shared by qx14 (ordered) and qx16's
+    * two release arms (unordered subqueries), so the lineage diff
+    * provably diffs the SAME verdict it ships.
+    */
+  private lazy val curationVerdictSelectSql: String = """SELECT content.doc_id, content_keep, provenance_keep,
+          COALESCE(qual.quality_keep, FALSE) AS lm_keep,
+          clf.clf_keep, dsr.dsir_keep, tmx.mix_keep,
+          (content_keep AND provenance_keep
+            AND COALESCE(qual.quality_keep, FALSE)
+            AND clf.clf_keep AND dsr.dsir_keep AND tmx.mix_keep) AS keep
+        FROM content JOIN prov ON prov.doc_id = content.doc_id
+        LEFT JOIN qual ON qual.doc_id = content.doc_id
+        JOIN clf ON clf.doc_id = content.doc_id
+        JOIN dsr ON dsr.doc_id = content.doc_id
+        JOIN tmx ON tmx.doc_id = content.doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -4254,11 +4319,11 @@ object DataOpsQueries {
         // the three remaining model fits are independent given the
         // persisted drifted union — submitted from separate threads
         // (the fitThread composite-floor lever)
-        val fPqOld = fitThread { graft.sim.Pq.fit(old, "vec_id",
+        val fPqOld = fitThread("qs35-pq_old") { graft.sim.Pq.fit(old, "vec_id",
           "embedding", m = 16, k = 256) }
-        val fCellsNew = fitThread { Ivf.fit(drifted, "vec_id",
+        val fCellsNew = fitThread("qs35-cells_new") { Ivf.fit(drifted, "vec_id",
           "embedding", k = 8, iters = 0) }
-        val fPqNew = fitThread { graft.sim.Pq.fit(drifted, "vec_id",
+        val fPqNew = fitThread("qs35-pq_new") { graft.sim.Pq.fit(drifted, "vec_id",
           "embedding", m = 16, k = 256) }
         // FROZEN arm: the stale qs27 models over the drifted corpus
         val pqOld = awaitFit(fPqOld)
@@ -4342,11 +4407,11 @@ object DataOpsQueries {
         // the three fits over the persisted drifted union are
         // independent — submitted from separate threads (the
         // fitThread composite-floor lever)
-        val fCellsNew = fitThread { Ivf.fit(drifted, "vec_id",
+        val fCellsNew = fitThread("qs36-cells_new") { Ivf.fit(drifted, "vec_id",
           "embedding", k = 8, iters = 0) }
-        val fSeedPq = fitThread { graft.sim.Pq.fit(drifted, "vec_id",
+        val fSeedPq = fitThread("qs36-pq_seed") { graft.sim.Pq.fit(drifted, "vec_id",
           "embedding", m = 16, k = 256) }
-        val fLloydPq = fitThread { graft.sim.Pq.fitLloyd(drifted,
+        val fLloydPq = fitThread("qs36-pq_lloyd") { graft.sim.Pq.fitLloyd(drifted,
           "vec_id", "embedding", m = 16, k = 256, iters = 1) }
         val cellsNew = awaitFit(fCellsNew)
         def serve(pq: graft.sim.Pq.Model): DataFrame =
@@ -5647,8 +5712,8 @@ object DataOpsQueries {
         // The trains are independent job chains — submitted from two
         // threads so the scheduler pipelines them (the fitThread
         // composite-floor lever)
-        val (fW0, fW1) = (fitThread(trainQualityOn(docs)),
-          fitThread(trainQualityOn(dressed)))
+        val (fW0, fW1) = (fitThread("qst24-w0")(trainQualityOn(docs)),
+          fitThread("qst24-w1")(trainQualityOn(dressed)))
         val w0 = awaitFit(fW0)
         val w1 = awaitFit(fW1)
         import s.implicits._
@@ -5858,7 +5923,7 @@ object DataOpsQueries {
         // carried as a SORTED primitive array probed by binary search
         // — 8 B/gram per executor instead of a boxed Set's ~48 B/gram,
         // the representation that still fits when the benchmark grows
-        val fEval = fitThread {
+        val fEval = fitThread("qst23-eval") {
           docs
             .withColumn("split", TextOps.hashSplit(col("doc_id"),
               Seq(90), Seq("train", "eval")))
@@ -5869,7 +5934,7 @@ object DataOpsQueries {
         }
         // (3) LM: frozen collected model + frozen per-lang tertile
         // thresholds (lang rows — the model-fit collect class)
-        val fLm = fitThread {
+        val fLm = fitThread("qst23-lm") {
           val ldocs = lmDocs(s, dir)
           val model = graft.text.NgramLm.train(
             ldocs.filter(col("doc_id") % 5 === 0), "text2", "lang")
@@ -5891,9 +5956,9 @@ object DataOpsQueries {
         }
         // (4) classifier: frozen weights (caches released after their
         // eager fits — the DocLake unpersist discipline)
-        val fClf = fitThread(trainQualityOn(docs))
+        val fClf = fitThread("qst23-clf")(trainQualityOn(docs))
         // (5) DSIR: the qst21 sample-frozen fit (doc_id % 5 = 0)
-        val fDsir = fitThread {
+        val fDsir = fitThread("qst23-dsir") {
           val prepD = graft.ops.Partitioning.spread(docs)
             .filter(col("doc_id") % 5 === 0)
             .select(col("doc_id"),
@@ -5910,7 +5975,7 @@ object DataOpsQueries {
           } finally prepD.unpersist()
         }
         // (6) mixture: frozen α = 1/2 target table
-        val fMix = fitThread {
+        val fMix = fitThread("qst23-mix") {
           graft.text.Mixture.temperatureTargets(docs, "lang")
         }
         val bcEval = s.sparkContext.broadcast(awaitFit(fEval))
@@ -7000,17 +7065,7 @@ object DataOpsQueries {
     QueryDef("qx14_curation_release",
       (s, dir) => curationRelease(s, dir),
       Some(s"""WITH $curationCtesSql
-        SELECT content.doc_id, content_keep, provenance_keep,
-          COALESCE(qual.quality_keep, FALSE) AS lm_keep,
-          clf.clf_keep, dsr.dsir_keep, tmx.mix_keep,
-          (content_keep AND provenance_keep
-            AND COALESCE(qual.quality_keep, FALSE)
-            AND clf.clf_keep AND dsr.dsir_keep AND tmx.mix_keep) AS keep
-        FROM content JOIN prov ON prov.doc_id = content.doc_id
-        LEFT JOIN qual ON qual.doc_id = content.doc_id
-        JOIN clf ON clf.doc_id = content.doc_id
-        JOIN dsr ON dsr.doc_id = content.doc_id
-        JOIN tmx ON tmx.doc_id = content.doc_id
+        $curationVerdictSelectSql
         ORDER BY content.doc_id""")),
 
     // ---- Release-to-lake materialization (qx15): qx14 DECIDES the
@@ -7055,8 +7110,16 @@ object DataOpsQueries {
           // read-back would otherwise die on schema inference — with
           // the declared schema it reads back as the empty release,
           // matching the oracle's empty kept set
+          // Persisted so the contiguity guard and the pos projection
+          // below consume the SAME materialization of
+          // monotonically_increasing_id: unpersisted they are two
+          // independent scans, and a partition-layout change between
+          // the two jobs could pass the guard yet misorder pos
+          // (validate the materialization you consume — the DocLake
+          // guard principle).
           val back = s.read.schema(rel.schema).parquet(lake)
             .withColumn("rid", monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
           val bounds = back.groupBy(col("shard"))
             .agg(min(col("rid")).as("rid0"), max(col("rid")).as("rid1"),
               count(lit(1)).as("shard_n_l"))
@@ -7076,6 +7139,7 @@ object DataOpsQueries {
               col("lang"), md5(col("text")).as("text_md5"))
             .orderBy(col("doc_id"))
             .collect()
+          back.unpersist()
           import org.apache.spark.sql.types._
           s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
             StructField("doc_id", LongType),
@@ -7107,6 +7171,89 @@ object DataOpsQueries {
             ORDER BY pk, doc_id) - 1 AS INT) AS pos,
           lang, text_md5
         FROM prm ORDER BY doc_id""")),
+
+    // ---- Release lineage/diff (qx16): the operational "why did
+    // doc X fall out of the release". Release N-1 = the six-gate
+    // curation verdict (qx14's chain VERBATIM — shared generator)
+    // over the corpus BEFORE the new crawl (doc_id % 3 == 1 is the
+    // crawl's new slice — the residue chosen because, uniquely among
+    // the probed classes, it makes EVERY gate flip at both gate SFs,
+    // content included: a new doc steals an exact-dup canonical); release N = the verdict over the full
+    // corpus, every model REFIT on it as a real re-release does.
+    // The diff emits per-doc status (new_admitted / new_rejected /
+    // kept / dropped / regained / rejected) plus per-gate flip
+    // attribution for docs present in both releases — gates flip
+    // because refits move thresholds/weights (lm/clf/dsir), the new
+    // crawl steals exact-dup canonicals (MIN doc_id) and domain-cap
+    // slots (content/provenance), and mixture targets rescale with
+    // per-lang counts (mix). Oracle = the proven curation CTE chain
+    // run TWICE — the old arm scopes it to the pre-crawl corpus by
+    // shadowing `documents` with a filtered CTE (main.documents
+    // disambiguates the base table) — then diffed; the verdict
+    // SELECT is the shared curationVerdictSelectSql, so the arms
+    // cannot desynchronize from qx14. At 100 TB: two verdict chains
+    // (each linear, fits pipelined) + ONE doc_id equi-join — the
+    // diff itself adds no new shuffle class; in production the N-1
+    // verdict is the stored qx15 artifact, making this N's cost
+    // plus one join. ----
+    QueryDef("qx16_release_lineage",
+      (s, dir) => {
+        // the old arm builds on a fit thread so the two arms'
+        // independent model fits (LM, GD classifier, DSIR LUT,
+        // mixture targets) pipeline ACROSS arms as well as within
+        // them: an arm occupies one pool thread while its inner fits
+        // run on the rest, and fits never spawn fits, so the bounded
+        // pool cannot deadlock
+        val fOld = fitThread("qx16-arm_old") {
+          curationRelease(s, dir, col("doc_id") % 3 =!= 1) }
+        val vNew = curationRelease(s, dir)
+        val gates = Seq("content_keep", "provenance_keep", "lm_keep",
+          "clf_keep", "dsir_keep", "mix_keep")
+        val vOld = awaitFit(fOld)
+        val o = vOld.select(col("doc_id") +:
+          (gates :+ "keep").map(g => col(g).as(s"o_$g")): _*)
+        val isNew = col("o_keep").isNull
+        vNew.join(o, Seq("doc_id"), "left")
+          .select(Seq(
+            col("doc_id"),
+            isNew.as("is_new"),
+            coalesce(col("o_keep"), lit(false)).as("kept_old"),
+            col("keep").as("kept_new"),
+            when(isNew && col("keep"), "new_admitted")
+              .when(isNew, "new_rejected")
+              .when(col("o_keep") && col("keep"), "kept")
+              .when(col("o_keep"), "dropped")
+              .when(col("keep"), "regained")
+              .otherwise("rejected").as("status")) ++
+            gates.map(g => (!isNew && col(s"o_$g") =!= col(g))
+              .as(g.stripSuffix("_keep") + "_flip")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH arm_new AS (SELECT * FROM (
+          WITH $curationCtesSql
+          $curationVerdictSelectSql)),
+        arm_old AS (SELECT * FROM (
+          WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 3 <> 1),
+          $curationCtesSql
+          $curationVerdictSelectSql))
+        SELECT n.doc_id,
+          o.doc_id IS NULL AS is_new,
+          COALESCE(o.keep, FALSE) AS kept_old,
+          n.keep AS kept_new,
+          CASE WHEN o.doc_id IS NULL AND n.keep THEN 'new_admitted'
+               WHEN o.doc_id IS NULL THEN 'new_rejected'
+               WHEN o.keep AND n.keep THEN 'kept'
+               WHEN o.keep THEN 'dropped'
+               WHEN n.keep THEN 'regained'
+               ELSE 'rejected' END AS status,
+          (o.doc_id IS NOT NULL AND o.content_keep <> n.content_keep) AS content_flip,
+          (o.doc_id IS NOT NULL AND o.provenance_keep <> n.provenance_keep) AS provenance_flip,
+          (o.doc_id IS NOT NULL AND o.lm_keep <> n.lm_keep) AS lm_flip,
+          (o.doc_id IS NOT NULL AND o.clf_keep <> n.clf_keep) AS clf_flip,
+          (o.doc_id IS NOT NULL AND o.dsir_keep <> n.dsir_keep) AS dsir_flip,
+          (o.doc_id IS NOT NULL AND o.mix_keep <> n.mix_keep) AS mix_flip
+        FROM arm_new n LEFT JOIN arm_old o ON o.doc_id = n.doc_id
+        ORDER BY n.doc_id""")),
 
     // ---- Decontamination panel (qx12): one verdict row per TRAIN
     // document across the three published contamination checks, each
