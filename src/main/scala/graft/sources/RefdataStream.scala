@@ -22,15 +22,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * as a first-class Spark streaming source instead of a driver-side
   * loop.
   *
-  * The HTTP endpoint is STUBBED (this container has no egress): records
-  * come from a deterministic generator keyed by cursor position, shaped
-  * exactly like a dividends page. Everything Spark-side is real:
-  * cursor offsets (checkpointable JSON, resume-from-offset), per-batch
-  * admission (`recordsPerBatch` = the REST page size), partition
-  * planning that splits a batch's cursor range across
-  * `numPartitions` readers, and InternalRow production. Swapping the
-  * generator for an HttpFetch-backed page reader changes none of the
-  * streaming machinery.
+  * Two transports share every piece of the streaming machinery (cursor
+  * offsets with checkpoint resume, per-batch admission — `recordsPerBatch`
+  * = the REST page size — and partition planning that splits a batch's
+  * cursor range across `numPartitions` readers):
+  *  - default: a deterministic in-process generator keyed by cursor
+  *    position, shaped exactly like a dividends page (this container has
+  *    no egress, so CI never calls out);
+  *  - `baseUrl` set: a REAL socket path — each partition GETs its cursor
+  *    range (`{baseUrl}/v3/reference/dividends?cursor.gte=lo&cursor.lt=hi`,
+  *    JSON lines) through [[graft.refdata.RefData.withRetry]], so
+  *    transient failures (429s, resets) back off and retry exactly like
+  *    the reference's pullers. RefdataStreamSpec binds an in-JVM
+  *    localhost fixture and drives pagination, a 429 retry, and a
+  *    checkpoint resume through this path end-to-end.
   *
   * Usage:
   * {{{
@@ -69,6 +74,47 @@ object RefdataStream {
     val cash = 0.05 + (k % 40) * 0.01
     new GenericInternalRow(Array[Any](
       k, UTF8String.fromString(t), day, cash))
+  }
+
+  private val CursorRe = """"cursor"\s*:\s*(\d+)""".r
+  private val TickerRe = """"ticker"\s*:\s*"([^"]*)"""".r
+  private val ExDateRe = """"ex_date"\s*:\s*"(\d{4}-\d{2}-\d{2})"""".r
+  private val CashRe = """"cash_amount"\s*:\s*(-?[0-9.eE+]+)""".r
+
+  /** One JSON-lines page record → InternalRow. Field extraction is
+    * regex-anchored to the fixed page shape the feed contract
+    * declares (the four schema fields, scalar values) — a production
+    * endpoint with nested payloads would swap in a JSON parser here;
+    * nothing upstream (offsets, planning, retry) would change.
+    * Throws (→ withRetry at the fetch layer, then the task) on a
+    * malformed line rather than silently dropping records.
+    */
+  def parsePageLine(line: String): InternalRow = {
+    def req(re: scala.util.matching.Regex): String =
+      re.findFirstMatchIn(line).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"malformed page line: $line"))
+    new GenericInternalRow(Array[Any](
+      req(CursorRe).toLong,
+      UTF8String.fromString(req(TickerRe)),
+      java.time.LocalDate.parse(req(ExDateRe)).toEpochDay.toInt,
+      req(CashRe).toDouble))
+  }
+
+  /** Blocking GET returning the body; throws on any non-2xx status so
+    * [[graft.refdata.RefData.withRetry]] sees 429/5xx as retryable.
+    */
+  def httpGetPage(url: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    try {
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"HTTP $code from $url")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } finally conn.disconnect()
   }
 }
 
@@ -111,6 +157,12 @@ private[sources] class RefdataMicroBatchStream(options: CaseInsensitiveStringMap
   private val totalRecords = options.getLong("totalRecords", 1000L)
   private val recordsPerBatch = options.getLong("recordsPerBatch", 100L)
   private val numPartitions = options.getInt("numPartitions", 2)
+  // real-socket mode: when set, partitions GET their cursor range from
+  // this endpoint instead of the in-process generator
+  private val baseUrl: Option[String] = Option(options.get("baseUrl"))
+  // retry backoff base for the socket path — the reference's 500 ms in
+  // production; tests shrink it so a 429 retry doesn't stall the suite
+  private val retryBaseMs = options.getLong("retryBaseMs", 500L)
   private val epochDay0 = 19723 // 2024-01-01
 
   // Trigger.AvailableNow latches the feed horizon at query start and
@@ -152,7 +204,8 @@ private[sources] class RefdataMicroBatchStream(options: CaseInsensitiveStringMap
     (0 until n).map { i =>
       val lo = s + (e - s) * i / n
       val hi = s + (e - s) * (i + 1) / n
-      CursorRangePartition(lo, hi, tickers, epochDay0): InputPartition
+      CursorRangePartition(lo, hi, tickers, epochDay0,
+        baseUrl, retryBaseMs): InputPartition
     }.toArray
   }
 
@@ -160,17 +213,46 @@ private[sources] class RefdataMicroBatchStream(options: CaseInsensitiveStringMap
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[CursorRangePartition]
-        new PartitionReader[InternalRow] {
-          private var k = p.lo - 1
-          override def next(): Boolean = { k += 1; k < p.hi }
-          override def get(): InternalRow =
-            RefdataStream.recordAt(k, p.tickers, p.epochDay0)
-          override def close(): Unit = ()
+        p.baseUrl match {
+          case Some(base) => new PartitionReader[InternalRow] {
+            // one paginated GET per partition range, fetched lazily on
+            // the first next() so planning stays socket-free; the
+            // whole page rides one withRetry — a 429/5xx backs off
+            // and re-pulls the SAME range (cursor-keyed pages are
+            // idempotent re-reads, the property REST pagination is
+            // designed around)
+            private var rows: Iterator[InternalRow] = _
+            private var cur: InternalRow = _
+            override def next(): Boolean = {
+              if (rows == null) {
+                val body = graft.refdata.RefData.withRetry(
+                  retries = 5, baseDelayMs = p.retryBaseMs) {
+                  RefdataStream.httpGetPage(
+                    s"$base/v3/reference/dividends?cursor.gte=${p.lo}&cursor.lt=${p.hi}")
+                }
+                rows = body.linesIterator.filter(_.nonEmpty)
+                  .map(RefdataStream.parsePageLine)
+              }
+              val has = rows.hasNext
+              if (has) cur = rows.next()
+              has
+            }
+            override def get(): InternalRow = cur
+            override def close(): Unit = ()
+          }
+          case None => new PartitionReader[InternalRow] {
+            private var k = p.lo - 1
+            override def next(): Boolean = { k += 1; k < p.hi }
+            override def get(): InternalRow =
+              RefdataStream.recordAt(k, p.tickers, p.epochDay0)
+            override def close(): Unit = ()
+          }
         }
       }
     }
 }
 
 private[sources] case class CursorRangePartition(
-    lo: Long, hi: Long, tickers: Array[String], epochDay0: Int)
+    lo: Long, hi: Long, tickers: Array[String], epochDay0: Int,
+    baseUrl: Option[String], retryBaseMs: Long)
   extends InputPartition
