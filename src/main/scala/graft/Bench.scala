@@ -139,13 +139,17 @@ object Bench {
     println(line)
     // The authoritative per-query record must never depend on the
     // driver's truncation window: also write the complete JSON to a
-    // committed in-repo file — but only for UNFILTERED runs (the
-    // driver's shape); a scoped SPARK_GRAFT_ONLY iteration must not
-    // overwrite the full record with a partial one. Best-effort — a
-    // read-only checkout must not fail the bench.
-    if (only.isEmpty) {
+    // committed in-repo file — but only for runs in the DRIVER's shape
+    // (unfiltered, at the driver's sf0.1 dir): a scoped
+    // SPARK_GRAFT_ONLY iteration or a small-SF smoke bench must not
+    // overwrite the authoritative record with partial/incomparable
+    // numbers. Written relative to the working directory (sbt runs
+    // from the repo root), so a worktree or second clone records into
+    // ITSELF, never into another checkout. Best-effort — a read-only
+    // checkout must not fail the bench.
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        java.nio.file.Paths.get("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
       catch {
         case e: Throwable =>

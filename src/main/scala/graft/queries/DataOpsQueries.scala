@@ -34,15 +34,17 @@ object DataOpsQueries {
     * thrashing the storage pool. Daemon threads so a finished main
     * never hangs on pool shutdown.
     */
-  private lazy val fitPool: scala.concurrent.ExecutionContext =
+  private lazy val fitPool: scala.concurrent.ExecutionContext = {
+    val seq = new java.util.concurrent.atomic.AtomicInteger(0)
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         4,
         (r: Runnable) => {
-          val th = new Thread(r, "graft-fit")
+          val th = new Thread(r, s"graft-fit-${seq.incrementAndGet()}")
           th.setDaemon(true)
           th
         }))
+  }
 
   /** Submit an independent eager model fit from its own thread — the
     * composite-floor lever (SCALING.md): Spark's job submission is
@@ -60,24 +62,44 @@ object DataOpsQueries {
     * the caller's jobs; cleared after the fit because pool threads
     * are reused.
     */
-  private[graft] def fitThread[T](tag: String)(body: => T): scala.concurrent.Future[T] = {
+  /** A submitted fit: the pending value plus the job-group tag that
+    * owns every Spark job the fit submits — what [[awaitFit]] needs to
+    * cancel the group if the fit wedges.
+    */
+  private[graft] final case class Fit[T](
+      future: scala.concurrent.Future[T], group: String)
+
+  private[graft] def fitThread[T](tag: String)(body: => T): Fit[T] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    scala.concurrent.Future {
-      sc.setJobGroup(s"graft-fit-$tag", s"concurrent model fit: $tag",
+    val group = s"graft-fit-$tag"
+    Fit(scala.concurrent.Future {
+      sc.setJobGroup(group, s"concurrent model fit: $tag",
         interruptOnCancel = true)
       try body finally sc.clearJobGroup()
-    }(fitPool)
+    }(fitPool), group)
   }
 
   /** Bounded await: a wedged fit (hung scan, deadlocked source) must
     * fail the row loudly with a TimeoutException, not hang the
     * verify/bench harness forever. 30 min is ~200x the slowest fit
-    * observed at sf0.1 and still far under any driver wall-clock.
+    * observed at sf0.1 and still far under any driver wall-clock. On
+    * timeout the fit's job group is CANCELLED (interruptOnCancel
+    * interrupts the blocked fit thread too) so the abandoned fit
+    * releases its pool thread and its jobs stop competing for
+    * executors — without this, a few wedged fits would permanently
+    * exhaust the 4-thread pool.
     */
-  private[graft] def awaitFit[T](f: scala.concurrent.Future[T]): T =
-    scala.concurrent.Await.result(f,
+  private[graft] def awaitFit[T](f: Fit[T]): T =
+    try scala.concurrent.Await.result(f.future,
       scala.concurrent.duration.Duration(30,
         java.util.concurrent.TimeUnit.MINUTES))
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        try org.apache.spark.sql.SparkSession.active.sparkContext
+          .cancelJobGroup(f.group)
+        catch { case _: Throwable => () }
+        throw e
+    }
 
   /** One 8-step GD quality-classifier fit over `src`'s text column,
     * persist-scoped (the DocLake unpersist discipline: the prepared
@@ -1469,7 +1491,8 @@ object DataOpsQueries {
     * counts.
     */
   private def curationRelease(s: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      pred: org.apache.spark.sql.Column = lit(true),
+      fitTag: String = "curation"): DataFrame = {
     val (content, prov) = releaseHalves(s, dir, pred)
     val docs = lmDocs(s, dir, pred)
     val model = graft.text.NgramLm.train(
@@ -1488,7 +1511,7 @@ object DataOpsQueries {
     // targets) are independent job chains — submitted from separate
     // threads so the scheduler pipelines them (the fitThread
     // composite-floor lever)
-    val fClf = fitThread("curation-clf") {
+    val fClf = fitThread(s"$fitTag-clf") {
       val prepC = graft.text.Classifier.prepareQuality(
           graft.ops.Partitioning.spread(
             t(s, dir, "documents").filter(pred)),
@@ -1496,7 +1519,7 @@ object DataOpsQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (prepC, graft.text.Classifier.trainQuality(prepC))
     }
-    val fDsir = fitThread("curation-dsir") {
+    val fDsir = fitThread(s"$fitTag-dsir") {
       val prepD = graft.ops.Partitioning.spread(
           t(s, dir, "documents").filter(pred))
         .select(col("doc_id"),
@@ -1506,7 +1529,7 @@ object DataOpsQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (prepD, graft.text.Dsir.fitRatioLut(prepD, "is_target"))
     }
-    val fMix = fitThread("curation-mix") {
+    val fMix = fitThread(s"$fitTag-mix") {
       graft.text.Mixture.temperatureMixtureKeep(
           t(s, dir, "documents").filter(pred), "doc_id", "lang")
         .select(col("doc_id"), col("keep").as("mix_keep"))
@@ -7205,8 +7228,9 @@ object DataOpsQueries {
         // run on the rest, and fits never spawn fits, so the bounded
         // pool cannot deadlock
         val fOld = fitThread("qx16-arm_old") {
-          curationRelease(s, dir, col("doc_id") % 3 =!= 1) }
-        val vNew = curationRelease(s, dir)
+          curationRelease(s, dir, col("doc_id") % 3 =!= 1,
+            fitTag = "qx16-old") }
+        val vNew = curationRelease(s, dir, fitTag = "qx16-new")
         val gates = Seq("content_keep", "provenance_keep", "lm_keep",
           "clf_keep", "dsir_keep", "mix_keep")
         val vOld = awaitFit(fOld)

@@ -79,7 +79,7 @@ object RefdataStream {
   private val CursorRe = """"cursor"\s*:\s*(\d+)""".r
   private val TickerRe = """"ticker"\s*:\s*"([^"]*)"""".r
   private val ExDateRe = """"ex_date"\s*:\s*"(\d{4}-\d{2}-\d{2})"""".r
-  private val CashRe = """"cash_amount"\s*:\s*(-?[0-9.eE+]+)""".r
+  private val CashRe = """"cash_amount"\s*:\s*(-?[0-9.eE+\-]+)""".r
 
   /** One JSON-lines page record → InternalRow. Field extraction is
     * regex-anchored to the fixed page shape the feed contract
@@ -223,6 +223,7 @@ private[sources] class RefdataMicroBatchStream(options: CaseInsensitiveStringMap
             // designed around)
             private var rows: Iterator[InternalRow] = _
             private var cur: InternalRow = _
+            private var n = 0L
             override def next(): Boolean = {
               if (rows == null) {
                 val body = graft.refdata.RefData.withRetry(
@@ -234,7 +235,15 @@ private[sources] class RefdataMicroBatchStream(options: CaseInsensitiveStringMap
                   .map(RefdataStream.parsePageLine)
               }
               val has = rows.hasNext
-              if (has) cur = rows.next()
+              if (has) { cur = rows.next(); n += 1 }
+              else if (n != p.hi - p.lo)
+                // a truncated / page-capped response would otherwise
+                // commit the full cursor range while silently dropping
+                // the missing records — permanent data loss the
+                // checkpoint would never re-pull. Fail the task loudly
+                // instead; the endpoint contract is exactly [lo, hi).
+                throw new java.io.IOException(
+                  s"page [${p.lo}, ${p.hi}) returned $n of ${p.hi - p.lo} records")
               has
             }
             override def get(): InternalRow = cur

@@ -66,6 +66,7 @@ class RefdataStreamSpec extends SparkTestBase {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val served = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val rejectNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    val truncateNext = new java.util.concurrent.atomic.AtomicInteger(0)
     val n429 = new java.util.concurrent.atomic.AtomicInteger(0)
     private val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -82,8 +83,13 @@ class RefdataStreamSpec extends SparkTestBase {
         val lo = q("cursor.gte").toLong
         val hi = q("cursor.lt").toLong
         served.add((lo, hi))
+        // truncation mode: drop the range's last record — the silent
+        // data-loss shape the reader's coverage check must catch
+        val upper =
+          if (truncateNext.getAndUpdate(i => math.max(0, i - 1)) > 0) hi - 1
+          else hi
         val tickers = Array("AAPL", "MSFT", "NVDA")
-        val body = (lo until hi).map { k =>
+        val body = (lo until upper).map { k =>
           val t = tickers((k % 3).toInt)
           val d = java.time.LocalDate.ofEpochDay(19723L + k / 3)
           val cash = 0.05 + (k % 40) * 0.01
@@ -136,6 +142,36 @@ class RefdataStreamSpec extends SparkTestBase {
       // exactly once (the 429'd attempt recorded nothing)
       val ranges = srv.served.asScala.toSeq
       assert(ranges.map(r => r._2 - r._1).sum === 90, ranges.toString)
+    } finally srv.stop()
+  }
+
+  test("page-line parse handles scientific-notation amounts") {
+    val r = RefdataStream.parsePageLine(
+      """{"cursor":7,"ticker":"AAPL","ex_date":"2024-01-03","cash_amount":5e-05}""")
+    assert(r.getLong(0) === 7L)
+    assert(r.getUTF8String(1).toString === "AAPL")
+    assert(math.abs(r.getDouble(3) - 5e-05) < 1e-18)
+  }
+
+  test("a truncated page fails the query loudly instead of committing " +
+      "a cursor gap") {
+    val srv = new FeedServer
+    try {
+      srv.truncateNext.set(1) // next successful page drops its last record
+      val ckpt = Files.createTempDirectory("refdata-ckpt6").toString
+      val q = readHttpFeed(srv.url, total = 20, perBatch = 20)
+        .writeStream.format("memory").queryName("refdata_trunc")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      // the reader's coverage check is the failure, not a parse fluke
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("records")), chain(e).toString)
     } finally srv.stop()
   }
 
