@@ -83,7 +83,14 @@ object SparkEntry {
     *    Pack.packSequences-per-segment) run VERBATIM per micro-batch
     *    inside their streamed twins qst16/qst15, whose oracles are
     *    the batch rows' SQL verbatim (the qs34 → qst22 precedent:
-    *    the stream form is where production schedules the fold).
+    *    the stream form is where production schedules the fold);
+    *  - qx16 — both of its verdict arms and the lineageDiff run
+    *    VERBATIM inside qx17 (shared helpers), which additionally
+    *    persists the N-1 verdict as the manifest-lake artifact and
+    *    diffs from the READ-BACK — the shape production lineage
+    *    actually runs (the qx14 → qx15 precedent applied to the
+    *    lineage row); the in-memory diff stays oracle-checked on
+    *    qx16's own gate row every round.
     */
   /** Each retired row mapped to the BENCHED superior whose execution
     * contains it (the rationale above, made checkable): a superior
@@ -122,7 +129,8 @@ object SparkEntry {
     "qt49_retrain_on_drift" -> "qst24_stream_model_swap",
     "qst17_stream_lm_score" -> "qst23_stream_admission",
     "ql7_doc_lake_maintenance" -> "qst16_stream_doc_lake",
-    "ql10_packed_lake_append" -> "qst15_stream_packed_lake")
+    "ql10_packed_lake_append" -> "qst15_stream_packed_lake",
+    "qx16_release_lineage" -> "qx17_lineage_from_artifact")
 
   val benchRetired: Set[String] = benchRetiredInto.keySet
 

@@ -1622,6 +1622,71 @@ object DataOpsQueries {
         JOIN dsr ON dsr.doc_id = content.doc_id
         JOIN tmx ON tmx.doc_id = content.doc_id"""
 
+  /** The release-lineage diff: release N's verdict left-joined to
+    * N-1's on doc_id, emitting per-doc status plus six per-gate flip
+    * flags — ONE source shared by qx16 (N-1 computed in-memory) and
+    * qx17 (N-1 read back from the stored manifest), so the two rows
+    * provably ship the same diff semantics. Gates flip because refits
+    * move thresholds/weights (lm/clf/dsir), the new crawl steals
+    * exact-dup canonicals and domain-cap slots (content/provenance),
+    * and mixture targets rescale with per-lang counts (mix).
+    */
+  private def lineageDiff(vNew: DataFrame, vOld: DataFrame): DataFrame = {
+    val gates = Seq("content_keep", "provenance_keep", "lm_keep",
+      "clf_keep", "dsir_keep", "mix_keep")
+    val o = vOld.select(col("doc_id") +:
+      (gates :+ "keep").map(g => col(g).as(s"o_$g")): _*)
+    val isNew = col("o_keep").isNull
+    vNew.join(o, Seq("doc_id"), "left")
+      .select(Seq(
+        col("doc_id"),
+        isNew.as("is_new"),
+        coalesce(col("o_keep"), lit(false)).as("kept_old"),
+        col("keep").as("kept_new"),
+        when(isNew && col("keep"), "new_admitted")
+          .when(isNew, "new_rejected")
+          .when(col("o_keep") && col("keep"), "kept")
+          .when(col("o_keep"), "dropped")
+          .when(col("keep"), "regained")
+          .otherwise("rejected").as("status")) ++
+        gates.map(g => (!isNew && col(s"o_$g") =!= col(g))
+          .as(g.stripSuffix("_keep") + "_flip")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The lineage oracle: the proven curation CTE chain run TWICE —
+    * the old arm scoped to the pre-crawl corpus by shadowing
+    * `documents` with a filtered CTE (main.documents disambiguates
+    * the base table) — then diffed. Shared verbatim by qx16 and qx17
+    * (whose only delta is routing the N-1 arm through the manifest
+    * lake, a value-identity the oracle match itself proves).
+    */
+  private lazy val lineageOracleSql: String = s"""WITH arm_new AS (SELECT * FROM (
+          WITH $curationCtesSql
+          $curationVerdictSelectSql)),
+        arm_old AS (SELECT * FROM (
+          WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 3 <> 1),
+          $curationCtesSql
+          $curationVerdictSelectSql))
+        SELECT n.doc_id,
+          o.doc_id IS NULL AS is_new,
+          COALESCE(o.keep, FALSE) AS kept_old,
+          n.keep AS kept_new,
+          CASE WHEN o.doc_id IS NULL AND n.keep THEN 'new_admitted'
+               WHEN o.doc_id IS NULL THEN 'new_rejected'
+               WHEN o.keep AND n.keep THEN 'kept'
+               WHEN o.keep THEN 'dropped'
+               WHEN n.keep THEN 'regained'
+               ELSE 'rejected' END AS status,
+          (o.doc_id IS NOT NULL AND o.content_keep <> n.content_keep) AS content_flip,
+          (o.doc_id IS NOT NULL AND o.provenance_keep <> n.provenance_keep) AS provenance_flip,
+          (o.doc_id IS NOT NULL AND o.lm_keep <> n.lm_keep) AS lm_flip,
+          (o.doc_id IS NOT NULL AND o.clf_keep <> n.clf_keep) AS clf_flip,
+          (o.doc_id IS NOT NULL AND o.dsir_keep <> n.dsir_keep) AS dsir_flip,
+          (o.doc_id IS NOT NULL AND o.mix_keep <> n.mix_keep) AS mix_flip
+        FROM arm_new n LEFT JOIN arm_old o ON o.doc_id = n.doc_id
+        ORDER BY n.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting + quality scoring ----
@@ -7231,53 +7296,62 @@ object DataOpsQueries {
           curationRelease(s, dir, col("doc_id") % 3 =!= 1,
             fitTag = "qx16-old") }
         val vNew = curationRelease(s, dir, fitTag = "qx16-new")
-        val gates = Seq("content_keep", "provenance_keep", "lm_keep",
-          "clf_keep", "dsir_keep", "mix_keep")
-        val vOld = awaitFit(fOld)
-        val o = vOld.select(col("doc_id") +:
-          (gates :+ "keep").map(g => col(g).as(s"o_$g")): _*)
-        val isNew = col("o_keep").isNull
-        vNew.join(o, Seq("doc_id"), "left")
-          .select(Seq(
-            col("doc_id"),
-            isNew.as("is_new"),
-            coalesce(col("o_keep"), lit(false)).as("kept_old"),
-            col("keep").as("kept_new"),
-            when(isNew && col("keep"), "new_admitted")
-              .when(isNew, "new_rejected")
-              .when(col("o_keep") && col("keep"), "kept")
-              .when(col("o_keep"), "dropped")
-              .when(col("keep"), "regained")
-              .otherwise("rejected").as("status")) ++
-            gates.map(g => (!isNew && col(s"o_$g") =!= col(g))
-              .as(g.stripSuffix("_keep") + "_flip")): _*)
-          .orderBy(col("doc_id"))
+        lineageDiff(vNew, awaitFit(fOld))
       },
-      Some(s"""WITH arm_new AS (SELECT * FROM (
-          WITH $curationCtesSql
-          $curationVerdictSelectSql)),
-        arm_old AS (SELECT * FROM (
-          WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 3 <> 1),
-          $curationCtesSql
-          $curationVerdictSelectSql))
-        SELECT n.doc_id,
-          o.doc_id IS NULL AS is_new,
-          COALESCE(o.keep, FALSE) AS kept_old,
-          n.keep AS kept_new,
-          CASE WHEN o.doc_id IS NULL AND n.keep THEN 'new_admitted'
-               WHEN o.doc_id IS NULL THEN 'new_rejected'
-               WHEN o.keep AND n.keep THEN 'kept'
-               WHEN o.keep THEN 'dropped'
-               WHEN n.keep THEN 'regained'
-               ELSE 'rejected' END AS status,
-          (o.doc_id IS NOT NULL AND o.content_keep <> n.content_keep) AS content_flip,
-          (o.doc_id IS NOT NULL AND o.provenance_keep <> n.provenance_keep) AS provenance_flip,
-          (o.doc_id IS NOT NULL AND o.lm_keep <> n.lm_keep) AS lm_flip,
-          (o.doc_id IS NOT NULL AND o.clf_keep <> n.clf_keep) AS clf_flip,
-          (o.doc_id IS NOT NULL AND o.dsir_keep <> n.dsir_keep) AS dsir_flip,
-          (o.doc_id IS NOT NULL AND o.mix_keep <> n.mix_keep) AS mix_flip
-        FROM arm_new n LEFT JOIN arm_old o ON o.doc_id = n.doc_id
-        ORDER BY n.doc_id""")),
+      Some(lineageOracleSql)),
+
+    // ---- Lineage from the STORED manifest (qx17): qx16 diffs two
+    // in-memory verdict arms; production diffs against the ARTIFACT —
+    // release N-1's verdict manifest (doc_id -> six gate flags +
+    // keep, the release's provenance record) persisted at ship time.
+    // This row closes that claim->demo gap the qx15 way: the N-1 arm
+    // is WRITTEN as a parquet manifest lake, read BACK with an
+    // explicit schema, row-count-require'd, and the diff consumes the
+    // READ-BACK rows — so the oracle (qx16's verbatim) only matches
+    // if every flag survived the round trip. At 100 TB the manifest
+    // is corpus-cardinality but ~10 bytes/doc wide, and diffing
+    // release N against it costs N's verdict chain + ONE doc_id
+    // equi-join against a narrow parquet scan — the two-chain qx16
+    // shape is only the bootstrap case (no stored manifest yet). ----
+    QueryDef("qx17_lineage_from_artifact",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("qx17_manifest")
+        val lake = s"$tmp/verdict_n1"
+        try {
+          val fOld = fitThread("qx17-arm_old") {
+            curationRelease(s, dir, col("doc_id") % 3 =!= 1,
+              fitTag = "qx17-old") }
+          val vNew = curationRelease(s, dir, fitTag = "qx17-new")
+          val vOld = awaitFit(fOld)
+          vOld.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(lake)
+          // explicit schema (the qx15/DocLake zero-append device) and
+          // a cardinality require: the artifact must BE the arm
+          val back = s.read.schema(vOld.schema).parquet(lake)
+          val nOld = back.count()
+          require(nOld == vOld.count(),
+            s"manifest round trip changed cardinality: $nOld")
+          // the manifest lake dies with this body — materialize the
+          // diff off it before cleanup (release-sized; the qx15
+          // sink-hygiene convention)
+          import scala.jdk.CollectionConverters._
+          val rows = lineageDiff(vNew, back).collect()
+          import org.apache.spark.sql.types._
+          s.createDataFrame(rows.toSeq.asJava, StructType(
+            Seq(StructField("doc_id", LongType),
+              StructField("is_new", BooleanType),
+              StructField("kept_old", BooleanType),
+              StructField("kept_new", BooleanType),
+              StructField("status", StringType)) ++
+            Seq("content", "provenance", "lm", "clf", "dsir", "mix")
+              .map(g => StructField(s"${g}_flip", BooleanType))))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      },
+      Some(lineageOracleSql)),
 
     // ---- Decontamination panel (qx12): one verdict row per TRAIN
     // document across the three published contamination checks, each
