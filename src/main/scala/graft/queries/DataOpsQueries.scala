@@ -7322,7 +7322,11 @@ object DataOpsQueries {
             curationRelease(s, dir, col("doc_id") % 3 =!= 1,
               fitTag = "qx17-old") }
           val vNew = curationRelease(s, dir, fitTag = "qx17-new")
+          // persisted: the old arm has TWO consumers (the manifest
+          // write and the cardinality require) — the multi-consumer
+          // persist discipline, released once both have run
           val vOld = awaitFit(fOld)
+            .persist(StorageLevel.MEMORY_AND_DISK)
           vOld.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(lake)
           // explicit schema (the qx15/DocLake zero-append device) and
@@ -7331,6 +7335,7 @@ object DataOpsQueries {
           val nOld = back.count()
           require(nOld == vOld.count(),
             s"manifest round trip changed cardinality: $nOld")
+          vOld.unpersist()
           // the manifest lake dies with this body — materialize the
           // diff off it before cleanup (release-sized; the qx15
           // sink-hygiene convention)
