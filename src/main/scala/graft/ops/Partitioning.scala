@@ -1,18 +1,49 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Repartition
 
 /** Partition-shape guards for compute-heavy operators. */
 object Partitioning {
 
   /** Ensure at least default-parallelism partitions before heavy per-row
     * work (hash signatures, gram pipelines, distance kernels). A small
-    * input file arrives as ONE scan partition — without this, per-row
-    * compute runs on a single core while the rest idle. At scale the
-    * input already has more partitions than cores and this is a no-op.
+    * input arrives as ONE scan partition (or AQE coalesces a tiny
+    * shuffle to a handful) — without this, per-row compute runs on a
+    * single core while the rest idle. At scale the input already has
+    * more partitions than cores and this is a no-op.
+    *
+    * The decision is made from LEAF STATISTICS, never by probing
+    * `df.rdd.getNumPartitions`: that probe is not a metadata peek —
+    * under AQE, `.rdd` executes every upstream query stage (shuffles,
+    * broadcast builds) just to finalize the plan and then throws the
+    * materialized stages away (measured: ~4.5 s of discarded stage jobs
+    * per curationRelease arm at sf0.1, plus planning/codegen of the
+    * probe plan on every narrow call). Instead: a scan of B bytes
+    * splits into ~B / maxPartitionBytes tasks, so the input is
+    * volume-partitioned at or above `target` exactly when its largest
+    * leaf reaches target × maxPartitionBytes — the same threshold the
+    * probe was observing, derived from size statistics (guide §2's
+    * scale-adaptive partitioning) at zero execution cost. Below it the
+    * input is small enough that one extra ~cores-wide exchange is
+    * noise; above it the plan is left untouched (the 100 TB posture:
+    * never an unconditional repartition of a volume-partitioned
+    * corpus).
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    df.queryExecution.analyzed match {
+      // idempotence: spreading an already-spread plan must not stack a
+      // second exchange
+      case Repartition(n, true, _) if n >= target => df
+      case plan =>
+        val splitBytes = BigInt(
+          df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        val maxLeaf = plan.collectLeaves()
+          .map(_.stats.sizeInBytes)
+          .reduceOption(_ max _).getOrElse(BigInt(0))
+        if (maxLeaf >= splitBytes * target) df
+        else df.repartition(target)
+    }
   }
 }

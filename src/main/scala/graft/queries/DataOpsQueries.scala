@@ -7322,6 +7322,14 @@ object DataOpsQueries {
             curationRelease(s, dir, col("doc_id") % 3 =!= 1,
               fitTag = "qx17-old") }
           val vNew = curationRelease(s, dir, fitTag = "qx17-new")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // the two arm EXECUTIONS are as independent as their fits:
+          // materialize the new verdict from a pool thread while the
+          // main thread writes the old-arm manifest, so the row's wall
+          // cost is max(arm exec) not Σ — the fitThread lever applied
+          // one level up (same values: the diff below consumes the
+          // persisted materialization)
+          val fNewMat = fitThread("qx17-new-mat") { vNew.count() }
           // persisted: the old arm has TWO consumers (the manifest
           // write and the cardinality require) — the multi-consumer
           // persist discipline, released once both have run
@@ -7340,7 +7348,9 @@ object DataOpsQueries {
           // diff off it before cleanup (release-sized; the qx15
           // sink-hygiene convention)
           import scala.jdk.CollectionConverters._
+          awaitFit(fNewMat)
           val rows = lineageDiff(vNew, back).collect()
+          vNew.unpersist()
           import org.apache.spark.sql.types._
           s.createDataFrame(rows.toSeq.asJava, StructType(
             Seq(StructField("doc_id", LongType),

@@ -105,7 +105,11 @@ object Classifier {
     * trained vector drop-in for qt28's serving shape).
     */
   def margin(bs: Column, n: Column, weights: Array[Double]): Column = {
-    val wLit = array(weights.map(lit): _*)
+    // ONE Literal node, not a 4096-child CreateArray: the values and
+    // the element_at lookups are identical, but analysis/optimization/
+    // codegen walk a single node — material when the expression is
+    // re-planned per GD step (trainQuality re-plans K times)
+    val wLit = typedlit(weights)
     aggregate(bs, lit(0.0), (acc, b) => acc + element_at(wLit, b + 1)) /
       n.cast("double")
   }

@@ -122,7 +122,9 @@ object Dsir {
     * bucket arrays (sub-bigram docs) weigh 0.
     */
   def importanceWeight(bs: Column, lut: Array[Double]): Column = {
-    val rLit = array(lut.map(lit): _*)
+    // ONE Literal node, not a dim-child CreateArray (same values, same
+    // element_at lookups; plan-walk cost drops from O(dim) to O(1))
+    val rLit = typedlit(lut)
     when(size(bs) === 0, lit(0.0)).otherwise(
       aggregate(bs, lit(0L), (acc, b) =>
         acc + floor(element_at(rLit, b + 1) * lit(FixedPoint))

@@ -97,7 +97,9 @@ object TextOps {
   def hashedClassifierScore(text: Column, weights: Array[Double],
       salt: String = "qc"): Column = {
     require(weights.nonEmpty, "need a non-empty weight vector")
-    val wLit = array(weights.map(lit): _*)
+    // ONE Literal node, not a dim-child CreateArray (same values, same
+    // element_at lookups; plan-walk cost drops from O(dim) to O(1))
+    val wLit = typedlit(weights)
     val dim = weights.length.toLong
     bindOnce(tokens(text)) { toks =>
       val hs = graft.functions.TokenHashes60.token_hashes60(
