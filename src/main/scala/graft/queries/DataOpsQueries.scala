@@ -28,17 +28,20 @@ object DataOpsQueries {
   /** Dedicated bounded pool for concurrent fits: the global EC is the
     * wrong default once fan-out widens (it sizes to CPU count and is
     * shared with anything else on the JVM), and an unbounded fan-out
-    * would flood the scheduler with competing job chains. Four
-    * threads covers every current composite (max 5 fits, the await
-    * order drains the rest) while keeping concurrent scans from
-    * thrashing the storage pool. Daemon threads so a finished main
-    * never hangs on pool shutdown.
+    * would flood the scheduler with competing job chains. Eight
+    * threads covers every current composite's peak concurrent demand
+    * (qx17: the old-arm thread + both arms' three inner fits + the
+    * new-arm materialization = 8; qst23: 6 fits) so independent fits
+    * never queue behind a sibling arm's — at 4, qx17's new-arm fits
+    * measurably serialized behind the old arm's. Still far under the
+    * core count, so concurrent scans don't thrash the storage pool.
+    * Daemon threads so a finished main never hangs on pool shutdown.
     */
   private lazy val fitPool: scala.concurrent.ExecutionContext = {
     val seq = new java.util.concurrent.atomic.AtomicInteger(0)
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
-        4,
+        8,
         (r: Runnable) => {
           val th = new Thread(r, s"graft-fit-${seq.incrementAndGet()}")
           th.setDaemon(true)
@@ -6022,25 +6025,34 @@ object DataOpsQueries {
         }
         // (3) LM: frozen collected model + frozen per-lang tertile
         // thresholds (lang rows — the model-fit collect class)
-        val fLm = fitThread("qst23-lm") {
+        // the LM artifact is TWO independent collects over the same
+        // lazy model (persisted count tables): the driver LUT and the
+        // tertile thresholds. Submitted as separate fits so they
+        // pipeline instead of serializing inside one thread — the LM
+        // chain was the measured critical path of this row's fit
+        // phase (concurrent consumers of one unpopulated persist are
+        // safe: the cache fills block-wise under the storage lock).
+        val lmModel = {
           val ldocs = lmDocs(s, dir)
-          val model = graft.text.NgramLm.train(
-            ldocs.filter(col("doc_id") % 5 === 0), "text2", "lang")
-          val local = graft.text.NgramLm.collectModel(model)
-          // thresholds depend ONLY on the doc_id % 3 score sample
-          // (tertileThresholds' own filter), so the fit scores just
-          // that sample — a 3x cut of the scoring pass with
-          // bit-identical thresholds; arrivals are scored by
-          // scoreLocal on the stream, never by this batch chain
-          val thMap: Map[String, Option[Double]] =
-            graft.text.NgramLm.tertileThresholds(
-                graft.text.NgramLm.score(
-                  ldocs.filter(col("doc_id") % 3 === 0),
-                  "doc_id", "text2", "lang", model))
-              .collect().map(r => r.getString(0) ->
-                (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-              .toMap
-          (local, thMap)
+          (ldocs, graft.text.NgramLm.train(
+            ldocs.filter(col("doc_id") % 5 === 0), "text2", "lang"))
+        }
+        val fLm = fitThread("qst23-lm") {
+          graft.text.NgramLm.collectModel(lmModel._2)
+        }
+        // thresholds depend ONLY on the doc_id % 3 score sample
+        // (tertileThresholds' own filter), so the fit scores just
+        // that sample — a 3x cut of the scoring pass with
+        // bit-identical thresholds; arrivals are scored by
+        // scoreLocal on the stream, never by this batch chain
+        val fLmTh = fitThread("qst23-lmth") {
+          graft.text.NgramLm.tertileThresholds(
+              graft.text.NgramLm.score(
+                lmModel._1.filter(col("doc_id") % 3 === 0),
+                "doc_id", "text2", "lang", lmModel._2))
+            .collect().map(r => r.getString(0) ->
+              (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+            .toMap
         }
         // (4) classifier: frozen weights (caches released after their
         // eager fits — the DocLake unpersist discipline)
@@ -6067,9 +6079,8 @@ object DataOpsQueries {
           graft.text.Mixture.temperatureTargets(docs, "lang")
         }
         val bcEval = s.sparkContext.broadcast(awaitFit(fEval))
-        val (lmLocal, thMap) = awaitFit(fLm)
-        val bcModel = s.sparkContext.broadcast(lmLocal)
-        val bcTh = s.sparkContext.broadcast(thMap)
+        val bcModel = s.sparkContext.broadcast(awaitFit(fLm))
+        val bcTh = s.sparkContext.broadcast(awaitFit(fLmTh))
         val w = awaitFit(fClf)
         val (lut, mx, mn) = awaitFit(fDsir)
         val tDf = awaitFit(fMix)
