@@ -143,14 +143,22 @@ object Bench {
     // (unfiltered, at the driver's sf0.1 dir): a scoped
     // SPARK_GRAFT_ONLY iteration or a small-SF smoke bench must not
     // overwrite the authoritative record with partial/incomparable
-    // numbers. Written relative to the working directory (sbt runs
+    // numbers. Core count is part of that shape too: the driver's
+    // 8-core SCALING run at sf0.1 must not clobber the 32-core record
+    // (observed in r20: BENCH_FULL.json silently held the c8 numbers)
+    // — so the record carries `cpus` and lands in a per-core-count
+    // file, BENCH_FULL.json itself only at the driver's 32-core
+    // shape. Written relative to the working directory (sbt runs
     // from the repo root), so a worktree or second clone records into
     // ITSELF, never into another checkout. Best-effort — a read-only
     // checkout must not fail the bench.
     if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+      val record = line.replaceFirst("\\{", s"""{"cpus":$cpus,""")
+      val file = if (cpus == "32") "BENCH_FULL.json"
+                 else s"BENCH_FULL_c$cpus.json"
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line + "\n").getBytes("UTF-8"))
+        java.nio.file.Paths.get(file),
+        (record + "\n").getBytes("UTF-8"))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] BENCH_FULL.json write failed (continuing): ${e.getMessage}")

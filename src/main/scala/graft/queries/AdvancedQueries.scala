@@ -1590,12 +1590,29 @@ object AdvancedQueries {
         // query while every duplicated subtree sits above the already-
         // persisted withId (BENCH_LOCAL.md round 7 note).
         val days = Factors.idDays(withId)
-        val groups = Some(Factors.idGroups(days))
+        // groups is id-dim-sized and consumed by BOTH factor grids:
+        // checkpointed once instead of re-planned + re-executed per
+        // grid (the idGroups scaladoc's compute-once advice, upgraded
+        // from persist to a plan-truncating materialization)
+        val groups = Some(Factors.idGroups(days).localCheckpoint())
         val sgrid = Factors.splitFactorGrid(days, splits, exact = true,
           groups = groups)
+        // ONE plan-truncation point at the factor-table boundary
+        // (guide §3.3): dayBase feeds BOTH the dividend grid and the
+        // final join, and everything below it (day grid, group
+        // tickers, split alignment + windows) otherwise re-plans and
+        // re-executes per consumer inside one giant composite plan —
+        // measured at 32c as a 0.8 s analysis prefix plus ~45
+        // sequential AQE micro-stages with driver gaps between them.
+        // localCheckpoint materializes the id×day factor table once
+        // and hands both consumers an RDD scan: same rows (the
+        // checkpoint is below the deterministic float math, which is
+        // per-row and unaffected by partitioning), half the stage
+        // cascade, and the dividend/TR half plans against a leaf.
         val dayBase = withId.join(sgrid, Seq("id", "event_day"), "left")
           .withColumn("close_split",
             col("close") * coalesce(col("split_price_factor"), lit(1.0)))
+          .localCheckpoint()
         val dgrid = Factors.dividendFactorGrid(
           dayBase.select(col("id"), col("ticker"), col("event_day"),
             col("close_split")),

@@ -7228,24 +7228,20 @@ object DataOpsQueries {
               s"shard ${r.getAs[Int]("shard")} rid range not contiguous")
           }
           // the lake dir dies with this body — materialize off it
-          // before cleanup (release-sized; the ql8 sink-hygiene
-          // convention)
-          import scala.jdk.CollectionConverters._
-          val rows = back.join(broadcast(bounds
+          // before cleanup via localCheckpoint, NOT a driver collect:
+          // the release is corpus-scale at 100 TB, so the rows stay
+          // distributed; the eager checkpoint pins them on executors
+          // before the finally deletes the lake (same columns, same
+          // types as the createDataFrame copy this replaces)
+          val rel2 = back.join(broadcast(bounds
               .select(col("shard"), col("rid0"))), "shard")
             .select(col("doc_id"), col("shard"),
               (col("rid") - col("rid0")).cast("int").as("pos"),
               col("lang"), md5(col("text")).as("text_md5"))
             .orderBy(col("doc_id"))
-            .collect()
+            .localCheckpoint()
           back.unpersist()
-          import org.apache.spark.sql.types._
-          s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
-            StructField("doc_id", LongType),
-            StructField("shard", IntegerType),
-            StructField("pos", IntegerType),
-            StructField("lang", StringType),
-            StructField("text_md5", StringType))))
+          rel2
         } finally {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
@@ -7356,21 +7352,18 @@ object DataOpsQueries {
             s"manifest round trip changed cardinality: $nOld")
           vOld.unpersist()
           // the manifest lake dies with this body — materialize the
-          // diff off it before cleanup (release-sized; the qx15
-          // sink-hygiene convention)
-          import scala.jdk.CollectionConverters._
+          // diff off it before cleanup via localCheckpoint, NOT a
+          // driver collect: the diff is corpus-cardinality (one row
+          // per release-N document — billions at 100 TB), so it must
+          // stay distributed; the eager checkpoint pins the rows on
+          // executors before the finally deletes the lake, and the
+          // returned frame is those very rows (same columns, same
+          // types — the createDataFrame this replaces was a
+          // driver-side copy of exactly this projection)
           awaitFit(fNewMat)
-          val rows = lineageDiff(vNew, back).collect()
+          val diff = lineageDiff(vNew, back).localCheckpoint()
           vNew.unpersist()
-          import org.apache.spark.sql.types._
-          s.createDataFrame(rows.toSeq.asJava, StructType(
-            Seq(StructField("doc_id", LongType),
-              StructField("is_new", BooleanType),
-              StructField("kept_old", BooleanType),
-              StructField("kept_new", BooleanType),
-              StructField("status", StringType)) ++
-            Seq("content", "provenance", "lm", "clf", "dsir", "mix")
-              .map(g => StructField(s"${g}_flip", BooleanType))))
+          diff
         } finally {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse

@@ -115,15 +115,31 @@ object Classifier {
   }
 
   /** K batch-gradient steps over a prepared (y, n, bs) table; returns
-    * the trained weight vector. Per step: margins under the current
-    * plan-literal weights, Elliott probability p, per-token gradient
-    * contribution (y−p)/n fixed-pointed to floor(g·2^32) longs,
-    * summed per bucket (ONE map-side-combinable aggregate, exchange
-    * width ≤ distinct buckets), then w_b += eta·((g/2^32)/N) on the
-    * driver — a dim-bounded model-fit collect. eta MUST be a power of
-    * two (exact scaling); step 0's probability is exactly 0.5
-    * (all-zero weights), so the first step skips the margin job
-    * entirely.
+    * the trained weight vector. The (y, n, bs) projection is
+    * materialized ONCE as a persisted primitive RDD; each step is one
+    * `treeAggregate` into a dim-sized exact-long gradient array —
+    * full map-side aggregation (guide §2.3: only dim·8 bytes per
+    * partition cross the network, never the exploded gram stream),
+    * no per-step Catalyst re-plan, no explode, no exchange, no AQE
+    * micro-stages (measured: the previous explode→groupBy→collect
+    * form paid ~0.2-0.3 s of planning plus 2 AQE jobs per step, ×8
+    * steps × ~7 trains across the bench). The weight update
+    * w_b += eta·((g/2^32)/N) stays on the driver — dim-bounded.
+    *
+    * BIT-EQUALITY (the oracle's unrolled-CTE contract): every per-doc
+    * float op is the same IEEE op in the same order as the previous
+    * Catalyst form and the DuckDB chain — margin = 0.0-seeded
+    * left-to-right sum of w(b) over bs, / n; Elliott
+    * 0.5 + 0.5·(m/(1+|m|)); q = floor(((y−p)/n)·2^32) cast long
+    * (NaN→0, ±Inf→Long.{Min,Max} — .toLong matches Catalyst's cast);
+    * per-bucket sums are exact longs, order-independent by
+    * construction. Untouched buckets keep w verbatim (the oracle's
+    * NULL-gradient arm); a touched bucket with g = 0 adds +0.0,
+    * which is bit-identical to w because no update can produce -0.0
+    * — so the g ≠ 0 guard below covers both cases exactly.
+    * eta MUST be a power of two (exact scaling); step 0's
+    * probability is exactly 0.5 (all-zero weights), so the first
+    * step skips the margin fold entirely.
     */
   def trainQuality(prepared: DataFrame, dim: Int = 4096,
       eta: Double = 128.0, steps: Int = 8): Array[Double] = {
@@ -131,36 +147,66 @@ object Classifier {
       (java.lang.Double.doubleToLongBits(eta) & 0xfffffffffffffL) == 0L,
       s"eta must be a finite power of two for an exact weight update, " +
         s"got $eta")
-    val nRows = prepared.count()
-    // Loud Long-range guard on the fixed-point gradient accumulate
-    // (the Dsir rMax / Mixture wsum discipline): each occurrence
-    // contributes floor((y−p)/n · 2^32) and a doc holds ≤ n
-    // occurrences, so a bucket's exact-long sum is bounded by
-    // nDocs · 2^32 — at nDocs ≥ 2^31 it can wrap, and the two engines
-    // diverge silently (Spark wraps, DuckDB raises). Train on a
-    // bounded sample (the CCNet posture — a quality classifier does
-    // not need the whole corpus) past that bound.
-    require(nRows < (1L << 31),
-      s"$nRows training docs: the floor(g*2^32) per-bucket gradient " +
-        "sum risks Long overflow at nDocs >= 2^31 - train on a sample")
-    val nDocs = nRows.toDouble
-    val w = Array.fill(dim)(0.0)
-    var step = 0
-    while (step < steps) {
-      val p = if (step == 0) lit(0.5)
-        else elliott(margin(col("bs"), col("n"), w))
-      val q = floor((col("y").cast("double") - p) /
-        col("n").cast("double") * lit(FixedPoint)).cast("long")
-      val grad = prepared
-        .select(explode(col("bs")).as("b"), q.as("q"))
-        .groupBy(col("b")).agg(sum(col("q")).as("g"))
-        .collect()
-      grad.foreach { r =>
-        val b = r.getInt(0)
-        w(b) = w(b) + eta * (r.getLong(1).toDouble / FixedPoint / nDocs)
+    import prepared.sparkSession.implicits._
+    // one slim deserialized materialization; K pure-compute passes
+    // (the documented 100 TB posture: persist the prepared projection
+    // once, pay K slim scans, never re-tokenize)
+    val feats = prepared
+      .select(col("y").as("_1"), col("n").as("_2"), col("bs").as("_3"))
+      .as[(Int, Int, Array[Int])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = feats.count()
+      // Loud Long-range guard on the fixed-point gradient accumulate
+      // (the Dsir rMax / Mixture wsum discipline): each occurrence
+      // contributes floor((y−p)/n · 2^32) and a doc holds ≤ n
+      // occurrences, so a bucket's exact-long sum is bounded by
+      // nDocs · 2^32 — at nDocs ≥ 2^31 it can wrap, and the two engines
+      // diverge silently (Spark wraps, DuckDB raises). Train on a
+      // bounded sample (the CCNet posture — a quality classifier does
+      // not need the whole corpus) past that bound.
+      require(nRows < (1L << 31),
+        s"$nRows training docs: the floor(g*2^32) per-bucket gradient " +
+          "sum risks Long overflow at nDocs >= 2^31 - train on a sample")
+      val nDocs = nRows.toDouble
+      val w = Array.fill(dim)(0.0)
+      var step = 0
+      while (step < steps) {
+        val isFirst = step == 0
+        // snapshot for closure capture: tasks must see the step's
+        // weights, never a concurrently-updated array
+        val wStep = w.clone()
+        val grad = feats.treeAggregate(new Array[Long](dim))(
+          seqOp = { (acc, row) =>
+            val (y, n, bs) = row
+            val nD = n.toDouble
+            val p = if (isFirst) 0.5
+              else {
+                var m = 0.0
+                var i = 0
+                while (i < bs.length) { m += wStep(bs(i)); i += 1 }
+                m = m / nD
+                0.5 + 0.5 * (m / (1.0 + math.abs(m)))
+              }
+            val q = math.floor((y.toDouble - p) / nD * FixedPoint).toLong
+            var i = 0
+            while (i < bs.length) { acc(bs(i)) += q; i += 1 }
+            acc
+          },
+          combOp = { (a, b) =>
+            var i = 0
+            while (i < dim) { a(i) += b(i); i += 1 }
+            a
+          })
+        var b = 0
+        while (b < dim) {
+          if (grad(b) != 0L)
+            w(b) = w(b) + eta * (grad(b).toDouble / FixedPoint / nDocs)
+          b += 1
+        }
+        step += 1
       }
-      step += 1
-    }
-    w
+      w
+    } finally feats.unpersist()
   }
 }

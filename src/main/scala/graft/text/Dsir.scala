@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
@@ -80,25 +80,40 @@ object Dsir {
     */
   def fitRatioLut(prep: DataFrame, targetCol: String,
       dim: Int = 4096): Array[Double] = {
-    val tot = prep.agg(
-      sum(size(col("bs")).cast("long")).as("tr"),
-      sum(when(col(targetCol), size(col("bs")).cast("long"))
-        .otherwise(0L)).as("tt")).head()
-    val tr = tot.getLong(0)
-    val tt = tot.getLong(1)
-    val counts: Array[Row] = prep
-      .select(col(targetCol).as("is_t"), explode(col("bs")).as("b"))
-      .groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-      .collect()
+    // ONE treeAggregate pass computes both distributions' per-bucket
+    // counts as exact longs (guide §2.3: full map-side aggregation —
+    // only 2·dim·8 bytes per partition cross, never the exploded gram
+    // stream) and the totals fall out as the column sums; the
+    // previous form paid two plans (a whole-table agg THEN an
+    // explode→groupBy→collect exchange) per fit. Null target flags
+    // count toward the raw distribution only — exactly the
+    // when(targetCol) semantics of the aggregate this replaces.
+    import prep.sparkSession.implicits._
+    val (cr, ct) = prep
+      .select(coalesce(col(targetCol), lit(false)).as("_1"),
+        col("bs").as("_2"))
+      .as[(Boolean, Array[Int])].rdd
+      .treeAggregate((new Array[Long](dim), new Array[Long](dim)))(
+        seqOp = { case ((cr, ct), (isT, bs)) =>
+          var i = 0
+          while (i < bs.length) {
+            cr(bs(i)) += 1L
+            if (isT) ct(bs(i)) += 1L
+            i += 1
+          }
+          (cr, ct)
+        },
+        combOp = { case ((ar, at), (br, bt)) =>
+          var i = 0
+          while (i < dim) { ar(i) += br(i); at(i) += bt(i); i += 1 }
+          (ar, at)
+        })
+    val tr = cr.sum
+    val tt = ct.sum
     def ratio(ct: Long, cr: Long): Double =
       ((ct + 1).toDouble / (tt + dim).toDouble) /
         ((cr + 1).toDouble / (tr + dim).toDouble)
-    val lut = Array.fill(dim)(ratio(0L, 0L))
-    counts.foreach { r =>
-      lut(r.getInt(0)) = ratio(r.getLong(2), r.getLong(1))
-    }
+    val lut = Array.tabulate(dim)(b => ratio(ct(b), cr(b)))
     // Overflow guard on the fixed-point accumulate: each per-gram term
     // is floor(r·2^32) and a doc contributes up to its gram count of
     // them, so r < 2^12 keeps the exact-long sum safe through 2^19
