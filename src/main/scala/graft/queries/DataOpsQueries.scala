@@ -90,7 +90,7 @@ object DataOpsQueries {
     * interrupts the blocked fit thread too) so the abandoned fit
     * releases its pool thread and its jobs stop competing for
     * executors — without this, a few wedged fits would permanently
-    * exhaust the 4-thread pool.
+    * exhaust the bounded fit pool.
     */
   private[graft] def awaitFit[T](f: Fit[T]): T =
     try scala.concurrent.Await.result(f.future,
@@ -1493,9 +1493,18 @@ object DataOpsQueries {
     * QueryDef for the per-arm rationale and measured sole-rejector
     * counts.
     */
+  /** `sorted = false` drops the verdict's trailing global sort for
+    * callers that only consume the row SET (qx15's kept-set join,
+    * qx16/qx17's diff arms — lineageDiff re-sorts its own output):
+    * a global sort is a range-partitioner SAMPLING job plus a range
+    * exchange plus the sort itself, and the arms PERSIST their
+    * verdicts, which pins the sort into the materialization. qx14's
+    * own gate row keeps the default — its declared output order IS
+    * the contract there.
+    */
   private def curationRelease(s: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column = lit(true),
-      fitTag: String = "curation"): DataFrame = {
+      fitTag: String = "curation", sorted: Boolean = true): DataFrame = {
     val (content, prov) = releaseHalves(s, dir, pred)
     val docs = lmDocs(s, dir, pred)
     val model = graft.text.NgramLm.train(
@@ -1552,7 +1561,7 @@ object DataOpsQueries {
         graft.text.Dsir.keepByWeight(col("doc_id"), col("weight"),
           col("mn"), col("mw")).as("dsir_keep"))
     val mix = awaitFit(fMix)
-    content.join(prov, "doc_id")
+    val verdict = content.join(prov, "doc_id")
       .join(quality, Seq("doc_id"), "left")
       .join(clf, "doc_id").join(dsir, "doc_id").join(mix, "doc_id")
       .select(col("doc_id"), col("content_keep"), col("provenance_keep"),
@@ -1562,7 +1571,7 @@ object DataOpsQueries {
           coalesce(col("lm_keep"), lit(false)) &&
           col("clf_keep") && col("dsir_keep") && col("mix_keep"))
           .as("keep"))
-      .orderBy(col("doc_id"))
+    if (sorted) verdict.orderBy(col("doc_id")) else verdict
   }
 
   /** The qt49/qst24 drift dressing in SQL — window doc_id % 4 = 3's
@@ -7192,7 +7201,7 @@ object DataOpsQueries {
         val tmp = java.nio.file.Files.createTempDirectory("qx15_release")
         val lake = s"$tmp/release"
         try {
-          val kept = curationRelease(s, dir)
+          val kept = curationRelease(s, dir, sorted = false)
             .filter(col("keep")).select(col("doc_id"))
           val rel = t(s, dir, "documents")
             .join(kept, "doc_id")
@@ -7301,8 +7310,9 @@ object DataOpsQueries {
         // pool cannot deadlock
         val fOld = fitThread("qx16-arm_old") {
           curationRelease(s, dir, col("doc_id") % 3 =!= 1,
-            fitTag = "qx16-old") }
-        val vNew = curationRelease(s, dir, fitTag = "qx16-new")
+            fitTag = "qx16-old", sorted = false) }
+        val vNew = curationRelease(s, dir, fitTag = "qx16-new",
+          sorted = false)
         lineageDiff(vNew, awaitFit(fOld))
       },
       Some(lineageOracleSql)),
@@ -7327,8 +7337,9 @@ object DataOpsQueries {
         try {
           val fOld = fitThread("qx17-arm_old") {
             curationRelease(s, dir, col("doc_id") % 3 =!= 1,
-              fitTag = "qx17-old") }
-          val vNew = curationRelease(s, dir, fitTag = "qx17-new")
+              fitTag = "qx17-old", sorted = false) }
+          val vNew = curationRelease(s, dir, fitTag = "qx17-new",
+            sorted = false)
             .persist(StorageLevel.MEMORY_AND_DISK)
           // the two arm EXECUTIONS are as independent as their fits:
           // materialize the new verdict from a pool thread while the
