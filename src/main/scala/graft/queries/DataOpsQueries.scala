@@ -4092,6 +4092,12 @@ object DataOpsQueries {
           val brute = Similarity.bruteTopK(live, q,
               "vec_id", "embedding", "query_id", "qe", k = 5)
             .persist(StorageLevel.MEMORY_AND_DISK)
+          // the brute reference ranking's only consumer is the final
+          // recall join, but nothing else depends on it — materialize
+          // it from a pool thread so its stages back-fill the index
+          // build/write instead of serializing after the serving pass
+          // (guide §2.6, the fitThread lever)
+          val fBrute = fitThread("qs33-brute") { brute.count() }
           val thr = Similarity.signThresholds(e, "vec_id", "embedding")
           val pq = graft.sim.Pq.fit(e, "vec_id", "embedding", m = 16, k = 256)
           val cells = Ivf.fit(e, "vec_id", "embedding", k = 8, iters = 0)
@@ -4118,6 +4124,7 @@ object DataOpsQueries {
             .persist(StorageLevel.MEMORY_AND_DISK)
           require(ann.filter(col("neighbor_id") % 8 === 3).isEmpty,
             "two-stage serving must never return a tombstoned id")
+          awaitFit(fBrute)
           val res = Similarity.recallAtK(ann, brute, k = 5)
             .select(col("query_id"), col("n_hit").cast("int").as("n_hit"),
               col("n_exact").cast("int").as("n_exact"), col("recall"))
