@@ -242,6 +242,13 @@ object ExtraQueries {
                 lit(0.1)).otherwise(lit(1.0)))
           .withColumn("datetime", col("event_day").cast("timestamp"))
           .withColumn("id", col("ticker"))
+          // bars (distinct + per-ticker window) feeds the day grid,
+          // the alignment grid AND dayEdges — one plan-truncating
+          // materialization instead of re-planning + re-executing the
+          // subtree per consumer (the q32 localCheckpoint treatment;
+          // the window order is unique per (ticker, event_day), so
+          // the checkpointed values are deterministic)
+          .localCheckpoint()
         val days = bars.select(col("id"), col("ticker"), col("event_day"))
         val noSplits = Seq.empty[(String, java.sql.Date, Double)]
           .toDF("ticker", "execution_date", "ratio")

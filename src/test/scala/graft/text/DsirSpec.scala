@@ -83,6 +83,21 @@ class DsirSpec extends SparkTestBase {
     assert(kept.forall(_ == false))
   }
 
+  test("null target flags count toward the raw distribution only") {
+    // the one-pass fit must reproduce the previous aggregate's
+    // when(targetCol) semantics: a NULL flag contributes its grams to
+    // the raw counts/total but never to the target side
+    val withNull = Seq((1L, "a b a b", java.lang.Boolean.TRUE),
+        (2L, "x y x y", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("doc_id", "text", "is_target")
+      .select($"doc_id", $"is_target", Dsir.bigramBuckets($"text").as("bs"))
+    val asFalse = prep(Seq((1L, "a b a b", true), (2L, "x y x y", false)))
+    val lutN = Dsir.fitRatioLut(withNull, "is_target", dim = 4096)
+    val lutF = Dsir.fitRatioLut(asFalse, "is_target", dim = 4096)
+    assert(lutN.toSeq == lutF.toSeq,
+      "null flags must fit exactly like false flags")
+  }
+
   test("the salted draw is partition-independent") {
     val docs = (0 until 64).map(i =>
       (i.toLong, if (i % 3 == 0) "a b a b" else "x y x y", i % 3 == 0))
