@@ -28,12 +28,16 @@ object DataOpsQueries {
   /** Dedicated bounded pool for concurrent fits: the global EC is the
     * wrong default once fan-out widens (it sizes to CPU count and is
     * shared with anything else on the JVM), and an unbounded fan-out
-    * would flood the scheduler with competing job chains. Eight
-    * threads covers every current composite's peak concurrent demand
-    * (qx17: the old-arm thread + both arms' three inner fits + the
-    * new-arm materialization = 8; qst23: 6 fits) so independent fits
-    * never queue behind a sibling arm's — at 4, qx17's new-arm fits
-    * measurably serialized behind the old arm's. Still far under the
+    * would flood the scheduler with competing job chains. Twelve
+    * threads = the widest composite's peak concurrent demand plus
+    * headroom (qx17: the old-arm thread + both arms' FOUR inner fits
+    * — clf/dsir/mix/lmscore — + the new-arm materialization = 10;
+    * the +2 headroom is deliberate so the pool is never sized
+    * exactly to the peak, the r20-verdict hazard: an arm occupies a
+    * pool thread while awaiting its inner fits, so a pool at exactly
+    * the demand leaves zero slack for the next composite to add a
+    * fit without re-auditing). Fits never spawn fits, so queueing
+    * degrades to serialization, never deadlock. Still under the
     * core count, so concurrent scans don't thrash the storage pool.
     * Daemon threads so a finished main never hangs on pool shutdown.
     */
@@ -41,7 +45,7 @@ object DataOpsQueries {
     val seq = new java.util.concurrent.atomic.AtomicInteger(0)
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
-        8,
+        12,
         (r: Runnable) => {
           val th = new Thread(r, s"graft-fit-${seq.incrementAndGet()}")
           th.setDaemon(true)
@@ -1517,6 +1521,13 @@ object DataOpsQueries {
     val scores = graft.text.NgramLm.score(
         docs, "doc_id", "text2", "lang", model)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the whole LM branch (train aggregates + corpus
+    // scoring) from the fit pool: its first consumer otherwise sits
+    // inside the verdict arm's EXECUTION, serializing the LM chain
+    // after the fits instead of alongside them (guide §2.6 — the
+    // same lever as the clf/dsir/mix fits below; the persist's two
+    // verdict consumers then read the materialized cache)
+    val fLm = fitThread(s"$fitTag-lmscore") { scores.count() }
     val quality = graft.text.NgramLm.tertileGate(scores)
       .select(col("doc_id"), col("keep").as("lm_keep"))
     // the three EAGER fits below (8-step GD, DSIR ratio LUT, mixture
@@ -1561,6 +1572,7 @@ object DataOpsQueries {
         graft.text.Dsir.keepByWeight(col("doc_id"), col("weight"),
           col("mn"), col("mw")).as("dsir_keep"))
     val mix = awaitFit(fMix)
+    awaitFit(fLm)
     val verdict = content.join(prov, "doc_id")
       .join(quality, Seq("doc_id"), "left")
       .join(clf, "doc_id").join(dsir, "doc_id").join(mix, "doc_id")
